@@ -1,0 +1,24 @@
+"""TPU-native audio spatialization framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+BuzzLord/godot-audio-spatializer Godot module: pluggable spatializers
+(3D panning / effect chains / HRTF / ambisonics), a batched mixing engine
+replacing the per-playback audio-thread loop, and an AudioServer-equivalent
+bus graph — all expressed as batched array programs over N sources.
+
+Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
+  engine/   AudioEngine (AudioServer equivalent) + player/stream API shell
+  models/   concrete spatializers (3D, Effect, HRTF, Ambisonic)
+  ops/      batched JAX kernels + Pallas fused mix path
+  golden/   scalar NumPy oracle (stands in for the Godot engine)
+  parallel/ source-sharded multi-chip execution (jax.sharding)
+  utils/    dsp helpers, config, wav io
+"""
+
+__version__ = "0.1.0"
+
+from .constants import (  # noqa: F401
+    AttenuationModel,
+    DopplerTracking,
+    SpeakerMode,
+)
