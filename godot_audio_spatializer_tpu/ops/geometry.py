@@ -1,0 +1,295 @@
+"""Stage A — batched `calculate_spatialization` (the geometry kernel).
+
+TPU-native redesign of reference audio_spatializer_3d.cpp:277-489: the
+per-player scalar loop over cameras becomes one jitted array program over
+axes [N sources, L listeners].  The camera loop becomes a listeners axis
+with a max-combine reduction (cpp:258-266); area selection becomes a masked
+first-match; the out-of-range two-frame hysteresis (cpp:466-471) is a
+carried boolean lane.
+
+Inputs are struct-of-arrays pytrees prepared on the host (listener-transform
+orthonormalization/inversion is O(L) float64 host work; everything O(N·L)
+runs on device).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import (
+    DOPPLER_PITCH_MAX,
+    DOPPLER_PITCH_MIN,
+    MAX_CHANNELS_PER_BUS,
+    SpeakerMode,
+)
+from ..utils.dsp import db_to_linear, safe_normalize
+from .attenuation import attenuation_db
+from .pan import calc_output_vol
+from .reverb import calc_reverb_vol
+
+
+@struct.dataclass
+class SourceParams:
+    """Per-source spatializer + player configuration, all arrays [N].
+
+    Field-for-field mirror of AudioSpatializer3D tunables
+    (reference audio_spatializer_3d.h:151-241) plus the owning player's
+    volume/pitch/bus properties (audio_stream_player_spatial.h:119-164).
+    """
+
+    attenuation_model: jnp.ndarray  # [N] int32
+    unit_size: jnp.ndarray  # [N] f32, default 10
+    max_distance: jnp.ndarray  # [N] f32, 0 = unlimited
+    panning_strength: jnp.ndarray  # [N] f32, default 1
+    area_mask: jnp.ndarray  # [N] int32, default 1
+    emission_angle_enabled: jnp.ndarray  # [N] bool
+    emission_angle_cos: jnp.ndarray  # [N] f32 — cos(emission_angle_degrees)
+    emission_angle_filter_attenuation_db: jnp.ndarray  # [N] f32, default -12
+    attenuation_filter_cutoff_hz: jnp.ndarray  # [N] f32, default 5000
+    attenuation_filter_db: jnp.ndarray  # [N] f32, default -24
+    doppler_enabled: jnp.ndarray  # [N] bool
+    doppler_speed_of_sound: jnp.ndarray  # [N] f32, default 343
+    volume_db: jnp.ndarray  # [N] f32 player volume
+    max_db: jnp.ndarray  # [N] f32 player max_db, default 3
+    pitch_scale: jnp.ndarray  # [N] f32 player pitch
+    bus_index: jnp.ndarray  # [N] int32 player bus
+
+
+@struct.dataclass
+class SceneState:
+    """Per-physics-tick world state, arrays [N] / [L] / [A]."""
+
+    # sources
+    source_pos: jnp.ndarray  # [N,3]
+    source_vel: jnp.ndarray  # [N,3] doppler-tracked velocity
+    source_z_axis: jnp.ndarray  # [N,3] player basis column 2 (emission cone)
+    source_active: jnp.ndarray  # [N] bool — node exists / in tree
+    # listeners (host-prepped: orthonormalized rotation, full inverse)
+    listener_rot: jnp.ndarray  # [L,3,3] orthonormalized row-basis
+    listener_inv: jnp.ndarray  # [L,3,3] full basis inverse (area transform)
+    listener_origin: jnp.ndarray  # [L,3]
+    listener_vel: jnp.ndarray  # [L,3]
+    listener_active: jnp.ndarray  # [L] bool
+    # areas (AABB stand-ins for Area3D, first match wins)
+    area_center: jnp.ndarray  # [A,3]
+    area_half: jnp.ndarray  # [A,3]
+    area_mask: jnp.ndarray  # [A] int32
+    area_override_bus: jnp.ndarray  # [A] int32, -1 = none
+    area_reverb_bus: jnp.ndarray  # [A] int32, -1 = none
+    area_reverb_amount: jnp.ndarray  # [A] f32
+    area_reverb_uniformity: jnp.ndarray  # [A] f32
+    area_active: jnp.ndarray  # [A] bool
+
+
+@struct.dataclass
+class SpatializeResult:
+    """Batched SpatializerParameters(3D) (reference spatializer_parameters.h:39-67,
+    audio_spatializer_3d.h:61-83), one lane per source."""
+
+    mix_volumes: jnp.ndarray  # [N,4,2]
+    pitch_scale: jnp.ndarray  # [N]
+    linear_attenuation: jnp.ndarray  # [N]
+    attenuation_filter_cutoff_hz: jnp.ndarray  # [N]
+    # bus routing: slot 0 = main (override or player bus), slot 1 = reverb
+    bus_index: jnp.ndarray  # [N,2] int32, -1 = unused
+    bus_volumes: jnp.ndarray  # [N,2,4,2]
+    update_parameters: jnp.ndarray  # [N] bool
+    was_out_of_range: jnp.ndarray  # [N] bool — carry to next tick
+
+
+def _select_area(scene: SceneState, params: SourceParams):
+    """_get_overriding_area (reference audio_spatializer_3d.cpp:208-245):
+    first active area containing the source point, mask-matched, that
+    overrides the bus or provides reverb."""
+    # [N,A] containment
+    d = jnp.abs(scene.source_pos[:, None, :] - scene.area_center[None, :, :])
+    contains = jnp.all(d <= scene.area_half[None, :, :], axis=-1)
+    mask_match = (scene.area_mask[None, :] & params.area_mask[:, None]) != 0
+    relevant = (scene.area_override_bus >= 0) | (scene.area_reverb_bus >= 0)
+    found = contains & mask_match & relevant[None, :] & scene.area_active[None, :]
+    has_area = jnp.any(found, axis=1)  # [N]
+    area_idx = jnp.argmax(found, axis=1)  # first True (or 0 when none)
+    return has_area, area_idx
+
+
+def calculate_spatialization(
+    scene: SceneState,
+    params: SourceParams,
+    was_out_of_range: jnp.ndarray,  # [N] bool, carried
+    speaker_mode: SpeakerMode,
+    global_panning_strength: float = 1.0,
+) -> SpatializeResult:
+    N = scene.source_pos.shape[0]
+    L = scene.listener_origin.shape[0]
+
+    # ---- area selection (per source) ----
+    has_area, area_idx = _select_area(scene, params)
+    a_center = scene.area_center[area_idx]  # [N,3]
+    a_half = scene.area_half[area_idx]
+    a_override_bus = jnp.where(has_area, scene.area_override_bus[area_idx], -1)
+    a_reverb_bus = jnp.where(has_area, scene.area_reverb_bus[area_idx], -1)
+    a_amount = scene.area_reverb_amount[area_idx]
+    a_uniformity = scene.area_reverb_uniformity[area_idx]
+    use_reverb = has_area & (a_reverb_bus >= 0)
+    reverb_uniform = use_reverb & (a_uniformity > 0)
+
+    # ---- listener-local position (cpp:342) ----
+    diff = scene.source_pos[:, None, :] - scene.listener_origin[None, :, :]  # [N,L,3]
+    # orthonormalized affine inverse: local = R^T (p - o) for row-basis R
+    local_pos = jnp.einsum("lij,nli->nlj", scene.listener_rot, diff)
+    dist = jnp.linalg.norm(local_pos, axis=-1)  # [N,L]
+
+    # ---- listener_area_pos (closest point on area box, cpp:350-353) ----
+    lo = a_center - a_half
+    hi = a_center + a_half
+    closest = jnp.clip(scene.listener_origin[None, :, :], lo[:, None, :], hi[:, None, :])
+    # full (non-orthonormalized) affine inverse of the listener transform
+    lap_diff = closest - scene.listener_origin[None, :, :]
+    listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)
+    lap_len = jnp.linalg.norm(listener_area_pos, axis=-1)  # [N,L]
+    lap_len = jnp.where(reverb_uniform[:, None], lap_len, 0.0)
+    listener_area_pos = jnp.where(
+        reverb_uniform[:, None, None], listener_area_pos, 0.0
+    )
+
+    # ---- attenuation multiplier (cpp:359-373) ----
+    att_db = attenuation_db(
+        dist,
+        params.attenuation_model[:, None],
+        params.unit_size[:, None],
+        params.volume_db[:, None],
+        params.max_db[:, None],
+    )
+    multiplier = db_to_linear(att_db)  # [N,L]
+
+    has_max = params.max_distance[:, None] > 0
+    total_max = jnp.where(
+        reverb_uniform[:, None],
+        jnp.maximum(params.max_distance[:, None], lap_len),
+        params.max_distance[:, None],
+    )
+    out_of_range = has_max & (
+        (dist > total_max) | (total_max > params.max_distance[:, None])
+    )
+    rolloff = jnp.maximum(0.0, 1.0 - dist / jnp.where(has_max, params.max_distance[:, None], 1.0))
+    multiplier = jnp.where(has_max, multiplier * rolloff, multiplier)
+
+    in_range = (~out_of_range) & scene.listener_active[None, :]  # [N,L]
+    has_any = jnp.any(in_range, axis=1)  # [N]
+
+    # ---- highshelf attenuation db (cpp:376-385) ----
+    db_att = (1.0 - jnp.minimum(1.0, multiplier)) * params.attenuation_filter_db[:, None]
+    # emission cone: angle between listener→source dir and player +z column
+    lt_dir = safe_normalize(diff)  # [N,L,3]
+    z_dir = safe_normalize(scene.source_z_axis)  # [N,3]
+    cone_cos = jnp.einsum("nli,ni->nl", lt_dir, z_dir)
+    # angle > emission_angle  ⇔  cos(angle) < cos(emission_angle)
+    outside_cone = cone_cos < params.emission_angle_cos[:, None]
+    db_att = jnp.where(
+        params.emission_angle_enabled[:, None] & outside_cone,
+        db_att + params.emission_angle_filter_attenuation_db[:, None],
+        db_att,
+    )
+    linear_attenuation_nl = db_to_linear(db_att)  # [N,L]
+
+    # "last in-range listener wins" (set inside the loop at cpp:387):
+    lidx = jnp.arange(L)
+    last_in = jnp.where(
+        has_any,
+        (L - 1) - jnp.argmax(jnp.flip(in_range, axis=1), axis=1),
+        0,
+    )
+    linear_attenuation = jnp.where(
+        has_any,
+        jnp.take_along_axis(linear_attenuation_nl, last_in[:, None], axis=1)[:, 0],
+        0.0,
+    )
+    del lidx
+
+    # ---- pan volumes, max-combined across listeners (cpp:390-396) ----
+    tmp_volume = calc_output_vol(
+        local_pos,
+        params.panning_strength[:, None],
+        speaker_mode,
+        global_panning_strength,
+    )  # [N,L,4,2]
+    tmp_volume = tmp_volume * multiplier[..., None, None]
+    tmp_volume = jnp.where(in_range[..., None, None], tmp_volume, 0.0)
+    output_volume = tmp_volume.max(axis=1)  # [N,4,2]
+
+    # ---- reverb volumes (cpp:399-402) ----
+    reverb_nl = calc_reverb_vol(
+        a_uniformity[:, None],
+        a_amount[:, None],
+        listener_area_pos,
+        lap_len,
+        tmp_volume,
+        params.attenuation_model[:, None],
+        params.unit_size[:, None],
+        params.volume_db[:, None],
+        params.max_db[:, None],
+        params.panning_strength[:, None],
+        speaker_mode,
+        global_panning_strength,
+    )  # [N,L,4,2]
+    reverb_nl = jnp.where(
+        (in_range & use_reverb[:, None])[..., None, None], reverb_nl, 0.0
+    )
+    reverb_volume = reverb_nl.max(axis=1)  # [N,4,2]
+
+    # ---- doppler (cpp:405-434) ----
+    rel_vel = scene.source_vel[:, None, :] - scene.listener_vel[None, :, :]
+    local_velocity = jnp.einsum("lij,nli->nlj", scene.listener_rot, rel_vel)
+    lv_norm = jnp.linalg.norm(local_velocity, axis=-1)  # [N,L]
+    nonzero_vel = jnp.any(local_velocity != 0.0, axis=-1)
+    approaching = jnp.einsum(
+        "nli,nli->nl", safe_normalize(local_pos), safe_normalize(local_velocity)
+    )
+    sos = params.doppler_speed_of_sound[:, None]
+    doppler_pitch = params.pitch_scale[:, None] * sos / (sos + lv_norm * approaching)
+    doppler_pitch = jnp.clip(doppler_pitch, DOPPLER_PITCH_MIN, DOPPLER_PITCH_MAX)
+    weight = tmp_volume.max(axis=(2, 3))  # [N,L] — _get_max_volume (cpp:268-275)
+    dop_mask = (
+        params.doppler_enabled[:, None] & nonzero_vel & in_range
+    )
+    w = jnp.where(dop_mask, weight, 0.0)
+    log_pitch = (w * jnp.log2(doppler_pitch)).sum(axis=1)
+    w_sum = w.sum(axis=1)
+    pitch = jnp.where(
+        w_sum > 0,
+        jnp.exp2(log_pitch / jnp.where(w_sum > 0, w_sum, 1.0)),
+        params.pitch_scale,
+    )
+
+    # ---- bus routing (cpp:437-461) ----
+    main_bus = jnp.where(
+        has_area & (a_override_bus >= 0), a_override_bus, params.bus_index
+    )
+    bus_index = jnp.stack(
+        [
+            jnp.where(has_any, main_bus, -1),
+            jnp.where(has_any & use_reverb, a_reverb_bus, -1),
+        ],
+        axis=1,
+    )  # [N,2]
+    bus_volumes = jnp.stack([output_volume, reverb_volume], axis=1)  # [N,2,4,2]
+
+    # ---- update flag + hysteresis (cpp:466-471) ----
+    skip = (~has_any) & was_out_of_range
+    new_was_out = ~has_any
+    update = (~skip) & scene.source_active
+
+    return SpatializeResult(
+        mix_volumes=output_volume,
+        pitch_scale=pitch,
+        linear_attenuation=linear_attenuation,
+        attenuation_filter_cutoff_hz=params.attenuation_filter_cutoff_hz,
+        bus_index=bus_index,
+        bus_volumes=bus_volumes,
+        update_parameters=update,
+        was_out_of_range=new_was_out,
+    )
