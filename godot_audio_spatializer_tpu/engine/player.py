@@ -1,0 +1,182 @@
+"""AudioStreamPlayerSpatial — the user-facing player node.
+
+API mirror of the reference scene node (audio_stream_player_spatial.h:
+119-164, cpp:225-321,496-553): stream/spatializer slots, play/seek/stop,
+volume/pitch/bus properties, autoplay, polyphony limit, pause propagation,
+`finished` signal.  `play()` is deferred to the next physics step exactly
+like the reference's setplay/setplayback handoff (cpp:225-235, 74-93) —
+in this engine the physics step is where batched Stage A runs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..models.spatializer3d import AudioSpatializer3D
+from .streams import AudioStream
+
+
+class AudioStreamPlayerSpatial:
+    def __init__(
+        self,
+        engine,
+        stream: Optional[AudioStream] = None,
+        spatializer: Optional[AudioSpatializer3D] = None,
+        volume_db: float = 0.0,
+        max_db: float = 3.0,
+        pitch_scale: float = 1.0,
+        bus: str = "Master",
+        autoplay: bool = False,
+        max_polyphony: int = 1,
+    ):
+        self.engine = engine
+        self.index = engine._register_player(self)
+        self._stream = stream
+        # transform + velocity tracker (reference VelocityTracker3D role) —
+        # initialized before the spatializer instance resets the tracker
+        self.basis = np.eye(3)
+        self.origin = np.zeros(3)
+        self._prev_origin = np.zeros(3)
+        self._velocity = np.zeros(3)
+        self.spatializer_base = spatializer
+        self.spatializer = spatializer.instantiate() if spatializer else None
+        if self.spatializer is not None:
+            self.spatializer.audio_player = self
+            self.spatializer.initialize_audio_player()
+        self._volume_db = volume_db
+        self.max_db = max_db
+        self.pitch_scale = pitch_scale
+        self._bus = bus
+        self.autoplay = autoplay
+        self.max_polyphony = max_polyphony
+        self.stream_paused = False
+        # playback bookkeeping
+        self.slots: List[int] = []  # engine slot ids, oldest first
+        self._pending_plays: List[float] = []
+        self._pending_stop = False
+        self.finished_callbacks: List[Callable[[], None]] = []
+        if autoplay:
+            self.play(0.0)
+
+    # --- properties mirroring the reference bindings ---
+    @property
+    def stream(self) -> Optional[AudioStream]:
+        return self._stream
+
+    @stream.setter
+    def stream(self, s: Optional[AudioStream]):
+        self.stop()
+        self._stream = s
+
+    @property
+    def volume_db(self) -> float:
+        return self._volume_db
+
+    @volume_db.setter
+    def volume_db(self, v: float):
+        if math.isnan(v):
+            raise ValueError("Volume can't be set to NaN.")
+        self._volume_db = v
+
+    @property
+    def volume_linear(self) -> float:
+        return 10.0 ** (self._volume_db / 20.0)
+
+    @volume_linear.setter
+    def volume_linear(self, v: float):
+        self.volume_db = 20.0 * math.log10(v)
+
+    @property
+    def bus(self) -> str:
+        # fall back to Master if the bus vanished (reference cpp:401-413)
+        if self._bus in self.engine.bus_names:
+            return self._bus
+        return "Master"
+
+    @bus.setter
+    def bus(self, name: str):
+        self._bus = name
+
+    # --- transform / velocity ---
+    def set_transform(self, basis=None, origin=None):
+        if basis is not None:
+            self.basis = np.asarray(basis, np.float64)
+        if origin is not None:
+            self.origin = np.asarray(origin, np.float64)
+
+    def set_position(self, origin):
+        self.set_transform(origin=origin)
+
+    def reset_velocity_tracker(self):
+        self._prev_origin = self.origin.copy()
+        self._velocity = np.zeros(3)
+
+    def update_velocity(self, dt: float):
+        """Per-physics-tick velocity estimate
+        (reference audio_spatializer_3d.cpp:625-629)."""
+        if dt > 0:
+            self._velocity = (self.origin - self._prev_origin) / dt
+        self._prev_origin = self.origin.copy()
+
+    @property
+    def velocity(self) -> np.ndarray:
+        return self._velocity
+
+    # --- playback control (deferred to physics step like the reference) ---
+    def play(self, from_pos: float = 0.0) -> None:
+        if self.spatializer is None or self._stream is None:
+            return
+        if self._stream.is_monophonic() and self.is_playing():
+            self.stop()
+        self._pending_plays.append(float(from_pos))
+
+    def seek(self, to_pos: float) -> None:
+        if self.spatializer is None:
+            return
+        if self.is_playing():
+            self.stop()
+            self.play(to_pos)
+
+    def stop(self) -> None:
+        if self.spatializer is None:
+            return
+        self._pending_plays.clear()
+        self._pending_stop = True
+
+    def is_playing(self) -> bool:
+        if self._pending_plays:
+            return True  # play() called this frame, playback not started yet
+        return len(self.slots) > 0
+
+    @property
+    def playing(self) -> bool:
+        return self.is_playing()
+
+    @playing.setter
+    def playing(self, v: bool):
+        if v:
+            self.play()
+        else:
+            self.stop()
+
+    def has_stream_playback(self) -> bool:
+        return len(self.slots) > 0
+
+    def get_playback_position(self) -> float:
+        """Seconds into the most recent playback (reference cpp:145-159)."""
+        if not self.slots:
+            return 0.0
+        return self.engine.get_slot_position_seconds(self.slots[-1])
+
+    def set_stream_paused(self, paused: bool) -> None:
+        self.stream_paused = paused
+
+    def connect_finished(self, cb: Callable[[], None]) -> None:
+        self.finished_callbacks.append(cb)
+
+    def _emit_finished(self) -> None:
+        for cb in self.finished_callbacks:
+            cb()

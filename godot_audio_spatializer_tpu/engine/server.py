@@ -1,0 +1,560 @@
+"""AudioEngine — the AudioServer equivalent.
+
+Owns the bus graph, the batched source-slot state (ops/mix.py MixState),
+the device sample bank, and the two jitted stages:
+
+  physics_step()  → Stage A geometry (ops/geometry.py) + slot/param
+                    bookkeeping (the reference's physics-tick path,
+                    audio_stream_player_spatial.cpp:74-93 +
+                    audio_spatializer.cpp:258-324)
+  render_block()  → Stage B batched mix + bus graph reduction (the
+                    reference's audio-thread path, audio_spatializer.cpp:
+                    326-527 + AudioServer L0 bus behavior)
+
+Design: N source *slots* (one per concurrent playback — the reference's
+SpatialPlaybackListNode lanes), P *players* (user nodes).  Stage A runs on
+player lanes; slot lanes gather their player's results.  Everything O(N)
+or O(P·L) runs jitted on device; the host only routes events and scene
+snapshots.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    MAX_CHANNELS_PER_BUS,
+    PLAYBACK_DISABLE_THRESHOLD_DB,
+    SPEAKER_MODE_CHANNEL_COUNT,
+    DopplerTracking,
+    SpeakerMode,
+)
+from ..ops.geometry import SceneState, SourceParams, SpatializeResult, calculate_spatialization
+from ..ops.mix import BlockParams, MixState, SampleBank, make_mix_state, mix_block
+from ..ops.resample import quantize_pitch
+from ..utils.dsp import db_to_linear
+from .player import AudioStreamPlayerSpatial
+from .scene import AreaDesc, ListenerDesc, build_scene_state
+from .streams import AudioStream
+
+
+@dataclass
+class Bus:
+    """A mixing bus (L0 AudioServer bus: channels, effects, send).
+
+    Sends must target earlier-created buses; processing runs newest→Master
+    so sends flow downstream (Godot's right-to-left bus layout rule)."""
+
+    name: str
+    send: Optional[str] = "Master"
+    volume_db: float = 0.0
+    effects: List = field(default_factory=list)  # BusEffect instances
+
+
+def _slot_gather(result: SpatializeResult, slot_player, valid):
+    sp = jnp.maximum(slot_player, 0)
+    return (
+        result.mix_volumes[sp],
+        result.pitch_scale[sp],
+        result.linear_attenuation[sp],
+        result.attenuation_filter_cutoff_hz[sp],
+        result.bus_index[sp],
+        result.bus_volumes[sp],
+        result.update_parameters[sp] & valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_buses",))
+def _tick_update(
+    result: SpatializeResult,
+    state: MixState,
+    slot_player,  # [N] i32, -1 = free slot
+    play_mask,  # [N] bool — slots (re)starting this tick
+    play_cursor,  # [N] i32 — start sample for started slots
+    stop_mask,  # [N] bool
+    mix_channel_mode,  # [N] bool
+    threshold_db,  # [N] f32
+    paused,  # [N] bool
+    num_buses: int,
+):
+    """Physics-tick bookkeeping: gather player results to slots, build the
+    dense server bus-volume targets (get_bus_map semantics, reference
+    audio_spatializer.cpp:274-324), apply play/stop events."""
+    valid = slot_player >= 0
+    mv, pitch, lin_att, cutoff, bus_idx, bus_vols, update = _slot_gather(
+        result, slot_player, valid
+    )
+
+    # dense per-bus volumes [N,B,4,2]
+    onehot = (
+        (bus_idx[..., None] == jnp.arange(num_buses)[None, None, :])
+        & (bus_idx[..., None] >= 0)
+    ).astype(jnp.float32)  # [N,2,B]
+    # mix-channel mode: AudioServer volumes are bus/mix ratios masked per
+    # channel (cpp:295-313); process-frames mode: every routed bus receives
+    # the mix volumes — the reference deliberately ignores per-bus volumes
+    # there (cpp:314-319), which we reproduce (so reverb sends use the
+    # direct-path volumes in the default mode).
+    ratio = jnp.where(mv[:, None] > 0.0, bus_vols / jnp.where(mv[:, None] > 0, mv[:, None], 1.0), 0.0)
+    val_a = jnp.broadcast_to(mv[:, None], bus_vols.shape)
+    val = jnp.where(mix_channel_mode[:, None, None, None], ratio, val_a)
+    dense = jnp.einsum("nsb,nsce->nbce", onehot, val)
+
+    srv_target = jnp.where(update[:, None, None, None], dense, state.srv_target)
+
+    # stop events (reference stop_playback_stream: active.clear(), cpp:98-113)
+    active = state.active & ~stop_mask
+    # play events: reset the lane (start_playback_stream, cpp:44-96)
+    pm = play_mask
+    pm1 = pm[:, None]
+    pm2 = pm[:, None, None]
+    pm3 = pm[:, None, None, None]
+    new_state = MixState(
+        cursor_idx=jnp.where(pm, play_cursor, state.cursor_idx),
+        cursor_frac=jnp.where(pm, 0, state.cursor_frac),
+        active=active | pm,
+        has_frames=jnp.where(pm, True, state.has_frames),
+        lookahead=jnp.where(pm2, 0.0, state.lookahead),
+        prev_mix_volumes=jnp.where(pm2, 0.0, state.prev_mix_volumes),
+        filter_coeffs=jnp.where(pm1, 0.0, state.filter_coeffs),
+        filter_state=jnp.where(pm3, 0.0, state.filter_state),
+        srv_prev=jnp.where(pm3, dense, state.srv_prev),
+        srv_target=jnp.where(pm3, dense, srv_target),
+    )
+    block_params = BlockParams(
+        mix_volumes=mv,
+        pitch_fp=quantize_pitch(pitch),
+        linear_attenuation=lin_att,
+        attenuation_filter_cutoff_hz=cutoff,
+        mix_channel_mode=mix_channel_mode,
+        threshold_db=threshold_db,
+        paused=paused,
+    )
+    return new_state, block_params
+
+
+class AudioEngine:
+    def __init__(
+        self,
+        mix_rate: float = 44100.0,
+        block_size: int = 512,
+        speaker_mode: SpeakerMode = SpeakerMode.STEREO,
+        max_sources: int = 64,
+        mix_channel_enabled: bool = False,
+        global_panning_strength: float = 1.0,
+        biquad_method: str = "assoc",
+        physics_rate: float = 60.0,
+    ):
+        self.mix_rate = float(mix_rate)
+        self.block_size = int(block_size)
+        self.speaker_mode = speaker_mode
+        self.channel_count = SPEAKER_MODE_CHANNEL_COUNT[speaker_mode]
+        self.max_sources = int(max_sources)
+        self.mix_channel_enabled = bool(mix_channel_enabled)
+        self.global_panning_strength = float(global_panning_strength)
+        self.biquad_method = biquad_method
+        self.physics_rate = float(physics_rate)
+
+        self.buses: List[Bus] = [Bus("Master", send=None)]
+        self.listeners: List[ListenerDesc] = []
+        self.areas: List[AreaDesc] = []
+        self.players: List[AudioStreamPlayerSpatial] = []
+
+        n = self.max_sources
+        filt_ch = self.channel_count if mix_channel_enabled else 1
+        self.mix_state: MixState = make_mix_state(n, self.num_buses, filt_ch)
+        self._block_params: Optional[BlockParams] = None
+
+        # slot bookkeeping (host)
+        self.slot_player = np.full(n, -1, np.int32)
+        self._free_slots = list(range(n - 1, -1, -1))
+        self._slot_bank_base = np.zeros(n, np.int32)
+        self._slot_bank_length = np.ones(n, np.int32)
+        self._slot_bank_loop = np.zeros(n, bool)
+        self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
+        self._slot_mode = np.zeros(n, bool)
+
+        # sample bank (host mirror + lazy device copy)
+        self._clips: Dict[int, Tuple[int, int]] = {}  # stream_id -> (base, len)
+        self._bank_host = np.zeros((1, 2), np.float32)
+        self._bank_device = None
+        self._bank_dirty = True
+
+        self._source_params_cache: Optional[SourceParams] = None
+        self._params_dirty = True
+
+    # ------------------------------------------------------------------ buses
+    @property
+    def num_buses(self) -> int:
+        return len(self.buses)
+
+    @property
+    def bus_names(self) -> List[str]:
+        return [b.name for b in self.buses]
+
+    def add_bus(self, name: str, send: str = "Master", volume_db: float = 0.0) -> None:
+        if any(b.name == name for b in self.buses):
+            raise ValueError(f"bus {name!r} already exists")
+        if send not in self.bus_names:
+            raise ValueError(f"send target {send!r} does not exist")
+        self.buses.append(Bus(name, send=send, volume_db=volume_db))
+        # grow srv volume lanes
+        n = self.max_sources
+        pad = jnp.zeros((n, 1, MAX_CHANNELS_PER_BUS, 2), jnp.float32)
+        self.mix_state = self.mix_state.replace(
+            srv_prev=jnp.concatenate([self.mix_state.srv_prev, pad], axis=1),
+            srv_target=jnp.concatenate([self.mix_state.srv_target, pad], axis=1),
+        )
+
+    def bus_index(self, name: str) -> int:
+        return self.bus_names.index(name)
+
+    def add_bus_effect(self, bus_name: str, effect) -> None:
+        """Attach a BusEffect (see models/effects.py) to a bus chain."""
+        bus = self.buses[self.bus_index(bus_name)]
+        effect.reset(self.channel_count, self.block_size, self.mix_rate)
+        bus.effects.append(effect)
+
+    # ------------------------------------------------------------ sample bank
+    def register_stream(self, stream: AudioStream) -> Tuple[int, int]:
+        if stream.stream_id not in self._clips:
+            base = self._bank_host.shape[0]
+            self._bank_host = np.concatenate([self._bank_host, stream.data], axis=0)
+            self._clips[stream.stream_id] = (base, stream.data.shape[0])
+            self._bank_dirty = True
+        return self._clips[stream.stream_id]
+
+    def _bank(self) -> SampleBank:
+        if self._bank_dirty or self._bank_device is None:
+            self._bank_device = jnp.asarray(self._bank_host)
+            self._bank_dirty = False
+        return SampleBank(
+            data=self._bank_device,
+            base=jnp.asarray(self._slot_bank_base),
+            length=jnp.asarray(self._slot_bank_length),
+            loop=jnp.asarray(self._slot_bank_loop),
+        )
+
+    # ------------------------------------------------------------- scene defs
+    def add_listener(self, listener: ListenerDesc) -> ListenerDesc:
+        self.listeners.append(listener)
+        return listener
+
+    def add_area(self, area: AreaDesc) -> AreaDesc:
+        self.areas.append(area)
+        return area
+
+    def _register_player(self, player: AudioStreamPlayerSpatial) -> int:
+        self.players.append(player)
+        self._params_dirty = True
+        return len(self.players) - 1
+
+    def mark_params_dirty(self) -> None:
+        self._params_dirty = True
+
+    # ------------------------------------------------------------ stage A prep
+    def _player_params(self) -> SourceParams:
+        """SourceParams lanes for all players (rebuilt when configs change)."""
+        p = len(self.players)
+        bus_map = {n: i for i, n in enumerate(self.bus_names)}
+        fields = {
+            "attenuation_model": np.zeros(p, np.int32),
+            "unit_size": np.full(p, 10.0, np.float32),
+            "max_distance": np.zeros(p, np.float32),
+            "panning_strength": np.ones(p, np.float32),
+            "area_mask": np.ones(p, np.int32),
+            "emission_angle_enabled": np.zeros(p, bool),
+            "emission_angle_cos": np.full(p, math.cos(math.radians(45.0)), np.float32),
+            "emission_angle_filter_attenuation_db": np.full(p, -12.0, np.float32),
+            "attenuation_filter_cutoff_hz": np.full(p, 5000.0, np.float32),
+            "attenuation_filter_db": np.full(p, -24.0, np.float32),
+            "doppler_enabled": np.zeros(p, bool),
+            "doppler_speed_of_sound": np.full(p, 343.0, np.float32),
+            "volume_db": np.zeros(p, np.float32),
+            "max_db": np.full(p, 3.0, np.float32),
+            "pitch_scale": np.ones(p, np.float32),
+            "bus_index": np.zeros(p, np.int32),
+        }
+        for i, pl in enumerate(self.players):
+            sp = pl.spatializer_base
+            if sp is not None:
+                fields["attenuation_model"][i] = int(sp.attenuation_model)
+                fields["unit_size"][i] = sp.unit_size
+                fields["max_distance"][i] = sp.max_distance
+                fields["panning_strength"][i] = sp.panning_strength
+                fields["area_mask"][i] = sp.area_mask
+                fields["emission_angle_enabled"][i] = sp.emission_angle_enabled
+                fields["emission_angle_cos"][i] = sp.emission_angle_cos
+                fields["emission_angle_filter_attenuation_db"][i] = (
+                    sp.emission_angle_filter_attenuation_db
+                )
+                fields["attenuation_filter_cutoff_hz"][i] = sp.attenuation_filter_cutoff_hz
+                fields["attenuation_filter_db"][i] = sp.attenuation_filter_db
+                fields["doppler_enabled"][i] = (
+                    sp.doppler_tracking != DopplerTracking.DISABLED
+                )
+                fields["doppler_speed_of_sound"][i] = sp.doppler_speed_of_sound
+            fields["volume_db"][i] = pl.volume_db
+            fields["max_db"][i] = pl.max_db
+            fields["pitch_scale"][i] = pl.pitch_scale
+            fields["bus_index"][i] = bus_map.get(pl.bus, 0)
+        return SourceParams(**fields)
+
+    def _build_scene(self) -> SceneState:
+        p = len(self.players)
+        pos = np.zeros((p, 3), np.float32)
+        vel = np.zeros((p, 3), np.float32)
+        zax = np.zeros((p, 3), np.float32)
+        act = np.zeros(p, bool)
+        for i, pl in enumerate(self.players):
+            pos[i] = pl.origin
+            vel[i] = pl.velocity
+            zax[i] = pl.basis[:, 2]
+            act[i] = True
+        bus_map = {n: i for i, n in enumerate(self.bus_names)}
+        return build_scene_state(
+            pos,
+            self.listeners,
+            self.areas,
+            bus_map,
+            source_vel=vel,
+            source_z_axis=zax,
+            source_active=act,
+        )
+
+    # ------------------------------------------------------------ physics tick
+    def physics_step(self, dt: Optional[float] = None) -> None:
+        """One physics tick: velocity tracking → Stage A → playback events.
+
+        Mirrors NOTIFICATION_INTERNAL_PHYSICS_PROCESS ordering (reference
+        audio_stream_player_spatial.cpp:74-93): parameters update first,
+        then pending playbacks start, then finished playbacks are GC'd and
+        the polyphony limit enforced."""
+        if dt is None:
+            dt = 1.0 / self.physics_rate
+        if not self.players:
+            return
+        n = self.max_sources
+
+        for pl in self.players:
+            if pl.spatializer_base is not None and (
+                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
+            ):
+                pl.update_velocity(dt)
+
+        # -- GC finished playbacks (reads auto-disable results from device) --
+        active_now = np.asarray(self.mix_state.active)
+        for pl in self.players:
+            finished = [s for s in pl.slots if not active_now[s]]
+            if finished:
+                for s in finished:
+                    pl.slots.remove(s)
+                    self._release_slot(s)
+                pl._emit_finished()
+
+        # -- stage A --
+        if self._params_dirty or self._source_params_cache is None:
+            self._source_params_cache = self._player_params()
+            self._params_dirty = False
+        scene = self._build_scene()
+        was_out = getattr(self, "_was_out", None)
+        if was_out is None or was_out.shape[0] != len(self.players):
+            was_out = jnp.zeros(len(self.players), bool)
+        result = self._stage_a(scene, self._source_params_cache, was_out)
+        self._was_out = result.was_out_of_range
+
+        # -- play/stop events --
+        play_mask = np.zeros(n, bool)
+        play_cursor = np.zeros(n, np.int32)
+        stop_mask = np.zeros(n, bool)
+        for pi, pl in enumerate(self.players):
+            if pl._pending_stop:
+                for s in pl.slots:
+                    stop_mask[s] = True
+                    self._release_slot(s)
+                pl.slots.clear()
+                pl._pending_stop = False
+            for from_pos in pl._pending_plays:
+                if not self._free_slots:
+                    break  # slot pool exhausted
+                s = self._free_slots.pop()
+                self.slot_player[s] = pi
+                base, length = self.register_stream(pl.stream)
+                self._slot_bank_base[s] = base
+                self._slot_bank_length[s] = length
+                self._slot_bank_loop[s] = pl.stream.loop
+                self._slot_mode[s] = bool(
+                    pl.spatializer_base and pl.spatializer_base.mix_channel_mode
+                )
+                play_mask[s] = True
+                play_cursor[s] = int(from_pos * self.mix_rate)
+                pl.slots.append(s)
+            pl._pending_plays.clear()
+            # polyphony limit: stop oldest (reference cpp:144-152)
+            while len(pl.slots) > pl.max_polyphony:
+                s = pl.slots.pop(0)
+                stop_mask[s] = True
+                play_mask[s] = False
+                self._release_slot(s)
+
+        paused = np.zeros(n, bool)
+        for pl in self.players:
+            for s in pl.slots:
+                paused[s] = pl.stream_paused
+
+        self.mix_state, self._block_params = _tick_update(
+            result,
+            self.mix_state,
+            jnp.asarray(self.slot_player),
+            jnp.asarray(play_mask),
+            jnp.asarray(play_cursor),
+            jnp.asarray(stop_mask),
+            jnp.asarray(self._slot_mode),
+            jnp.asarray(self._slot_threshold_db),
+            jnp.asarray(paused),
+            num_buses=self.num_buses,
+        )
+
+    def _release_slot(self, s: int) -> None:
+        self.slot_player[s] = -1
+        self._free_slots.append(s)
+
+    def _stage_a(self, scene, params, was_out) -> SpatializeResult:
+        return _stage_a_jit(
+            scene,
+            params,
+            was_out,
+            speaker_mode=self.speaker_mode,
+            global_panning_strength=self.global_panning_strength,
+        )
+
+    # ------------------------------------------------------------- audio block
+    def _default_block_params(self) -> BlockParams:
+        n = self.max_sources
+        return BlockParams(
+            mix_volumes=jnp.zeros((n, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
+            pitch_fp=jnp.full(n, 1 << 16, jnp.int32),
+            linear_attenuation=jnp.zeros(n, jnp.float32),
+            attenuation_filter_cutoff_hz=jnp.full(n, 5000.0, jnp.float32),
+            mix_channel_mode=jnp.zeros(n, bool),
+            threshold_db=jnp.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, jnp.float32),
+            paused=jnp.zeros(n, bool),
+        )
+
+    def render_block(self) -> np.ndarray:
+        """Mix one block → master output [C, F, 2] (numpy)."""
+        if self._block_params is None:
+            self.physics_step()
+        if self._block_params is None:
+            self._block_params = self._default_block_params()
+        new_state, master, peaks = self._render(self.mix_state, self._block_params)
+        self.mix_state = new_state
+        return np.asarray(master)
+
+    def _render(self, state: MixState, bp: BlockParams):
+        bank = self._bank()
+        sends = tuple(
+            self.bus_index(b.send) if b.send is not None else -1 for b in self.buses
+        )
+        vols = tuple(b.volume_db for b in self.buses)
+        effects = tuple(tuple(b.effects) for b in self.buses)
+        return _render_jit(
+            state,
+            bp,
+            bank,
+            mix_rate=self.mix_rate,
+            frame_count=self.block_size,
+            channel_count=self.channel_count,
+            mix_channel_enabled=self.mix_channel_enabled,
+            biquad_method=self.biquad_method,
+            sends=sends,
+            bus_volumes_db=vols,
+            effects=effects,
+        )
+
+    def get_slot_position_seconds(self, slot: int) -> float:
+        idx = int(np.asarray(self.mix_state.cursor_idx[slot]))
+        frac = int(np.asarray(self.mix_state.cursor_frac[slot]))
+        return (idx + frac / 65536.0) / self.mix_rate
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "speaker_mode",
+        "global_panning_strength",
+    ),
+)
+def _stage_a_jit(scene, params, was_out, *, speaker_mode, global_panning_strength):
+    return calculate_spatialization(
+        scene, params, was_out, speaker_mode, global_panning_strength
+    )
+
+
+def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, channel_count):
+    """Apply per-bus effect chains, faders, and send reduction → master.
+
+    bus_in: [B,4,F,2].  Processing order newest→Master so sends flow
+    downstream (L0 AudioServer behavior, README.md:96-100)."""
+    B = bus_in.shape[0]
+    bufs = [bus_in[b] for b in range(B)]
+    for b in range(B - 1, 0, -1):
+        buf = bufs[b]
+        for eff in effects[b]:
+            buf = eff.process(buf)
+        buf = buf * db_to_linear(bus_volumes_db[b])
+        if sends[b] >= 0:
+            bufs[sends[b]] = bufs[sends[b]] + buf
+    master = bufs[0]
+    for eff in effects[0]:
+        master = eff.process(master)
+    master = master * db_to_linear(bus_volumes_db[0])
+    return master[:channel_count]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mix_rate",
+        "frame_count",
+        "channel_count",
+        "mix_channel_enabled",
+        "biquad_method",
+        "sends",
+        "bus_volumes_db",
+        "effects",
+    ),
+)
+def _render_jit(
+    state,
+    bp,
+    bank,
+    *,
+    mix_rate,
+    frame_count,
+    channel_count,
+    mix_channel_enabled,
+    biquad_method,
+    sends,
+    bus_volumes_db,
+    effects,
+):
+    new_state, bus_in, peaks = mix_block(
+        state,
+        bp,
+        bank,
+        mix_rate=mix_rate,
+        frame_count=frame_count,
+        channel_count=channel_count,
+        mix_channel_enabled=mix_channel_enabled,
+        biquad_method=biquad_method,
+    )
+    master = bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, channel_count)
+    return new_state, master, peaks

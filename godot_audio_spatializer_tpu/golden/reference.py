@@ -686,6 +686,10 @@ class BufferStream:
             self.frac += pitch_fp
             self.idx += self.frac >> FP_BITS
             self.frac &= FP_MASK
+        if self.loop:
+            # keep the cursor wrapped (device engine wraps per block so the
+            # two stay bit-identical across arbitrarily long playback)
+            self.idx %= s
         return mixed
 
     def is_playing(self) -> bool:

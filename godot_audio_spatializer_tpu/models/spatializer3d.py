@@ -1,0 +1,84 @@
+"""AudioSpatializer3D — the built-in 3D spatializer resource.
+
+Mirrors the tunable surface of the reference resource field-for-field
+(reference audio_spatializer_3d.h:151-241, property bindings cpp:767-835):
+attenuation model/unit size/max distance, SPCAP panning strength, area
+mask, emission cone, highshelf distance filter, doppler tracking, and
+`mix_channel_mode`.  In the TPU engine this is pure configuration — the
+math runs in the batched Stage A/B kernels (ops/geometry.py, ops/mix.py);
+`instantiate()` returns a per-player instance handle for API parity with
+`AudioSpatializer::_instantiate` (reference audio_spatializer.cpp:609-620).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+from ..constants import AttenuationModel, DopplerTracking
+
+
+@dataclass
+class AudioSpatializer3D:
+    mix_channel_mode: bool = False
+    attenuation_model: AttenuationModel = AttenuationModel.INVERSE_DISTANCE
+    unit_size: float = 10.0
+    max_distance: float = 0.0
+    panning_strength: float = 1.0
+    area_mask: int = 1
+    emission_angle_enabled: bool = False
+    emission_angle_degrees: float = 45.0
+    emission_angle_filter_attenuation_db: float = -12.0
+    attenuation_filter_cutoff_hz: float = 5000.0
+    attenuation_filter_db: float = -24.0
+    doppler_tracking: DopplerTracking = DopplerTracking.DISABLED
+    doppler_speed_of_sound: float = 343.0
+
+    def __post_init__(self):
+        if self.max_distance < 0:
+            raise ValueError("max_distance must be >= 0")
+        if self.panning_strength < 0:
+            raise ValueError("Panning strength must be a positive number.")
+        if self.doppler_speed_of_sound <= 0:
+            raise ValueError("Speed of sound must be a positive number.")
+        if not (0.0 <= self.emission_angle_degrees <= 90.0):
+            raise ValueError("emission angle must be within [0, 90] degrees")
+
+    @property
+    def emission_angle_cos(self) -> float:
+        return math.cos(math.radians(self.emission_angle_degrees))
+
+    def instantiate(self) -> "AudioSpatializerInstance3D":
+        return AudioSpatializerInstance3D(base=self)
+
+    def duplicate(self) -> "AudioSpatializer3D":
+        return replace(self)
+
+
+@dataclass
+class AudioSpatializerInstance3D:
+    """Per-player instance handle.
+
+    The reference's instance owns the playback list and mix buffers
+    (audio_spatializer.h:41-151); here those live as lanes in the engine's
+    batched MixState, and the instance records which batched kernels
+    implement the virtual methods."""
+
+    base: AudioSpatializer3D
+    audio_player: Optional[object] = None
+
+    # extension-hook surface (reference audio_spatializer.h:103-113):
+    # the built-in 3D instance processes frames when not in mix_channel
+    # mode and mixes channels when it is (audio_spatializer_3d.h).
+    def should_process_frames(self) -> bool:
+        return not self.base.mix_channel_mode
+
+    def should_mix_channels(self) -> bool:
+        return self.base.mix_channel_mode
+
+    def initialize_audio_player(self) -> None:
+        # velocity-tracker reset happens host-side in the player
+        # (reference audio_spatializer_3d.cpp:611-623)
+        if self.audio_player is not None:
+            self.audio_player.reset_velocity_tracker()

@@ -1,0 +1,149 @@
+"""Batched highshelf biquad with per-block coefficient interpolation.
+
+TPU-native replacement for Godot's `AudioFilterSW::Processor` (L0, used by
+the reference at audio_spatializer_3d.cpp:504-528 and 569-605):
+
+  * `highshelf_coeffs` — HIGHSHELF coefficient formula (stages=1, Q=1),
+    including Godot's pre-negated a1/a2 convention and the gain/cutoff
+    floors.
+  * `update_coeffs` semantics: per-block target, per-sample linear
+    coefficient interpolation (`process_one_interp`).
+  * two execution strategies for the sequential recurrence:
+      - `biquad_block_scan`: frame-by-frame `lax.scan` — bit-faithful to
+        the scalar loop, used for parity tests and small batches.
+      - `biquad_block_assoc`: `lax.associative_scan` over the 2×2
+        state-transition form — O(log F) depth, the TPU-fast path.
+
+State layout per lane: history [x1, x2, y1, y2] (floats) + shared
+coefficient vector [5] (b0,b1,b2,a1,a2) carried across blocks.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def highshelf_coeffs(sampling_rate, cutoff, gain, resonance: float = 1.0):
+    """Vectorized HIGHSHELF coefficients → [..., 5] (b0,b1,b2,a1,a2).
+
+    a1/a2 are pre-negated so the recurrence is
+      y = b0·x + b1·x1 + b2·x2 + a1·y1 + a2·y2.
+    """
+    sr_limit = (sampling_rate / 2.0) + 512.0
+    final_cutoff = jnp.maximum(jnp.minimum(cutoff, sr_limit), 1.0)
+    omega = (2.0 * math.pi) * final_cutoff / sampling_rate
+    sin_v = jnp.sin(omega)
+    cos_v = jnp.cos(omega)
+    q = resonance if resonance > 0 else 0.0001
+    tmpgain = jnp.maximum(gain, 0.001)
+    tmpq = math.sqrt(q) if math.sqrt(q) > 0 else 0.001
+    beta = jnp.sqrt(tmpgain) / tmpq
+
+    a0 = (tmpgain + 1.0) - (tmpgain - 1.0) * cos_v + beta * sin_v
+    b0 = tmpgain * ((tmpgain + 1.0) + (tmpgain - 1.0) * cos_v + beta * sin_v)
+    b1 = -2.0 * tmpgain * ((tmpgain - 1.0) + (tmpgain + 1.0) * cos_v)
+    b2 = tmpgain * ((tmpgain + 1.0) + (tmpgain - 1.0) * cos_v - beta * sin_v)
+    a1 = 2.0 * ((tmpgain - 1.0) - (tmpgain + 1.0) * cos_v)
+    a2 = (tmpgain + 1.0) - (tmpgain - 1.0) * cos_v - beta * sin_v
+    return jnp.stack([b0 / a0, b1 / a0, b2 / a0, a1 / -a0, a2 / -a0], axis=-1)
+
+
+def biquad_block_scan(x, coeffs0, incr, state):
+    """Frame-sequential reference path.
+
+    x: [..., F]; coeffs0/incr: [..., 5]; state: [..., 4] = (x1, x2, y1, y2).
+    Returns (y [..., F], new_state, new_coeffs).
+    """
+    xs = jnp.moveaxis(x, -1, 0)  # [F, ...]
+
+    def step(carry, xt):
+        c, x1, x2, y1, y2 = carry
+        c = c + incr
+        y = (
+            c[..., 0] * xt
+            + c[..., 1] * x1
+            + c[..., 2] * x2
+            + c[..., 3] * y1
+            + c[..., 4] * y2
+        )
+        return (c, xt, x1, y, y1), y
+
+    init = (coeffs0, state[..., 0], state[..., 1], state[..., 2], state[..., 3])
+    (c_end, x1, x2, y1, y2), ys = jax.lax.scan(step, init, xs)
+    new_state = jnp.stack([x1, x2, y1, y2], axis=-1)
+    return jnp.moveaxis(ys, 0, -1), new_state, c_end
+
+
+def biquad_block_assoc(x, coeffs0, incr, state):
+    """Associative-scan path: same recurrence, O(log F) depth.
+
+    The recurrence y_t = f_t + a1_t·y_{t-1} + a2_t·y_{t-2} over state
+    s_t = (y_t, y_{t-1}) composes as s_t = A_t s_{t-1} + g_t with
+    A_t = [[a1_t, a2_t], [1, 0]].  Composition of affine maps is
+    associative, so `lax.associative_scan` parallelizes the block.
+    """
+    F = x.shape[-1]
+    t = jnp.arange(1, F + 1, dtype=x.dtype).reshape((F,) + (1,) * coeffs0.ndim)
+    c = coeffs0[None] + t * incr[None]  # [F, ..., 5]
+
+    xs = jnp.moveaxis(x, -1, 0)  # [F, ...]
+    x1 = jnp.concatenate([state[None, ..., 0], xs[:-1]], axis=0)
+    x2 = jnp.concatenate([state[None, ..., 1], state[None, ..., 0], xs[:-2]], axis=0)
+    f = c[..., 0] * xs + c[..., 1] * x1 + c[..., 2] * x2  # [F, ...]
+
+    a1 = c[..., 3]
+    a2 = c[..., 4]
+    gy = f
+    gz = jnp.zeros_like(f)
+
+    # affine elements (A_t, g_t), carried as explicit 2×2: [F, ..., 2, 2]
+    A = jnp.stack(
+        [
+            jnp.stack([a1, a2], axis=-1),
+            jnp.stack([jnp.ones_like(a1), jnp.zeros_like(a1)], axis=-1),
+        ],
+        axis=-2,
+    )  # [F, ..., 2, 2]
+    g = jnp.stack([gy, gz], axis=-1)  # [F, ..., 2]
+
+    def combine_mat(e1, e2):
+        A1m, g1 = e1
+        A2m, g2 = e2
+        A_new = jnp.einsum("...ij,...jk->...ik", A2m, A1m)
+        g_new = jnp.einsum("...ij,...j->...i", A2m, g1) + g2
+        return A_new, g_new
+
+    s0 = jnp.stack([state[..., 2], state[..., 3]], axis=-1)  # (y1, y2)
+    A_acc, g_acc = jax.lax.associative_scan(combine_mat, (A, g), axis=0)
+    s = jnp.einsum("f...ij,...j->f...i", A_acc, s0) + g_acc  # [F, ..., 2]
+    ys = s[..., 0]
+
+    new_state = jnp.stack([xs[-1], x1[-1], ys[-1], s[-1, ..., 1]], axis=-1)
+    new_coeffs = c[-1]
+    return jnp.moveaxis(ys, 0, -1), new_state, new_coeffs
+
+
+def biquad_interp_block(x, coeffs, target, state, apply_mask, *, method="assoc"):
+    """One audio block through the interpolated-coefficient highshelf.
+
+    Mirrors AudioFilterSW::Processor::update_coeffs(F) +
+    process_one_interp per frame, with the bypass semantics of the
+    reference (gain < 0.001 → passthrough; neither history nor
+    coefficients advance — audio_spatializer_3d.cpp:503,530-535).
+
+    x: [..., F]; coeffs/target: [..., 5]; state: [..., 4];
+    apply_mask: [...] bool.  Returns (y, new_state, new_coeffs).
+    """
+    F = x.shape[-1]
+    incr = jnp.where(apply_mask[..., None], (target - coeffs) / F, 0.0)
+    fn = biquad_block_scan if method == "scan" else biquad_block_assoc
+    y, new_state, new_coeffs = fn(x, coeffs, incr, state)
+    m = apply_mask[..., None]
+    return (
+        jnp.where(m, y, x),
+        jnp.where(m, new_state, state),
+        jnp.where(m, new_coeffs, coeffs),
+    )

@@ -1,0 +1,289 @@
+"""Stage B — the batched per-block mix engine.
+
+TPU-native redesign of the reference's audio-thread hot loop
+(`_mix_from_playback_list` + proxy mixing, audio_spatializer.cpp:326-527)
+plus the AudioSpatializer3D frame processors (audio_spatializer_3d.cpp:
+491-609) and the AudioServer playback-volume ramp (L0).  The per-playback
+loop becomes one array program over N source lanes:
+
+  resample gather → lookahead delay/end-fade → per-channel gain ramp →
+  interpolated highshelf biquad → peak/auto-disable → bus contraction.
+
+The final bus accumulation is a matmul over the source axis
+(einsum [N,F,2] × [N,B,4,2] → [B,4,F,2]) — the MXU does the mixing.
+
+All temporal state (cursors, lookahead tails, filter histories, previous
+volumes, server-side volume ramps) lives in an explicit MixState pytree —
+the `lax.scan` carry for offline multi-block rendering, and a trivially
+checkpointable object (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import (
+    FADEOUT_BASE,
+    HIGHSHELF_GAIN_EPSILON,
+    LOOKAHEAD_BUFFER_SIZE,
+    MAX_CHANNELS_PER_BUS,
+)
+from ..utils.dsp import db_to_linear
+from .biquad import biquad_interp_block, highshelf_coeffs
+from .resample import resample_block
+
+
+@struct.dataclass
+class SampleBank:
+    """Flat device-resident audio clip store + per-slot addressing."""
+
+    data: jnp.ndarray  # [T, 2] f32
+    base: jnp.ndarray  # [N] i32
+    length: jnp.ndarray  # [N] i32
+    loop: jnp.ndarray  # [N] bool
+
+
+@struct.dataclass
+class MixState:
+    """All carried audio-thread state, one lane per source slot.
+
+    Replaces SpatialPlaybackListNode + SpatializerPlaybackData3D +
+    AudioServer per-playback volume state (reference audio_spatializer.h:
+    55-66, audio_spatializer_3d.h:85-99)."""
+
+    cursor_idx: jnp.ndarray  # [N] i32
+    cursor_frac: jnp.ndarray  # [N] i32
+    active: jnp.ndarray  # [N] bool
+    has_frames: jnp.ndarray  # [N] bool
+    lookahead: jnp.ndarray  # [N, 64, 2] f32
+    prev_mix_volumes: jnp.ndarray  # [N, 4, 2] f32
+    filter_coeffs: jnp.ndarray  # [N, 5] f32 (shared across channels/ears)
+    filter_state: jnp.ndarray  # [N, C, 2, 4] f32 — (x1,x2,y1,y2)
+    srv_prev: jnp.ndarray  # [N, B, 4, 2] f32 — server ramp "from"
+    srv_target: jnp.ndarray  # [N, B, 4, 2] f32 — server ramp "to"
+
+
+def make_mix_state(n: int, num_buses: int, filter_channels: int = 1) -> MixState:
+    return MixState(
+        cursor_idx=jnp.zeros(n, jnp.int32),
+        cursor_frac=jnp.zeros(n, jnp.int32),
+        active=jnp.zeros(n, bool),
+        has_frames=jnp.zeros(n, bool),
+        lookahead=jnp.zeros((n, LOOKAHEAD_BUFFER_SIZE, 2), jnp.float32),
+        prev_mix_volumes=jnp.zeros((n, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
+        filter_coeffs=jnp.zeros((n, 5), jnp.float32),
+        filter_state=jnp.zeros((n, filter_channels, 2, 4), jnp.float32),
+        srv_prev=jnp.zeros((n, num_buses, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
+        srv_target=jnp.zeros((n, num_buses, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
+    )
+
+
+@struct.dataclass
+class BlockParams:
+    """Per-block snapshot of SpatializerParameters3D lanes (Stage A output
+    after the engine's physics-tick bookkeeping)."""
+
+    mix_volumes: jnp.ndarray  # [N, 4, 2] f32
+    pitch_fp: jnp.ndarray  # [N] i32 (16-bit fixed-point pitch)
+    linear_attenuation: jnp.ndarray  # [N] f32
+    attenuation_filter_cutoff_hz: jnp.ndarray  # [N] f32
+    mix_channel_mode: jnp.ndarray  # [N] bool
+    threshold_db: jnp.ndarray  # [N] f32 playback_disable_threshold_db
+    paused: jnp.ndarray  # [N] bool — AudioServer set_playback_paused
+
+
+def _end_fade_factor(mixed, frame_count: int):
+    """Fade factor over combined-buffer positions for a partial mix
+    (reference audio_spatializer.cpp:380-398): positions < mixed pass
+    through, the next 64 get 0.96^(k+1)·(64-k)/64, the rest are zeroed."""
+    f = jnp.arange(frame_count, dtype=jnp.int32)[None, :]
+    k = f - mixed[:, None]  # [N,F]
+    kf = k.astype(jnp.float32)
+    la = float(LOOKAHEAD_BUFFER_SIZE)
+    fade = jnp.exp(math.log(FADEOUT_BASE) * (kf + 1.0)) * (la - kf) / la
+    return jnp.where(k < 0, 1.0, jnp.where(k < LOOKAHEAD_BUFFER_SIZE, fade, 0.0))
+
+
+def mix_block(
+    state: MixState,
+    params: BlockParams,
+    bank: SampleBank,
+    *,
+    mix_rate: float,
+    frame_count: int,
+    channel_count: int,
+    mix_channel_enabled: bool = False,
+    biquad_method: str = "assoc",
+) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
+    """One audio block for all N sources.
+
+    Returns (new_state, bus_input [B,4,F,2], peaks [N]).
+
+    `channel_count` is the speaker-mode channel-pair count (static);
+    `mix_channel_enabled` statically gates the mode-B (mix_channel) path —
+    when False every source uses process_frames semantics
+    (mix_channel_mode=false default, reference audio_spatializer_3d.h).
+    """
+    F = frame_count
+    la = LOOKAHEAD_BUFFER_SIZE
+    assert F >= la, "block size must cover the lookahead buffer"
+    N = params.mix_volumes.shape[0]
+    # paused playbacks are frozen wholesale (the AudioServer simply stops
+    # pulling the proxies — reference audio_spatializer.cpp:115-122)
+    active0 = state.active & ~params.paused
+    has0 = state.has_frames
+
+    # ---- 1. resample gather (L0 AudioStreamPlayback::mix) ----
+    frames, mixed, nidx, nfrac = resample_block(
+        bank.data, bank.base, bank.length, bank.loop,
+        state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
+    )
+    do_mix = active0 & has0
+    new_cursor_idx = jnp.where(do_mix, nidx, state.cursor_idx)
+    new_cursor_frac = jnp.where(do_mix, nfrac, state.cursor_frac)
+
+    # ---- 2. lookahead delay line + end-of-stream fade ----
+    combined = jnp.concatenate([state.lookahead, frames[:, : F - la]], axis=1)
+    full = mixed == F
+    factor = _end_fade_factor(mixed, F)  # [N,F]
+    combined = jnp.where(full[:, None, None], combined, combined * factor[..., None])
+    combined = jnp.where(do_mix[:, None, None], combined, 0.0)
+
+    new_lookahead = jnp.where(
+        (do_mix & full)[:, None, None], frames[:, F - la : F], state.lookahead
+    )
+    new_has_frames = has0 & full
+
+    # ---- 3. highshelf config (shared by both modes) ----
+    gain = params.linear_attenuation
+    apply_f = gain >= HIGHSHELF_GAIN_EPSILON
+    target = highshelf_coeffs(mix_rate, params.attenuation_filter_cutoff_hz, gain)
+
+    t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))  # [F] ramp
+
+    # ---- 4a. mode A: process_frames (filter only, 1 proxy channel) ----
+    prev0 = state.prev_mix_volumes[:, 0]  # [N,2]
+    justA = (prev0[:, 0] == 0) & (prev0[:, 1] == 0)
+    stA = state.filter_state[:, 0]  # [N,2,4]
+    stA = jnp.where((justA & apply_f)[:, None, None], 0.0, stA)
+    xA = jnp.moveaxis(combined, 1, 2)  # [N,2,F]
+    yA, nstA, ncA = biquad_interp_block(
+        xA,
+        jnp.broadcast_to(state.filter_coeffs[:, None, :], (N, 2, 5)),
+        jnp.broadcast_to(target[:, None, :], (N, 2, 5)),
+        stA,
+        jnp.broadcast_to(apply_f[:, None], (N, 2)),
+        method=biquad_method,
+    )
+    sigA = jnp.moveaxis(yA, 2, 1)  # [N,F,2]
+    peakA = jnp.abs(sigA).max(axis=(1, 2))
+    # prev volume := loudest channel's volume (cpp:537-551)
+    flat = params.mix_volumes.reshape(N, -1)  # (c,e) order
+    max_c = jnp.argmax(flat, axis=1) // 2
+    prevA_new = jnp.take_along_axis(
+        params.mix_volumes, max_c[:, None, None], axis=1
+    )[:, 0]  # [N,2]
+
+    C = channel_count
+    if mix_channel_enabled:
+        # ---- 4b. mode B: mix_channel (per-channel gain ramp + filter) ----
+        prevB = state.prev_mix_volumes[:, :C]  # [N,C,2]
+        curB = params.mix_volumes[:, :C]
+        justB = (prevB[..., 0] == 0) & (prevB[..., 1] == 0)  # [N,C]
+        vol = (
+            curB[:, :, None, :] * t[None, None, :, None]
+            + prevB[:, :, None, :] * (1.0 - t)[None, None, :, None]
+        )  # [N,C,F,2]
+        xB = vol * combined[:, None, :, :]  # [N,C,F,2]
+        stB = state.filter_state[:, :C]
+        stB = jnp.where((justB & apply_f[:, None])[..., None, None], 0.0, stB)
+        xBl = jnp.moveaxis(xB, 3, 2)  # [N,C,2,F]
+        yB, nstB, ncB = biquad_interp_block(
+            xBl,
+            jnp.broadcast_to(state.filter_coeffs[:, None, None, :], (N, C, 2, 5)),
+            jnp.broadcast_to(target[:, None, None, :], (N, C, 2, 5)),
+            stB,
+            jnp.broadcast_to(apply_f[:, None, None], (N, C, 2)),
+            method=biquad_method,
+        )
+        sigB = jnp.moveaxis(yB, 3, 2)  # [N,C,F,2]
+        peakB = jnp.abs(sigB).max(axis=(1, 2, 3))
+        mode_b = params.mix_channel_mode
+        peak = jnp.where(mode_b, peakB, peakA)
+
+        new_prev = state.prev_mix_volumes
+        # mode B writes channels < C with current volumes
+        ch_mask = (jnp.arange(MAX_CHANNELS_PER_BUS) < C)[None, :, None]
+        prevB_new = jnp.where(ch_mask, params.mix_volumes, state.prev_mix_volumes)
+        prevA_full = state.prev_mix_volumes.at[:, 0].set(prevA_new)
+        new_prev = jnp.where(mode_b[:, None, None], prevB_new, prevA_full)
+
+        new_fstate = jnp.where(
+            mode_b[:, None, None, None],
+            nstB,
+            state.filter_state.at[:, 0].set(nstA),
+        )
+        new_coeffs = jnp.where(mode_b[:, None], ncB[:, 0, 0], ncA[:, 0])
+        sigA_m = jnp.where((active0 & ~mode_b)[:, None, None], sigA, 0.0)
+        sigB_m = jnp.where((active0 & mode_b)[:, None, None, None], sigB, 0.0)
+        if C < MAX_CHANNELS_PER_BUS:
+            # unused channel pairs carry no proxies — zero contributions
+            sigB_m = jnp.pad(
+                sigB_m, ((0, 0), (0, MAX_CHANNELS_PER_BUS - C), (0, 0), (0, 0))
+            )
+    else:
+        peak = peakA
+        new_prev = state.prev_mix_volumes.at[:, 0].set(prevA_new)
+        new_fstate = state.filter_state.at[:, 0].set(nstA)
+        new_coeffs = ncA[:, 0]
+        sigA_m = jnp.where(active0[:, None, None], sigA, 0.0)
+        sigB_m = None
+
+    # freeze state on inactive lanes
+    inz = active0
+    new_prev = jnp.where(inz[:, None, None], new_prev, state.prev_mix_volumes)
+    new_fstate = jnp.where(inz[:, None, None, None], new_fstate, state.filter_state)
+    new_coeffs = jnp.where(inz[:, None], new_coeffs, state.filter_coeffs)
+    new_lookahead = jnp.where(inz[:, None, None], new_lookahead, state.lookahead)
+    new_has_frames = jnp.where(inz, new_has_frames, has0)
+
+    # ---- 5. auto-disable at threshold (cpp:464-469) ----
+    thr = db_to_linear(params.threshold_db)
+    new_active = active0 & ~((~new_has_frames) & (peak <= thr))
+    new_active = jnp.where(params.paused, state.active, new_active)
+
+    # ---- 6. bus contraction with server-side volume ramp (L0 behavior) ----
+    # bus[b,c,f,e] = Σ_n sig·(v0·(1−t) + v1·t)
+    v0 = state.srv_prev
+    v1 = state.srv_target
+    busA0 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v0, preferred_element_type=jnp.float32)
+    busA1 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v1, preferred_element_type=jnp.float32)
+    one_t = (1.0 - t)[None, None, :, None]
+    t_e = t[None, None, :, None]
+    bus = busA0 * one_t + busA1 * t_e
+    if mix_channel_enabled:
+        busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0, preferred_element_type=jnp.float32)
+        busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1, preferred_element_type=jnp.float32)
+        bus = bus + busB0 * one_t + busB1 * t_e
+
+    new_state = MixState(
+        cursor_idx=new_cursor_idx,
+        cursor_frac=new_cursor_frac,
+        active=new_active,
+        has_frames=new_has_frames,
+        lookahead=new_lookahead,
+        prev_mix_volumes=new_prev,
+        filter_coeffs=new_coeffs,
+        filter_state=new_fstate,
+        # ramp completed → hold at target (frozen while paused/inactive)
+        srv_prev=jnp.where(
+            active0[:, None, None, None], state.srv_target, state.srv_prev
+        ),
+        srv_target=state.srv_target,
+    )
+    return new_state, bus, peak
