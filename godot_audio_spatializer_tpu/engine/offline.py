@@ -1,0 +1,177 @@
+"""Offline / headless rendering: the full engine step as one jittable
+function, scanned over blocks entirely on device.
+
+This is the TPU-native "serving" path: physics tick (Stage A geometry) and
+audio block (Stage B mix + bus reduction) fuse into a single program; a
+whole scene trajectory renders in one dispatch with `lax.scan` carrying
+MixState.  The streaming AudioEngine (server.py) drives the same kernels
+block-by-block for interactive use; this path exists for throughput
+(benchmarks, offline bakes, batch auralization).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import MAX_CHANNELS_PER_BUS, PLAYBACK_DISABLE_THRESHOLD_DB, SpeakerMode
+from ..ops.geometry import SceneState, SourceParams, calculate_spatialization
+from ..ops.mix import BlockParams, MixState, SampleBank, mix_block
+from ..ops.resample import quantize_pitch
+from .server import bus_graph_reduce
+
+
+@struct.dataclass
+class SlotConfig:
+    """Per-slot playback config that isn't part of Stage A geometry."""
+
+    mix_channel_mode: jnp.ndarray  # [N] bool
+    threshold_db: jnp.ndarray  # [N] f32
+    paused: jnp.ndarray  # [N] bool
+
+
+def default_slot_config(n: int) -> SlotConfig:
+    return SlotConfig(
+        mix_channel_mode=jnp.zeros(n, bool),
+        threshold_db=jnp.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, jnp.float32),
+        paused=jnp.zeros(n, bool),
+    )
+
+
+def engine_step(
+    mix_state: MixState,
+    was_out: jnp.ndarray,
+    scene: SceneState,
+    params: SourceParams,
+    slot_cfg: SlotConfig,
+    bank: SampleBank,
+    *,
+    speaker_mode: SpeakerMode,
+    mix_rate: float,
+    frame_count: int,
+    mix_channel_enabled: bool = False,
+    global_panning_strength: float = 1.0,
+    biquad_method: str = "assoc",
+    sends: Tuple[int, ...] = (-1,),
+    bus_volumes_db: Tuple[float, ...] = (0.0,),
+):
+    """One physics tick + one audio block, sources==slots (1:1).
+
+    Returns (new_mix_state, new_was_out, master [C,F,2], peaks [N]).
+    """
+    num_buses = mix_state.srv_prev.shape[1]
+    result = calculate_spatialization(
+        scene, params, was_out, speaker_mode, global_panning_strength
+    )
+
+    # dense server bus-volume targets (get_bus_map semantics; see
+    # server._tick_update for the per-mode rules)
+    mv = result.mix_volumes
+    onehot = (
+        (result.bus_index[..., None] == jnp.arange(num_buses)[None, None, :])
+        & (result.bus_index[..., None] >= 0)
+    ).astype(jnp.float32)
+    safe_mv = jnp.where(mv[:, None] > 0, mv[:, None], 1.0)
+    ratio = jnp.where(mv[:, None] > 0.0, result.bus_volumes / safe_mv, 0.0)
+    val_a = jnp.broadcast_to(mv[:, None], result.bus_volumes.shape)
+    val = jnp.where(slot_cfg.mix_channel_mode[:, None, None, None], ratio, val_a)
+    dense = jnp.einsum("nsb,nsce->nbce", onehot, val)
+    srv_target = jnp.where(
+        result.update_parameters[:, None, None, None], dense, mix_state.srv_target
+    )
+    mix_state = mix_state.replace(srv_target=srv_target)
+
+    bp = BlockParams(
+        mix_volumes=mv,
+        pitch_fp=quantize_pitch(result.pitch_scale),
+        linear_attenuation=result.linear_attenuation,
+        attenuation_filter_cutoff_hz=result.attenuation_filter_cutoff_hz,
+        mix_channel_mode=slot_cfg.mix_channel_mode,
+        threshold_db=slot_cfg.threshold_db,
+        paused=slot_cfg.paused,
+    )
+    channel_count = {0: 1, 1: 2, 2: 3, 3: 4}[int(speaker_mode)]
+    new_state, bus_in, peaks = mix_block(
+        mix_state,
+        bp,
+        bank,
+        mix_rate=mix_rate,
+        frame_count=frame_count,
+        channel_count=channel_count,
+        mix_channel_enabled=mix_channel_enabled,
+        biquad_method=biquad_method,
+    )
+    master = bus_graph_reduce(
+        bus_in, sends, bus_volumes_db, tuple(() for _ in sends), channel_count
+    )
+    return new_state, result.was_out_of_range, master, peaks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "speaker_mode",
+        "mix_rate",
+        "frame_count",
+        "mix_channel_enabled",
+        "global_panning_strength",
+        "biquad_method",
+        "sends",
+        "bus_volumes_db",
+        "collect_master",
+    ),
+)
+def render_trajectory(
+    mix_state: MixState,
+    was_out: jnp.ndarray,
+    scene0: SceneState,
+    source_pos_seq: jnp.ndarray,  # [K, N, 3] per-block source positions
+    source_vel_seq: jnp.ndarray,  # [K, N, 3]
+    params: SourceParams,
+    slot_cfg: SlotConfig,
+    bank: SampleBank,
+    *,
+    speaker_mode: SpeakerMode,
+    mix_rate: float,
+    frame_count: int,
+    mix_channel_enabled: bool = False,
+    global_panning_strength: float = 1.0,
+    biquad_method: str = "assoc",
+    sends: Tuple[int, ...] = (-1,),
+    bus_volumes_db: Tuple[float, ...] = (0.0,),
+    collect_master: bool = True,
+):
+    """Render K blocks with per-block source motion, one device dispatch.
+
+    scene0 provides listeners/areas and static source fields; the position
+    and velocity trajectories animate sources at block rate.  Returns
+    (final_state, was_out, master [K,C,F,2] or running power if
+    collect_master=False).
+    """
+
+    def step(carry, xs):
+        state, wo = carry
+        pos, vel = xs
+        scene = scene0.replace(source_pos=pos, source_vel=vel)
+        state, wo, master, _ = engine_step(
+            state, wo, scene, params, slot_cfg, bank,
+            speaker_mode=speaker_mode,
+            mix_rate=mix_rate,
+            frame_count=frame_count,
+            mix_channel_enabled=mix_channel_enabled,
+            global_panning_strength=global_panning_strength,
+            biquad_method=biquad_method,
+            sends=sends,
+            bus_volumes_db=bus_volumes_db,
+        )
+        out = master if collect_master else jnp.sum(master * master)
+        return (state, wo), out
+
+    (state, wo), outs = jax.lax.scan(
+        step, (mix_state, was_out), (source_pos_seq, source_vel_seq)
+    )
+    return state, wo, outs

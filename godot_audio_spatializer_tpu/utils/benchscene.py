@@ -1,0 +1,83 @@
+"""Benchmark scene construction (BASELINE.md north-star shape).
+
+Builds headless engine arrays for N moving sources orbiting one listener:
+the standard scenario for throughput measurement and the multi-chip dryrun.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import SpeakerMode
+from ..engine.offline import SlotConfig, default_slot_config
+from ..engine.scene import ListenerDesc, build_scene_state, default_source_params
+from ..ops.mix import SampleBank, make_mix_state
+
+
+def build_bench_scene(
+    n_sources: int,
+    num_blocks: int,
+    frame_count: int,
+    mix_rate: float,
+    *,
+    num_clips: int = 8,
+    clip_seconds: float = 1.0,
+    doppler: bool = True,
+    seed: int = 0,
+):
+    """→ (mix_state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank)."""
+    rng = np.random.default_rng(seed)
+    n = n_sources
+
+    # looping clips in one flat bank
+    clip_len = int(clip_seconds * mix_rate)
+    data = (rng.standard_normal((num_clips * clip_len, 2)) * 0.1).astype(np.float32)
+    base = (np.arange(n) % num_clips).astype(np.int32) * clip_len
+    bank = SampleBank(
+        data=jnp.asarray(data),
+        base=jnp.asarray(base),
+        length=jnp.full(n, clip_len, np.int32),
+        loop=jnp.ones(n, bool),
+    )
+
+    state = make_mix_state(n, num_buses=1, filter_channels=1)
+    state = state.replace(
+        active=jnp.ones(n, bool),
+        has_frames=jnp.ones(n, bool),
+        cursor_idx=jnp.asarray(rng.integers(0, clip_len, n).astype(np.int32)),
+    )
+    was_out = jnp.zeros(n, bool)
+
+    params = default_source_params(n)
+    params = params.replace(doppler_enabled=np.full(n, doppler, bool))
+
+    # orbiting sources: radius 2..40 m, angular speed up to 2 rad/s
+    radius = rng.uniform(2.0, 40.0, n)
+    height = rng.uniform(-3.0, 3.0, n)
+    phase0 = rng.uniform(0, 2 * np.pi, n)
+    omega = rng.uniform(-2.0, 2.0, n)
+    dt = frame_count / mix_rate
+    k = np.arange(num_blocks)[:, None]
+    ang = phase0[None, :] + omega[None, :] * (k * dt)  # [K,N]
+    pos = np.stack(
+        [radius * np.cos(ang), np.broadcast_to(height, ang.shape), radius * np.sin(ang)],
+        axis=-1,
+    ).astype(np.float32)  # [K,N,3]
+    vel = np.stack(
+        [-radius * omega * np.sin(ang), np.zeros_like(ang), radius * omega * np.cos(ang)],
+        axis=-1,
+    ).astype(np.float32)
+
+    scene0 = build_scene_state(pos[0], [ListenerDesc()], [], {"Master": 0})
+    slot_cfg = default_slot_config(n)
+    return (
+        state,
+        was_out,
+        scene0,
+        jnp.asarray(pos),
+        jnp.asarray(vel),
+        params,
+        slot_cfg,
+        bank,
+    )

@@ -1,0 +1,83 @@
+"""Multi-device source sharding on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from godot_audio_spatializer_tpu.constants import SpeakerMode
+from godot_audio_spatializer_tpu.engine.offline import engine_step, render_trajectory
+from godot_audio_spatializer_tpu.parallel import mesh as pm
+from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+import functools
+
+
+def _setup(n_sources=32, num_blocks=3, frame_count=128, mix_rate=48000.0):
+    return build_bench_scene(
+        n_sources, num_blocks, frame_count, mix_rate, num_clips=2, clip_seconds=0.1
+    )
+
+
+def test_sharded_step_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mix_rate, F = 48000.0, 128
+    state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank = _setup()
+    scene = scene0.replace(source_pos=pos_seq[0], source_vel=vel_seq[0])
+
+    step = functools.partial(
+        engine_step,
+        speaker_mode=SpeakerMode.SURROUND_71,
+        mix_rate=mix_rate,
+        frame_count=F,
+    )
+    # single device
+    s1, wo1, master1, peaks1 = jax.jit(step)(
+        state, was_out, scene, params, slot_cfg, bank
+    )
+
+    # sharded over 8 devices
+    mesh = pm.make_source_mesh(jax.devices()[:8])
+    state_s = pm.shard_mix_state(mesh, state)
+    was_out_s = jax.device_put(
+        was_out, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("sources"))
+    )
+    scene_s = pm.shard_scene(mesh, scene)
+    params_s = pm.shard_source_params(mesh, params)
+    slot_s = pm.shard_slot_config(mesh, slot_cfg)
+    bank_s = pm.shard_bank(mesh, bank)
+    s8, wo8, master8, peaks8 = jax.jit(step)(
+        state_s, was_out_s, scene_s, params_s, slot_s, bank_s
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(master1), np.asarray(master8), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(peaks1), np.asarray(peaks8), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s1.cursor_idx), np.asarray(s8.cursor_idx))
+
+
+def test_sharded_trajectory_runs():
+    mix_rate, F = 48000.0, 128
+    state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank = _setup()
+    mesh = pm.make_source_mesh(jax.devices()[:8])
+    state = pm.shard_mix_state(mesh, state)
+    scene0 = pm.shard_scene(mesh, scene0)
+    params = pm.shard_source_params(mesh, params)
+    slot_cfg = pm.shard_slot_config(mesh, slot_cfg)
+    bank = pm.shard_bank(mesh, bank)
+    pos_seq, vel_seq = pm.shard_trajectory(mesh, pos_seq, vel_seq)
+
+    s, wo, masters = render_trajectory(
+        state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank,
+        speaker_mode=SpeakerMode.SURROUND_71, mix_rate=mix_rate, frame_count=F,
+    )
+    masters = np.asarray(masters)
+    assert masters.shape == (3, 4, F, 2)
+    assert np.isfinite(masters).all()
+    assert np.abs(masters).max() > 0
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
