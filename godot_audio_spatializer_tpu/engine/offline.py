@@ -105,8 +105,9 @@ def engine_step(
         mix_channel_enabled=mix_channel_enabled,
         biquad_method=biquad_method,
     )
-    master = bus_graph_reduce(
-        bus_in, sends, bus_volumes_db, tuple(() for _ in sends), channel_count
+    empty = tuple(() for _ in sends)
+    master, _ = bus_graph_reduce(
+        bus_in, sends, bus_volumes_db, empty, empty, channel_count
     )
     return new_state, result.was_out_of_range, master, peaks
 

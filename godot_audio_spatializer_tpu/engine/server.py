@@ -82,6 +82,7 @@ def _tick_update(
     mix_channel_mode,  # [N] bool
     threshold_db,  # [N] f32
     paused,  # [N] bool
+    use_chain,  # [N] bool
     num_buses: int,
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
@@ -116,7 +117,15 @@ def _tick_update(
     pm1 = pm[:, None]
     pm2 = pm[:, None, None]
     pm3 = pm[:, None, None, None]
+
+    def _reset_lane(leaf):
+        # fresh AudioEffectInstances per playback: zero chain-state lanes
+        shape = (pm.shape[0],) + (1,) * (leaf.ndim - 1)
+        return jnp.where(pm.reshape(shape), jnp.zeros_like(leaf), leaf)
+
+    new_chain_state = jax.tree.map(_reset_lane, state.chain_state)
     new_state = MixState(
+        chain_state=new_chain_state,
         cursor_idx=jnp.where(pm, play_cursor, state.cursor_idx),
         cursor_frac=jnp.where(pm, 0, state.cursor_frac),
         active=active | pm,
@@ -136,6 +145,7 @@ def _tick_update(
         mix_channel_mode=mix_channel_mode,
         threshold_db=threshold_db,
         paused=paused,
+        use_chain=use_chain,
     )
     return new_state, block_params
 
@@ -151,6 +161,7 @@ class AudioEngine:
         global_panning_strength: float = 1.0,
         biquad_method: str = "assoc",
         physics_rate: float = 60.0,
+        source_effects: Sequence = (),
     ):
         self.mix_rate = float(mix_rate)
         self.block_size = int(block_size)
@@ -167,9 +178,12 @@ class AudioEngine:
         self.areas: List[AreaDesc] = []
         self.players: List[AudioStreamPlayerSpatial] = []
 
+        self.source_effects = tuple(source_effects)
         n = self.max_sources
         filt_ch = self.channel_count if mix_channel_enabled else 1
-        self.mix_state: MixState = make_mix_state(n, self.num_buses, filt_ch)
+        self.mix_state: MixState = make_mix_state(
+            n, self.num_buses, filt_ch, chain_effects=self.source_effects
+        )
         self._block_params: Optional[BlockParams] = None
 
         # slot bookkeeping (host)
@@ -180,6 +194,7 @@ class AudioEngine:
         self._slot_bank_loop = np.zeros(n, bool)
         self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
         self._slot_mode = np.zeros(n, bool)
+        self._slot_use_chain = np.zeros(n, bool)
 
         # sample bank (host mirror + lazy device copy)
         self._clips: Dict[int, Tuple[int, int]] = {}  # stream_id -> (base, len)
@@ -221,6 +236,14 @@ class AudioEngine:
         bus = self.buses[self.bus_index(bus_name)]
         effect.reset(self.channel_count, self.block_size, self.mix_rate)
         bus.effects.append(effect)
+        self._bus_fx_states = None  # rebuild lazily
+
+    def _bus_effect_states(self):
+        if getattr(self, "_bus_fx_states", None) is None:
+            self._bus_fx_states = tuple(
+                tuple(e.init_state() for e in b.effects) for b in self.buses
+            )
+        return self._bus_fx_states
 
     # ------------------------------------------------------------ sample bank
     def register_stream(self, stream: AudioStream) -> Tuple[int, int]:
@@ -393,6 +416,11 @@ class AudioEngine:
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
                 )
+                from ..models.spatializer_effect import AudioSpatializerEffect
+
+                self._slot_use_chain[s] = isinstance(
+                    pl.spatializer_base, AudioSpatializerEffect
+                )
                 play_mask[s] = True
                 play_cursor[s] = int(from_pos * self.mix_rate)
                 pl.slots.append(s)
@@ -419,6 +447,7 @@ class AudioEngine:
             jnp.asarray(self._slot_mode),
             jnp.asarray(self._slot_threshold_db),
             jnp.asarray(paused),
+            jnp.asarray(self._slot_use_chain),
             num_buses=self.num_buses,
         )
 
@@ -446,6 +475,7 @@ class AudioEngine:
             mix_channel_mode=jnp.zeros(n, bool),
             threshold_db=jnp.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, jnp.float32),
             paused=jnp.zeros(n, bool),
+            use_chain=jnp.zeros(n, bool),
         )
 
     def render_block(self) -> np.ndarray:
@@ -465,10 +495,11 @@ class AudioEngine:
         )
         vols = tuple(b.volume_db for b in self.buses)
         effects = tuple(tuple(b.effects) for b in self.buses)
-        return _render_jit(
+        new_state, master, peaks, fx_states = _render_jit(
             state,
             bp,
             bank,
+            self._bus_effect_states(),
             mix_rate=self.mix_rate,
             frame_count=self.block_size,
             channel_count=self.channel_count,
@@ -477,7 +508,10 @@ class AudioEngine:
             sends=sends,
             bus_volumes_db=vols,
             effects=effects,
+            chain=self.source_effects,
         )
+        self._bus_fx_states = fx_states
+        return new_state, master, peaks
 
     def get_slot_position_seconds(self, slot: int) -> float:
         idx = int(np.asarray(self.mix_state.cursor_idx[slot]))
@@ -498,25 +532,24 @@ def _stage_a_jit(scene, params, was_out, *, speaker_mode, global_panning_strengt
     )
 
 
-def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, channel_count):
+def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states, channel_count):
     """Apply per-bus effect chains, faders, and send reduction → master.
 
     bus_in: [B,4,F,2].  Processing order newest→Master so sends flow
-    downstream (L0 AudioServer behavior, README.md:96-100)."""
+    downstream (L0 AudioServer behavior, README.md:96-100).
+    Returns (master [C,F,2], new_fx_states)."""
     B = bus_in.shape[0]
     bufs = [bus_in[b] for b in range(B)]
-    for b in range(B - 1, 0, -1):
+    new_states = [list(s) for s in fx_states]
+    for b in list(range(B - 1, 0, -1)) + [0]:
         buf = bufs[b]
-        for eff in effects[b]:
-            buf = eff.process(buf)
+        for i, eff in enumerate(effects[b]):
+            new_states[b][i], buf = eff.process(fx_states[b][i], buf)
         buf = buf * db_to_linear(bus_volumes_db[b])
-        if sends[b] >= 0:
+        bufs[b] = buf
+        if b != 0 and sends[b] >= 0:
             bufs[sends[b]] = bufs[sends[b]] + buf
-    master = bufs[0]
-    for eff in effects[0]:
-        master = eff.process(master)
-    master = master * db_to_linear(bus_volumes_db[0])
-    return master[:channel_count]
+    return bufs[0][:channel_count], tuple(tuple(s) for s in new_states)
 
 
 @functools.partial(
@@ -530,12 +563,14 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, channel_count):
         "sends",
         "bus_volumes_db",
         "effects",
+        "chain",
     ),
 )
 def _render_jit(
     state,
     bp,
     bank,
+    fx_states,
     *,
     mix_rate,
     frame_count,
@@ -545,6 +580,7 @@ def _render_jit(
     sends,
     bus_volumes_db,
     effects,
+    chain,
 ):
     new_state, bus_in, peaks = mix_block(
         state,
@@ -555,6 +591,9 @@ def _render_jit(
         channel_count=channel_count,
         mix_channel_enabled=mix_channel_enabled,
         biquad_method=biquad_method,
+        chain=chain,
     )
-    master = bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, channel_count)
-    return new_state, master, peaks
+    master, new_fx = bus_graph_reduce(
+        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count
+    )
+    return new_state, master, peaks, new_fx

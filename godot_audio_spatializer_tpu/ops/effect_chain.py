@@ -1,0 +1,53 @@
+"""Per-source batched effect chains.
+
+TPU-native counterpart of `AudioSpatializerInstanceEffect::process_frames`
+(reference audio_spatializer_effect.cpp:33-88): the reference instantiates
+one `AudioEffectInstance` per effect per playback and ping-pongs scalar
+buffers through them; here every effect processes all N sources at once
+and its per-playback state is a pytree with a leading N axis, carried in
+MixState.chain_state.
+
+The batched contract (SURVEY.md §7 "extension hooks"): one chain
+*structure* per engine (a static tuple of effect configs); per-source
+variation flows through EffectCtx fields (the `_process_effects` pattern —
+reference audio_spatializer_effect.cpp:90-92 — where a script retunes
+effect parameters from spatializer parameters each block).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class EffectCtx:
+    """Per-block context every effect can read (parameter modulation)."""
+
+    mix_rate: float = struct.field(pytree_node=False, default=44100.0)
+    frame_count: int = struct.field(pytree_node=False, default=512)
+    linear_attenuation: Any = None  # [N]
+    attenuation_filter_cutoff_hz: Any = None  # [N]
+    mix_volumes: Any = None  # [N,4,2]
+
+
+def chain_init_state(effects: Sequence, n: int) -> Tuple:
+    """Zero state for each effect — valid both at engine start and as the
+    play()-reset value (fresh AudioEffectInstances per playback, reference
+    audio_spatializer_effect.cpp:79-88)."""
+    return tuple(e.init_state(n) for e in effects)
+
+
+def chain_process(effects: Sequence, states: Tuple, x, ctx: EffectCtx):
+    """Run x [N,F,2] through the chain; returns (new_states, y).
+
+    Zero effects → passthrough (reference audio_spatializer_effect.cpp:41-46).
+    """
+    new_states = []
+    for e, s in zip(effects, states):
+        s, x = e.process(s, x, ctx)
+        new_states.append(s)
+    return tuple(new_states), x

@@ -66,10 +66,19 @@ class MixState:
     filter_state: jnp.ndarray  # [N, C, 2, 4] f32 — (x1,x2,y1,y2)
     srv_prev: jnp.ndarray  # [N, B, 4, 2] f32 — server ramp "from"
     srv_target: jnp.ndarray  # [N, B, 4, 2] f32 — server ramp "to"
+    # per-source effect-chain state (AudioSpatializerEffect family,
+    # reference audio_spatializer_effect.cpp:79-88): tuple of per-effect
+    # pytrees, every leaf with leading N.  Empty tuple = no chain.
+    chain_state: tuple = ()
 
 
-def make_mix_state(n: int, num_buses: int, filter_channels: int = 1) -> MixState:
+def make_mix_state(
+    n: int, num_buses: int, filter_channels: int = 1, chain_effects=()
+) -> MixState:
+    from .effect_chain import chain_init_state
+
     return MixState(
+        chain_state=chain_init_state(chain_effects, n),
         cursor_idx=jnp.zeros(n, jnp.int32),
         cursor_frac=jnp.zeros(n, jnp.int32),
         active=jnp.zeros(n, bool),
@@ -95,6 +104,11 @@ class BlockParams:
     mix_channel_mode: jnp.ndarray  # [N] bool
     threshold_db: jnp.ndarray  # [N] f32 playback_disable_threshold_db
     paused: jnp.ndarray  # [N] bool — AudioServer set_playback_paused
+    # sources routed through the per-source effect chain instead of the
+    # built-in 3D highshelf (AudioSpatializerEffect family).  None → all
+    # sources use the built-in path (kept optional so existing callers and
+    # cached pytree structures stay valid).
+    use_chain: Optional[jnp.ndarray] = None  # [N] bool
 
 
 def _end_fade_factor(mixed, frame_count: int):
@@ -119,6 +133,7 @@ def mix_block(
     channel_count: int,
     mix_channel_enabled: bool = False,
     biquad_method: str = "assoc",
+    chain: tuple = (),
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
 
@@ -160,8 +175,13 @@ def mix_block(
     new_has_frames = has0 & full
 
     # ---- 3. highshelf config (shared by both modes) ----
+    use_chain = (
+        params.use_chain
+        if (chain and params.use_chain is not None)
+        else jnp.zeros(N, bool)
+    )
     gain = params.linear_attenuation
-    apply_f = gain >= HIGHSHELF_GAIN_EPSILON
+    apply_f = (gain >= HIGHSHELF_GAIN_EPSILON) & ~use_chain
     target = highshelf_coeffs(mix_rate, params.attenuation_filter_cutoff_hz, gain)
 
     t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))  # [F] ramp
@@ -181,6 +201,25 @@ def mix_block(
         method=biquad_method,
     )
     sigA = jnp.moveaxis(yA, 2, 1)  # [N,F,2]
+
+    # ---- 4a'. per-source effect chain (AudioSpatializerEffect family) ----
+    if chain:
+        from .effect_chain import EffectCtx, chain_process
+
+        ctx = EffectCtx(
+            mix_rate=mix_rate,
+            frame_count=F,
+            linear_attenuation=params.linear_attenuation,
+            attenuation_filter_cutoff_hz=params.attenuation_filter_cutoff_hz,
+            mix_volumes=params.mix_volumes,
+        )
+        new_chain_state, sig_chain = chain_process(
+            chain, state.chain_state, combined, ctx
+        )
+        sigA = jnp.where(use_chain[:, None, None], sig_chain, sigA)
+    else:
+        new_chain_state = state.chain_state
+
     peakA = jnp.abs(sigA).max(axis=(1, 2))
     # prev volume := loudest channel's volume (cpp:537-551)
     flat = params.mix_volumes.reshape(N, -1)  # (c,e) order
@@ -280,6 +319,7 @@ def mix_block(
         prev_mix_volumes=new_prev,
         filter_coeffs=new_coeffs,
         filter_state=new_fstate,
+        chain_state=new_chain_state,
         # ramp completed → hold at target (frozen while paused/inactive)
         srv_prev=jnp.where(
             active0[:, None, None, None], state.srv_target, state.srv_prev

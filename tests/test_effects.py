@@ -1,0 +1,233 @@
+"""Effect-chain subsystem tests (reference component #22 family).
+
+Covers BASELINE config 3: per-source lowpass occlusion + reverb send with
+persistent per-playback state across buffers; plus chain parity for
+amplify/delay, the `_process_effects`-style parameter binding, and bus
+effect (FDN reverb) state-continuity properties.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from godot_audio_spatializer_tpu.constants import SpeakerMode
+from godot_audio_spatializer_tpu.engine.scene import AreaDesc, ListenerDesc
+from godot_audio_spatializer_tpu.engine.server import AudioEngine
+from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+from godot_audio_spatializer_tpu.engine.player import AudioStreamPlayerSpatial
+from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
+from godot_audio_spatializer_tpu.models.spatializer_effect import AudioSpatializerEffect
+from godot_audio_spatializer_tpu.models import effects as fx
+from godot_audio_spatializer_tpu.ops.filters import FilterMode
+from godot_audio_spatializer_tpu.ops.effect_chain import EffectCtx
+from godot_audio_spatializer_tpu.golden import reference as g
+from godot_audio_spatializer_tpu.golden import effects as gfx
+
+MIX_RATE = 44100.0
+F = 512
+DB80 = 1e-4
+
+
+def _golden_chain_pipeline(data, positions, gcfg, geffects, areas, buses, n_blocks):
+    server = g.GoldenAudioServer(SpeakerMode.STEREO, MIX_RATE, F)
+    for b in buses:
+        server.add_bus(b)
+    inst = g.GoldenSpatializerInstance(
+        gcfg, SpeakerMode.STEREO, MIX_RATE,
+        process_frames_hook=gfx.make_chain_hook(geffects, MIX_RATE),
+        should_process_frames=True,
+        should_mix_channels=False,
+        instantiate_playback_data=lambda: gfx.GoldenChainPlaybackData(geffects),
+    )
+    listeners = [g.Listener()]
+    was_out = False
+    outputs = []
+    started = False
+    for b in range(n_blocks):
+        t = g.Transform3D.looking(np.asarray(positions[b], np.float64))
+        params, was_out = g.calculate_spatialization(
+            gcfg, t, np.zeros(3), 0.0, 3.0, 1.0, "Master",
+            listeners, areas, SpeakerMode.STEREO, was_out,
+        )
+        inst.set_spatializer_parameters(params)
+        if not started:
+            inst.start_playback_stream(g.BufferStream(data))
+            server.start_playback_stream(inst, 0, g.get_bus_map(params, 0, False))
+            started = True
+        elif params.update_parameters:
+            server.set_playback_bus_volumes_linear(
+                inst, 0, g.get_bus_map(params, 0, False)
+            )
+        outputs.append(server.mix_block())
+    return np.concatenate(outputs, axis=1)
+
+
+def _engine_chain_pipeline(data, positions, spat, chain, areas, buses, n_blocks):
+    eng = AudioEngine(
+        mix_rate=MIX_RATE, block_size=F, speaker_mode=SpeakerMode.STEREO,
+        max_sources=4, source_effects=chain,
+    )
+    for b in buses:
+        eng.add_bus(b)
+    eng.add_listener(ListenerDesc())
+    for a in areas:
+        eng.add_area(a)
+    player = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(data, sample_rate=MIX_RATE), spatializer=spat
+    )
+    outputs = []
+    for b in range(n_blocks):
+        player.set_position(np.asarray(positions[b], np.float64))
+        if b == 0:
+            player.play()
+        eng.physics_step()
+        outputs.append(eng.render_block())
+    return np.concatenate(outputs, axis=1)
+
+
+def _compare_chain(data, positions, gcfg, geffects, chain, g_areas, e_areas,
+                   buses, n_blocks=8):
+    spat = AudioSpatializerEffect(
+        audio_effects=list(chain),
+        geometry=AudioSpatializer3D(
+            attenuation_model=gcfg.attenuation_model,
+            unit_size=gcfg.unit_size,
+            max_distance=gcfg.max_distance,
+            attenuation_filter_cutoff_hz=gcfg.attenuation_filter_cutoff_hz,
+            attenuation_filter_db=gcfg.attenuation_filter_db,
+        ),
+    )
+    ref = _golden_chain_pipeline(data, positions, gcfg, geffects, g_areas, buses, n_blocks)
+    got = _engine_chain_pipeline(data, positions, spat, chain, e_areas, buses, n_blocks)
+    err = np.abs(got[: ref.shape[0]] - ref).max()
+    peak = np.abs(ref).max()
+    assert peak > 1e-3, "golden silent"
+    assert err <= DB80 * max(peak, 1.0), f"max deviation {err} vs peak {peak}"
+
+
+def test_config3_lowpass_occlusion_with_reverb_send():
+    rng = np.random.default_rng(21)
+    data = (rng.standard_normal(int(1.0 * MIX_RATE)) * 0.3).astype(np.float32)
+    positions = [np.array([x, 0.0, -2.0]) for x in np.linspace(-4, 4, 8)]
+    chain = (fx.AudioEffectFilter(FilterMode.LOWPASS, cutoff_hz=1200.0, resonance=0.9),)
+    geffects = [gfx.GoldenFilterEffect("lowpass", cutoff_hz=1200.0, resonance=0.9)]
+    g_areas = [g.AreaBox(np.zeros(3), np.full(3, 50.0), 1, None, "Reverb", 0.6, 0.4)]
+    e_areas = [AreaDesc(np.zeros(3), np.full(3, 50.0), 1, None, "Reverb", 0.6, 0.4)]
+    gcfg = g.Spatializer3DConfigG()
+    _compare_chain(data, positions, gcfg, geffects, chain, g_areas, e_areas,
+                   buses=["Reverb"])
+
+
+def test_chain_amplify_and_delay_state_across_blocks():
+    rng = np.random.default_rng(22)
+    data = (rng.standard_normal(int(1.0 * MIX_RATE)) * 0.3).astype(np.float32)
+    positions = [np.array([1.0, 0.0, -1.0])] * 8
+    chain = (
+        fx.AudioEffectAmplify(volume_db=-6.0),
+        fx.AudioEffectDelay(delay_frames=F * 2, feedback=0.4, wet=0.6, dry=0.8),
+    )
+    geffects = [
+        gfx.GoldenAmplify(volume_db=-6.0),
+        gfx.GoldenDelay(delay_frames=F * 2, feedback=0.4, wet=0.6, dry=0.8),
+    ]
+    gcfg = g.Spatializer3DConfigG()
+    _compare_chain(data, positions, gcfg, geffects, chain, [], [], buses=[])
+
+
+def test_process_effects_binding_highshelf():
+    """_process_effects pattern: highshelf gain driven by the per-block
+    linear_attenuation parameter (example gd_spatializer_instance.gd:131-133)."""
+    rng = np.random.default_rng(23)
+    data = (rng.standard_normal(int(1.0 * MIX_RATE)) * 0.3).astype(np.float32)
+    positions = [np.array([0.0, 0.0, z]) for z in np.linspace(-25, -5, 8)]
+    chain = (
+        fx.AudioEffectFilter(
+            FilterMode.HIGHSHELF,
+            gain_binding="linear_attenuation",
+            cutoff_binding="attenuation_filter_cutoff_hz",
+            bypass_below_gain=True,
+        ),
+    )
+    geffects = [
+        gfx.GoldenFilterEffect(
+            "highshelf",
+            gain_binding="linear_attenuation",
+            cutoff_binding="attenuation_filter_cutoff_hz",
+            bypass_below_gain=True,
+        )
+    ]
+    gcfg = g.Spatializer3DConfigG(max_distance=40.0)
+    _compare_chain(data, positions, gcfg, geffects, chain, [], [], buses=[])
+
+
+def test_filter_modes_match_golden_impulse():
+    """Each filter mode: batched vs golden impulse response."""
+    from godot_audio_spatializer_tpu.ops.biquad import biquad_interp_block
+    from godot_audio_spatializer_tpu.ops.filters import filter_coeffs
+
+    n, frames = 3, 256
+    x = np.zeros((n, 2, frames), np.float32)
+    x[:, :, 0] = 1.0
+    for mode in FilterMode:
+        target = filter_coeffs(
+            mode, MIX_RATE, jnp.full((n, 2), 3000.0), jnp.full((n, 2), 0.5), 0.9
+        )
+        y, _, _ = biquad_interp_block(
+            jnp.asarray(x),
+            jnp.zeros((n, 2, 5)),
+            target,
+            jnp.zeros((n, 2, 4)),
+            jnp.ones((n, 2), bool),
+        )
+        # golden
+        proc = gfx.FilterProcessor()
+        tg = gfx.rbj_coeffs(gfx.MODE_NAMES[int(mode)], MIX_RATE, 3000.0, 0.5, 0.9)
+        proc.update_coeffs(tg, frames)
+        ref = np.array(
+            [proc.process_one_interp(np.float32(1.0 if i == 0 else 0.0))
+             for i in range(frames)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(y)[0, 0], ref, atol=1e-5,
+            err_msg=f"mode {mode.name}",
+        )
+
+
+def test_bus_reverb_stability_and_state_continuity():
+    """FDN reverb: bounded output, nonzero tail, block-size invariance."""
+    rv = fx.BusEffectReverb(room_size=0.9, damping=0.4, wet=1.0, dry=0.0)
+    rv.reset(1, F, MIX_RATE)
+    state = rv.init_state()
+    rng = np.random.default_rng(3)
+    n_blocks = 40
+    burst = jnp.asarray(
+        np.concatenate(
+            [rng.standard_normal((4, F, 2)).astype(np.float32) * 0.5,
+             np.zeros((4, (n_blocks - 1) * F, 2), np.float32)],
+            axis=1,
+        )
+    )
+    outs = []
+    for i in range(n_blocks):
+        state, y = rv.process(state, burst[:, i * F : (i + 1) * F])
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, axis=1)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() < 10.0, "reverb unstable"
+    early = float((out[:, 8 * F : 16 * F] ** 2).mean())
+    late = float((out[:, 32 * F :] ** 2).mean())
+    assert early > 1e-10, "reverb has no tail"
+    assert late < early, "reverb energy must decay over time"
+
+
+def test_bus_filter_effect_runs():
+    bf = fx.BusEffectFilter(FilterMode.LOWPASS, cutoff_hz=800.0)
+    bf.reset(1, F, MIX_RATE)
+    state = bf.init_state()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, F, 2)).astype(np.float32))
+    state, y = bf.process(state, x)
+    y = np.asarray(y)
+    assert np.isfinite(y).all()
+    # lowpass attenuates: output energy below input energy for white noise
+    assert (y**2).sum() < (np.asarray(x) ** 2).sum()
