@@ -1,0 +1,181 @@
+"""Ambisonic spatializer: massive scenes via SH-field mixing
+(BASELINE config 5: 4096 sources, 3rd-order encode + binaural decode).
+
+Per block:  geometry → per-source gain/pitch → resample gather →
+SH encode-mix (one [N,F]×[N,K] matmul) → K-channel SH field →
+SH-domain binaural filters (overlap-save, cost independent of N).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.ambisonic import (
+    ambisonic_encode_mix,
+    design_binaural_decoder,
+    fibonacci_sphere,
+    sh_channels,
+    sh_encode,
+)
+from ..ops.attenuation import attenuation_db
+from ..ops.geometry import SceneState, SourceParams
+from ..ops.hrtf import fft_size_for
+from ..ops.mix import SampleBank
+from ..ops.resample import quantize_pitch, resample_block
+from ..utils.dsp import db_to_linear, safe_normalize
+from .hrtf import HrtfDatabase
+
+
+class AmbisonicDecoder:
+    """SH → binaural decoder built from an HRIR database."""
+
+    def __init__(self, db: HrtfDatabase, order: int = 3, n_virtual: int = 32):
+        self.order = order
+        self.taps = db.taps
+        dirs = fibonacci_sphere(n_virtual)
+        # pick nearest HRIR for each virtual speaker direction
+        az = np.arctan2(dirs[:, 0], -dirs[:, 2])
+        el = np.arcsin(np.clip(dirs[:, 1], -1, 1))
+        idx = np.asarray(
+            db.nearest_index(jnp.asarray(az, jnp.float32), jnp.asarray(el, jnp.float32))
+        )
+        hrirs = db.hrirs[idx]  # [V,2,taps]
+        self.sh_filters = design_binaural_decoder(hrirs, dirs, order)  # [K,2,taps]
+        self._fft_cache = {}
+
+    def spectra(self, frame_count: int):
+        if frame_count not in self._fft_cache:
+            M = fft_size_for(frame_count, self.taps)
+            self._fft_cache[frame_count] = jnp.asarray(
+                np.fft.rfft(self.sh_filters, n=M, axis=-1).astype(np.complex64)
+            )
+        return self._fft_cache[frame_count]
+
+
+@struct.dataclass
+class AmbisonicState:
+    cursor_idx: jnp.ndarray  # [N] i32
+    cursor_frac: jnp.ndarray  # [N] i32
+    prev_gain: jnp.ndarray  # [N] f32
+    active: jnp.ndarray  # [N] bool
+    sh_tail: jnp.ndarray  # [K, taps-1] decode conv history
+
+
+def make_ambisonic_state(n: int, order: int, taps: int) -> AmbisonicState:
+    return AmbisonicState(
+        cursor_idx=jnp.zeros(n, jnp.int32),
+        cursor_frac=jnp.zeros(n, jnp.int32),
+        prev_gain=jnp.zeros(n, jnp.float32),
+        active=jnp.ones(n, bool),
+        sh_tail=jnp.zeros((sh_channels(order), taps - 1), jnp.float32),
+    )
+
+
+def ambisonic_engine_step(
+    state: AmbisonicState,
+    scene: SceneState,
+    params: SourceParams,
+    bank: SampleBank,
+    decoder_fft,  # [K,2,M/2+1]
+    *,
+    order: int,
+    taps: int,
+    frame_count: int,
+):
+    """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
+    F = frame_count
+    rot = scene.listener_rot[0]
+    diff = scene.source_pos - scene.listener_origin[0][None, :]
+    local = jnp.einsum("ij,ni->nj", rot, diff)
+    dist = jnp.linalg.norm(local, axis=-1)
+    dirs = safe_normalize(local)
+    weights = sh_encode(dirs, order)  # [N,K]
+
+    gain = db_to_linear(
+        attenuation_db(
+            dist, params.attenuation_model, params.unit_size,
+            params.volume_db, params.max_db,
+        )
+    )
+    has_max = params.max_distance > 0
+    gain = jnp.where(
+        has_max,
+        gain * jnp.maximum(0.0, 1.0 - dist / jnp.where(has_max, params.max_distance, 1.0)),
+        gain,
+    )
+    gain = jnp.where(state.active, gain, 0.0)
+
+    # doppler
+    rel_vel = scene.source_vel - scene.listener_vel[0][None, :]
+    lv = jnp.einsum("ij,ni->nj", rot, rel_vel)
+    lv_n = jnp.linalg.norm(lv, axis=-1)
+    appr = jnp.einsum("ni,ni->n", dirs, safe_normalize(lv))
+    pitch = params.pitch_scale * params.doppler_speed_of_sound / (
+        params.doppler_speed_of_sound + lv_n * appr
+    )
+    pitch = jnp.where(
+        params.doppler_enabled, jnp.clip(pitch, 1.0 / 8.0, 8.0), params.pitch_scale
+    )
+
+    frames, mixed, nidx, nfrac = resample_block(
+        bank.data, bank.base, bank.length, bank.loop,
+        state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), F,
+    )
+    mono = frames.mean(axis=2)  # [N,F]
+    t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
+    g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
+    mono = mono * g
+
+    sh = ambisonic_encode_mix(mono, weights)  # [K,F]
+
+    # SH-domain binaural decode (overlap-save over K channels)
+    M = fft_size_for(F, taps)
+    seg = jnp.concatenate([state.sh_tail, sh], axis=1)
+    X = jnp.fft.rfft(seg, n=M, axis=1)  # [K, M/2+1]
+    Y = (X[:, None, :] * decoder_fft).sum(axis=0)  # [2, M/2+1]
+    y = jnp.fft.irfft(Y, n=M, axis=1)[:, taps - 1 : taps - 1 + F]  # [2,F]
+
+    new_state = AmbisonicState(
+        cursor_idx=jnp.where(state.active, nidx, state.cursor_idx),
+        cursor_frac=jnp.where(state.active, nfrac, state.cursor_frac),
+        prev_gain=gain,
+        active=state.active,
+        sh_tail=seg[:, -(taps - 1) :],
+    )
+    return new_state, jnp.moveaxis(y, 0, 1), sh
+
+
+@functools.partial(jax.jit, static_argnames=("order", "taps", "frame_count", "collect"))
+def render_ambisonic_trajectory(
+    state: AmbisonicState,
+    scene0: SceneState,
+    pos_seq,
+    vel_seq,
+    params: SourceParams,
+    bank: SampleBank,
+    decoder_fft,
+    *,
+    order: int,
+    taps: int,
+    frame_count: int,
+    collect: bool = True,
+):
+    def step(carry, xs):
+        st = carry
+        pos, vel = xs
+        scene = scene0.replace(source_pos=pos, source_vel=vel)
+        st, out, _ = ambisonic_engine_step(
+            st, scene, params, bank, decoder_fft,
+            order=order, taps=taps, frame_count=frame_count,
+        )
+        return st, (out if collect else jnp.sum(out * out))
+
+    state, outs = jax.lax.scan(step, state, (pos_seq, vel_seq))
+    return state, outs

@@ -1,0 +1,268 @@
+"""HRTF binaural spatializer model (BASELINE config 4).
+
+Ships a parametric KEMAR-style HRIR synthesizer (spherical-head ITD +
+head-shadow lowpass + elevation pinna notch, 128 taps) so the renderer is
+self-contained in a zero-egress environment; measured sets (KEMAR, SOFA
+dumps, …) load through `HrtfDatabase.from_array` with the same layout
+[D, 2, taps] + direction table.
+
+The full pipeline step:  Stage A listener-local geometry → per-source
+attenuation + doppler pitch → resample gather → overlap-save HRIR
+convolution with rotation crossfade → binaural sum.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..constants import CMP_EPSILON
+from ..ops.geometry import SceneState, SourceParams
+from ..ops.attenuation import attenuation_db
+from ..ops.hrtf import (
+    HrtfState,
+    direction_to_azel,
+    fft_size_for,
+    make_hrtf_state,
+    render_hrtf_block,
+)
+from ..ops.mix import SampleBank
+from ..ops.resample import quantize_pitch, resample_block
+from ..utils.dsp import db_to_linear
+
+
+class HrtfDatabase:
+    """HRIR set on a regular azimuth × elevation grid."""
+
+    def __init__(self, hrirs: np.ndarray, azimuths: np.ndarray, elevations: np.ndarray,
+                 sample_rate: float):
+        # hrirs: [n_el, n_az, 2, taps]
+        self.n_el, self.n_az, _, self.taps = hrirs.shape
+        self.hrirs = hrirs.reshape(self.n_el * self.n_az, 2, self.taps)
+        self.azimuths = azimuths
+        self.elevations = elevations
+        self.sample_rate = sample_rate
+        self._fft_cache = {}
+
+    @staticmethod
+    def from_array(hrirs: np.ndarray, azimuths, elevations, sample_rate: float):
+        return HrtfDatabase(
+            np.asarray(hrirs, np.float32), np.asarray(azimuths),
+            np.asarray(elevations), sample_rate,
+        )
+
+    @staticmethod
+    def synthetic_kemar(
+        sample_rate: float = 48000.0,
+        taps: int = 128,
+        n_az: int = 72,
+        n_el: int = 14,
+        head_radius: float = 0.0875,
+        speed_of_sound: float = 343.0,
+    ) -> "HrtfDatabase":
+        """Parametric spherical-head HRIR grid.
+
+        Per (az, el, ear): Woodworth ITD fractional delay (windowed sinc),
+        head-shadow lowpass on the contralateral ear, mild elevation-
+        dependent pinna notch."""
+        azimuths = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+        elevations = np.linspace(-np.pi / 4, np.pi / 2, n_el)
+        hrirs = np.zeros((n_el, n_az, 2, taps), np.float32)
+        t = np.arange(taps)
+        base_delay = 8.0  # samples of safety margin before the impulse
+
+        def frac_delay(delay, width=24.0):
+            # windowed-sinc fractional delay: Hann window centered on the
+            # impulse (a full-range window would crush early arrivals)
+            w = 0.5 + 0.5 * np.cos(np.pi * np.clip((t - delay) / width, -1, 1))
+            w[np.abs(t - delay) >= width] = 0.0
+            return np.sinc(t - delay) * w
+
+        for ei, el in enumerate(elevations):
+            for ai, az in enumerate(azimuths):
+                # Woodworth ITD per ear: sound from azimuth az (0=front,
+                # +right).  Ear angle from source direction:
+                for ear, sign in ((0, -1.0), (1, +1.0)):  # L, R
+                    # angle between source dir and ear axis
+                    inc = az * sign  # +az favors the right ear
+                    # delay: near ear leads; far ear lags by a/c(θ+sinθ)
+                    theta = np.clip(np.pi / 2 - inc, 0.0, np.pi)
+                    extra = (head_radius / speed_of_sound) * (
+                        (theta - np.pi / 2) + np.sin(np.clip(theta - np.pi / 2, -np.pi / 2, np.pi / 2))
+                    )
+                    delay = base_delay + max(0.0, extra) * sample_rate
+                    h = frac_delay(delay)
+                    # head-shadow: contralateral lowpass (one-pole FIR approx)
+                    shadow = np.clip(-np.sin(inc), 0.0, 1.0)  # 0 ipsi → 1 contra
+                    if shadow > 0:
+                        k = int(1 + round(6 * shadow))
+                        kernel = np.hanning(2 * k + 1)
+                        kernel /= kernel.sum()
+                        h = np.convolve(h, kernel, mode="same")
+                        h *= db_to_linear_np(-6.0 * shadow)
+                    # elevation pinna notch: subtract a delayed echo whose
+                    # lag tracks elevation (crude pinna model)
+                    lag = 2.0 + 4.0 * (1.0 - (el + np.pi / 4) / (3 * np.pi / 4))
+                    h = h - 0.35 * np.cos(el) * frac_delay(delay + lag)
+                    hrirs[ei, ai, ear] = h.astype(np.float32)
+        # normalize set so the loudest HRIR has unit L2
+        norm = np.sqrt((hrirs**2).sum(axis=-1)).max()
+        hrirs /= norm
+        return HrtfDatabase(hrirs, azimuths, elevations, sample_rate)
+
+    def spectra(self, frame_count: int) -> jnp.ndarray:
+        """rfft of every HRIR at the overlap-save FFT size → [D,2,M/2+1]."""
+        key = frame_count
+        if key not in self._fft_cache:
+            M = fft_size_for(frame_count, self.taps)
+            self._fft_cache[key] = jnp.asarray(
+                np.fft.rfft(self.hrirs, n=M, axis=-1).astype(np.complex64)
+            )
+        return self._fft_cache[key]
+
+    def nearest_index(self, az, el):
+        """Nearest grid HRIR for (az, el) radians — jit-safe."""
+        az_step = 2 * math.pi / self.n_az
+        ai = jnp.mod(jnp.round((az + math.pi) / az_step).astype(jnp.int32), self.n_az)
+        el0 = float(self.elevations[0])
+        el_step = float(self.elevations[1] - self.elevations[0])
+        ei = jnp.clip(
+            jnp.round((el - el0) / el_step).astype(jnp.int32), 0, self.n_el - 1
+        )
+        return ei * self.n_az + ai
+
+
+def db_to_linear_np(db: float) -> float:
+    return float(np.exp(db * 0.11512925464970228))
+
+
+@struct.dataclass
+class HrtfRenderState:
+    hrtf: HrtfState
+    cursor_idx: jnp.ndarray  # [N] i32
+    cursor_frac: jnp.ndarray  # [N] i32
+    active: jnp.ndarray  # [N] bool
+
+
+def make_hrtf_render_state(n: int, taps: int) -> HrtfRenderState:
+    return HrtfRenderState(
+        hrtf=make_hrtf_state(n, taps),
+        cursor_idx=jnp.zeros(n, jnp.int32),
+        cursor_frac=jnp.zeros(n, jnp.int32),
+        active=jnp.ones(n, bool),
+    )
+
+
+def hrtf_engine_step(
+    state: HrtfRenderState,
+    scene: SceneState,
+    params: SourceParams,
+    bank: SampleBank,
+    db_fft,  # [D,2,M/2+1]
+    db_index_fn,
+    *,
+    frame_count: int,
+    taps: int,
+):
+    """One binaural block: geometry → resample → HRIR convolve → sum.
+
+    Single-listener binaural (listener 0).  Returns (new_state, out [F,2])."""
+    rot = scene.listener_rot[0]
+    diff = scene.source_pos - scene.listener_origin[0][None, :]
+    local = jnp.einsum("ij,ni->nj", rot, diff)  # [N,3]
+    dist = jnp.linalg.norm(local, axis=-1)
+    az, el = direction_to_azel(local)
+    idx = db_index_fn(az, el)
+
+    gain = db_to_linear(
+        attenuation_db(
+            dist,
+            params.attenuation_model,
+            params.unit_size,
+            params.volume_db,
+            params.max_db,
+        )
+    )
+    has_max = params.max_distance > 0
+    gain = jnp.where(
+        has_max,
+        gain * jnp.maximum(0.0, 1.0 - dist / jnp.where(has_max, params.max_distance, 1.0)),
+        gain,
+    )
+
+    # doppler pitch (single listener)
+    rel_vel = scene.source_vel - scene.listener_vel[0][None, :]
+    lv = jnp.einsum("ij,ni->nj", rot, rel_vel)
+    lv_n = jnp.linalg.norm(lv, axis=-1)
+    ln = jnp.linalg.norm(local, axis=-1)
+    appr = jnp.einsum(
+        "ni,ni->n",
+        local / jnp.where(ln > 0, ln, 1.0)[:, None],
+        lv / jnp.where(lv_n > 0, lv_n, 1.0)[:, None],
+    )
+    pitch = params.pitch_scale * params.doppler_speed_of_sound / (
+        params.doppler_speed_of_sound + lv_n * appr
+    )
+    pitch = jnp.clip(pitch, 1.0 / 8.0, 8.0)
+    pitch = jnp.where(params.doppler_enabled, pitch, params.pitch_scale)
+
+    frames, mixed, nidx, nfrac = resample_block(
+        bank.data, bank.base, bank.length, bank.loop,
+        state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
+    )
+    mono = frames.mean(axis=2)  # [N,F] — HRTF path takes mono sources
+    mono = jnp.where(state.active[:, None], mono, 0.0)
+
+    out, new_hrtf, _ = render_hrtf_block(
+        mono, state.hrtf, idx, gain, db_fft, frame_count, taps, active=state.active
+    )
+    new_state = HrtfRenderState(
+        hrtf=new_hrtf,
+        cursor_idx=jnp.where(state.active, nidx, state.cursor_idx),
+        cursor_frac=jnp.where(state.active, nfrac, state.cursor_frac),
+        active=state.active,
+    )
+    return new_state, out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frame_count", "taps", "db_index_fn")
+)
+def render_hrtf_trajectory(
+    state: HrtfRenderState,
+    scene0: SceneState,
+    pos_seq,  # [K,N,3]
+    vel_seq,  # [K,N,3]
+    listener_rot_seq,  # [K,3,3] — head rotation per block
+    params: SourceParams,
+    bank: SampleBank,
+    db_fft,
+    *,
+    db_index_fn,
+    frame_count: int,
+    taps: int,
+):
+    """K binaural blocks with moving sources and a rotating head."""
+
+    def step(carry, xs):
+        st = carry
+        pos, vel, rot = xs
+        scene = scene0.replace(
+            source_pos=pos,
+            source_vel=vel,
+            listener_rot=scene0.listener_rot.at[0].set(rot),
+        )
+        st, out = hrtf_engine_step(
+            st, scene, params, bank, db_fft, db_index_fn,
+            frame_count=frame_count, taps=taps,
+        )
+        return st, out
+
+    state, outs = jax.lax.scan(step, state, (pos_seq, vel_seq, listener_rot_seq))
+    return state, outs  # outs [K,F,2]

@@ -1,0 +1,134 @@
+"""Batched HRTF binaural rendering: overlap-save FFT convolution.
+
+BASELINE config 4: per-source convolution with 128-tap HRIRs, selected by
+listener-local direction, with crossfade when a source's HRIR changes
+(listener head rotation).  This is a beyond-reference capability the north
+star adds (SURVEY.md §7 step 7); the carried-block pattern is the same as
+the mix engine's (lookahead/filter state → here the (T−1)-sample input
+tail), so it slots into `lax.scan` the same way.
+
+The convolution itself is one batched complex multiply in the frequency
+domain: rfft(blocks) [N, M/2+1] × HRIR spectra [N, 2, M/2+1] — XLA's
+batched FFT + elementwise path, no per-source loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def fft_size_for(frame_count: int, taps: int) -> int:
+    need = frame_count + taps - 1
+    return 1 << math.ceil(math.log2(need))
+
+
+@struct.dataclass
+class HrtfState:
+    """Per-source carried state."""
+
+    tail: jnp.ndarray  # [N, T-1] input history (overlap-save)
+    hrir_idx: jnp.ndarray  # [N] i32 — HRIR selected last block
+    prev_gain: jnp.ndarray  # [N] f32 — attenuation ramp start
+
+
+def make_hrtf_state(n: int, taps: int) -> HrtfState:
+    return HrtfState(
+        tail=jnp.zeros((n, taps - 1), jnp.float32),
+        hrir_idx=jnp.zeros(n, jnp.int32),
+        prev_gain=jnp.zeros(n, jnp.float32),
+    )
+
+
+def direction_to_azel(local_pos):
+    """Listener-local direction → (azimuth, elevation) radians.
+
+    Azimuth 0 = front (−z), positive toward the right ear (+x);
+    elevation positive up.  local_pos: [..., 3]."""
+    x = local_pos[..., 0]
+    y = local_pos[..., 1]
+    z = local_pos[..., 2]
+    az = jnp.arctan2(x, -z)
+    r = jnp.sqrt(x * x + y * y + z * z)
+    el = jnp.arcsin(jnp.clip(y / jnp.where(r > 0, r, 1.0), -1.0, 1.0))
+    return az, el
+
+
+def overlap_save_convolve(
+    x,  # [N, F] mono block
+    tail,  # [N, T-1] carried input history
+    hrir_fft,  # [N, 2, M/2+1] complex spectra of the selected HRIRs
+    frame_count: int,
+    taps: int,
+):
+    """Linear convolution of each source block with its stereo HRIR.
+
+    Returns (y [N, F, 2], new_tail [N, T-1])."""
+    M = fft_size_for(frame_count, taps)
+    seg = jnp.concatenate([tail, x], axis=1)  # [N, T-1+F]
+    X = jnp.fft.rfft(seg, n=M, axis=1)  # [N, M/2+1]
+    Y = X[:, None, :] * hrir_fft  # [N, 2, M/2+1]
+    y = jnp.fft.irfft(Y, n=M, axis=2)  # [N, 2, M]
+    valid = y[:, :, taps - 1 : taps - 1 + frame_count]  # [N, 2, F]
+    new_tail = seg[:, -(taps - 1) :] if taps > 1 else tail
+    return jnp.moveaxis(valid, 1, 2), new_tail
+
+
+def render_hrtf_block(
+    x,  # [N, F] mono source blocks (post-resample, pre-gain)
+    state: HrtfState,
+    hrir_idx,  # [N] i32 — HRIR chosen this block
+    gain,  # [N] f32 — attenuation this block
+    db_fft,  # [D, 2, M/2+1] database spectra
+    frame_count: int,
+    taps: int,
+    active=None,  # [N] bool
+):
+    """One binaural block with gain ramp and HRIR crossfade.
+
+    Gain ramps prev→cur across the block (the engine-wide per-block ramp
+    discipline).  When hrir_idx changed since the last block, the block is
+    rendered through both HRIRs and crossfaded — clickless head rotation.
+    Returns (binaural_sum [F, 2], new_state, per_source [N, F, 2])."""
+    N, F = x.shape
+    t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
+    g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
+    xg = x * g  # [N, F]
+
+    cur_fft = db_fft[hrir_idx]  # [N, 2, M/2+1]
+    prev_fft = db_fft[state.hrir_idx]
+    # just-started sources (prev_gain 0) snap to the new HRIR instead of
+    # crossfading from the default index (same discipline as the 3D
+    # family's is_just_started history reset)
+    changed = (state.hrir_idx != hrir_idx) & (state.prev_gain > 0)
+
+    # one shared forward FFT; two spectra multiplies when crossfading
+    M = fft_size_for(frame_count, taps)
+    seg = jnp.concatenate([state.tail, xg], axis=1)
+    X = jnp.fft.rfft(seg, n=M, axis=1)
+    y_cur = jnp.fft.irfft(X[:, None, :] * cur_fft, n=M, axis=2)[
+        :, :, taps - 1 : taps - 1 + F
+    ]
+    y_prev = jnp.fft.irfft(X[:, None, :] * prev_fft, n=M, axis=2)[
+        :, :, taps - 1 : taps - 1 + F
+    ]
+    xf = t[None, None, :]
+    y = jnp.where(changed[:, None, None], y_prev * (1.0 - xf) + y_cur * xf, y_cur)
+    y = jnp.moveaxis(y, 1, 2)  # [N, F, 2]
+
+    if active is not None:
+        y = jnp.where(active[:, None, None], y, 0.0)
+        new_tail = jnp.where(active[:, None], seg[:, -(taps - 1) :], state.tail)
+        new_prev_gain = jnp.where(active, gain, state.prev_gain)
+        new_idx = jnp.where(active, hrir_idx, state.hrir_idx)
+    else:
+        new_tail = seg[:, -(taps - 1) :]
+        new_prev_gain = gain
+        new_idx = hrir_idx
+
+    out = y.sum(axis=0)  # [F, 2]
+    return out, HrtfState(tail=new_tail, hrir_idx=new_idx, prev_gain=new_prev_gain), y
