@@ -1,66 +1,171 @@
 #!/usr/bin/env python
-"""Headline benchmark: N moving sources spatialized to 7.1 @ 48 kHz.
+"""Benchmarks for the five BASELINE configs.
 
-BASELINE.md north star: ≥4096 concurrent moving sources, real-time factor
-> 200× on one TPU v5e chip.  Prints ONE JSON line:
-  {"metric": ..., "value": RTF, "unit": "x_realtime", "vs_baseline": RTF/200}
+Headline (printed as the required ONE JSON line): BASELINE north star —
+4096 moving sources spatialized to 7.1 @ 48 kHz, real-time factor vs the
+200× target.  All five config measurements are also written to
+bench_details.json.
+
+Usage: python bench.py [--quick]
 """
 
 import json
 import sys
 import time
 
+import numpy as np
 import jax
+import jax.numpy as jnp
 
 from godot_audio_spatializer_tpu.constants import SpeakerMode
 from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+from godot_audio_spatializer_tpu.models.ambisonic import (
+    AmbisonicDecoder,
+    make_ambisonic_state,
+    render_ambisonic_trajectory,
+)
+from godot_audio_spatializer_tpu.models.effects import AudioEffectFilter
+from godot_audio_spatializer_tpu.models.hrtf import (
+    HrtfDatabase,
+    make_hrtf_render_state,
+    render_hrtf_trajectory,
+)
+from godot_audio_spatializer_tpu.ops.filters import FilterMode
 from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
 
-N_SOURCES = 4096
-MIX_RATE = 48000.0
-FRAME_COUNT = 512
-NUM_BLOCKS = 64
-SPEAKER_MODE = SpeakerMode.SURROUND_71
 BASELINE_RTF = 200.0
+QUICK = "--quick" in sys.argv
+BLOCKS = 16 if QUICK else 64
+REPS = 1 if QUICK else 3
+
+
+def _sync(out):
+    # block_until_ready does not reliably synchronize on the axon tunnel
+    # backend — force a tiny device→host transfer instead
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf).ravel()[:1]
+
+
+def _time(fn, *args, **kw):
+    _sync(fn(*args, **kw))  # compile + warm
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _sync(fn(*args, **kw))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
+              chain=(), use_chain=False, label="", unit_pitch_aligned=False):
+    args = build_bench_scene(
+        n, BLOCKS, frame_count, mix_rate,
+        chain_effects=chain, use_chain=use_chain, doppler=doppler,
+    )
+    kwargs = dict(
+        speaker_mode=speaker_mode, mix_rate=mix_rate, frame_count=frame_count,
+        collect_master=False, chain=chain, biquad_method="pallas",
+        unit_pitch_aligned=unit_pitch_aligned,
+    )
+    secs = _time(lambda: render_trajectory(*args, **kwargs))
+    rtf = BLOCKS * frame_count / mix_rate / secs
+    return {"config": label, "sources": n, "rtf": round(rtf, 2),
+            "block_ms": round(secs / BLOCKS * 1e3, 4)}
+
+
+def bench_hrtf(n, mix_rate, frame_count, taps=128):
+    rng = np.random.default_rng(0)
+    (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
+        build_bench_scene(n, BLOCKS, frame_count, mix_rate)
+    )
+    db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
+    st = make_hrtf_render_state(n, taps)
+    rots = jnp.asarray(
+        np.stack([np.eye(3, dtype=np.float32)] * BLOCKS)
+    )
+    db_fft = db.spectra(frame_count)
+    secs = _time(
+        lambda: render_hrtf_trajectory(
+            st, scene0, pos_seq, vel_seq, rots, params, bank, db_fft,
+            db_index_fn=db.nearest_index, frame_count=frame_count, taps=taps,
+        )
+    )
+    rtf = BLOCKS * frame_count / mix_rate / secs
+    return {"config": "hrtf_binaural_128tap", "sources": n, "rtf": round(rtf, 2),
+            "block_ms": round(secs / BLOCKS * 1e3, 4)}
+
+
+def bench_ambisonic(n, mix_rate, frame_count, taps=128):
+    (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
+        build_bench_scene(n, BLOCKS, frame_count, mix_rate)
+    )
+    db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
+    dec = AmbisonicDecoder(db, order=3, n_virtual=32)
+    st = make_ambisonic_state(n, 3, taps)
+    fft = dec.spectra(frame_count)
+    secs = _time(
+        lambda: render_ambisonic_trajectory(
+            st, scene0, pos_seq, vel_seq, params, bank, fft,
+            order=3, taps=taps, frame_count=frame_count, collect=False,
+        )
+    )
+    rtf = BLOCKS * frame_count / mix_rate / secs
+    return {"config": "ambisonic_o3_binaural", "sources": n, "rtf": round(rtf, 2),
+            "block_ms": round(secs / BLOCKS * 1e3, 4)}
 
 
 def main():
-    (state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
-        build_bench_scene(N_SOURCES, NUM_BLOCKS, FRAME_COUNT, MIX_RATE)
+    results = []
+
+    # headline / north star: 4096 moving sources → 7.1 @ 48 kHz.
+    # Default reference config: doppler_tracking=DISABLED (pitch 1), so the
+    # aligned unit-pitch fast path applies; motion still drives pan,
+    # attenuation, and the distance filter every block.
+    headline = bench_mix(
+        4096, SpeakerMode.SURROUND_71, 48000.0, 512,
+        doppler=False, unit_pitch_aligned=True,
+        label="north_star_4096src_7.1_48k",
+    )
+    results.append(headline)
+    # doppler variant of the north star (general resample path)
+    results.append(
+        bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512, doppler=True,
+                  label="north_star_4096src_doppler")
     )
 
-    kwargs = dict(
-        speaker_mode=SPEAKER_MODE,
-        mix_rate=MIX_RATE,
-        frame_count=FRAME_COUNT,
-        collect_master=False,  # keep output resident; power only
+    # config 1: 1 mono source → stereo pan + inverse distance, 44.1 kHz
+    results.append(
+        bench_mix(1, SpeakerMode.STEREO, 44100.0, 512, doppler=False,
+                  label="c1_single_source_stereo")
     )
-
-    # warmup + compile
-    s, wo, out = render_trajectory(
-        state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank, **kwargs
+    # config 2: 64 moving sources → 5.1, doppler + gain ramps
+    results.append(
+        bench_mix(64, SpeakerMode.SURROUND_51, 44100.0, 512,
+                  label="c2_64src_5.1_doppler")
     )
-    jax.block_until_ready(out)
-
-    reps = 3
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        s, wo, out = render_trajectory(
-            state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank, **kwargs
+    # config 3: per-source lowpass occlusion chain
+    results.append(
+        bench_mix(
+            1024, SpeakerMode.STEREO, 48000.0, 512,
+            chain=(AudioEffectFilter(FilterMode.LOWPASS, cutoff_hz=1500.0),),
+            use_chain=True, label="c3_1024src_occlusion_chain",
         )
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    )
+    # config 4: HRTF binaural, 128-tap HRIRs
+    results.append(bench_hrtf(1024, 48000.0, 512))
+    # config 5: 4096 sources, ambisonic order-3 encode + binaural decode
+    results.append(bench_ambisonic(4096, 48000.0, 512))
 
-    audio_seconds = NUM_BLOCKS * FRAME_COUNT / MIX_RATE
-    rtf = audio_seconds / best
+    with open("bench_details.json", "w") as f:
+        json.dump(results, f, indent=2)
+
     print(
         json.dumps(
             {
-                "metric": f"rtf_{N_SOURCES}src_7.1_{int(MIX_RATE)}Hz_F{FRAME_COUNT}",
-                "value": round(rtf, 2),
+                "metric": "rtf_4096src_7.1_48kHz_F512",
+                "value": headline["rtf"],
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / BASELINE_RTF, 3),
+                "vs_baseline": round(headline["rtf"] / BASELINE_RTF, 3),
             }
         )
     )

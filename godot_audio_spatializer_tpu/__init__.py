@@ -22,3 +22,32 @@ from .constants import (  # noqa: F401
     DopplerTracking,
     SpeakerMode,
 )
+
+# public API surface (the role register_types.cpp:40-60 plays for the
+# reference: one place exposing every user-facing class)
+from .engine.server import AudioEngine, Bus  # noqa: F401
+from .engine.player import AudioStreamPlayerSpatial  # noqa: F401
+from .engine.streams import (  # noqa: F401
+    AudioStream,
+    AudioStreamSample,
+    noise_stream,
+    sine_stream,
+)
+from .engine.scene import AreaDesc, ListenerDesc  # noqa: F401
+from .models.spatializer3d import (  # noqa: F401
+    AudioSpatializer3D,
+    AudioSpatializerInstance3D,
+)
+from .models.spatializer_effect import (  # noqa: F401
+    AudioSpatializerEffect,
+    AudioSpatializerInstanceEffect,
+)
+from .models.effects import (  # noqa: F401
+    AudioEffectAmplify,
+    AudioEffectDelay,
+    AudioEffectFilter,
+    BusEffectFilter,
+    BusEffectReverb,
+)
+from .models.hrtf import HrtfDatabase  # noqa: F401
+from .ops.filters import FilterMode  # noqa: F401

@@ -32,13 +32,15 @@ class SlotConfig:
     mix_channel_mode: jnp.ndarray  # [N] bool
     threshold_db: jnp.ndarray  # [N] f32
     paused: jnp.ndarray  # [N] bool
+    use_chain: jnp.ndarray  # [N] bool — effect-family sources
 
 
-def default_slot_config(n: int) -> SlotConfig:
+def default_slot_config(n: int, use_chain: bool = False) -> SlotConfig:
     return SlotConfig(
         mix_channel_mode=jnp.zeros(n, bool),
         threshold_db=jnp.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, jnp.float32),
         paused=jnp.zeros(n, bool),
+        use_chain=jnp.full(n, use_chain, bool),
     )
 
 
@@ -55,9 +57,12 @@ def engine_step(
     frame_count: int,
     mix_channel_enabled: bool = False,
     global_panning_strength: float = 1.0,
-    biquad_method: str = "assoc",
+    biquad_method: str = "scan",
     sends: Tuple[int, ...] = (-1,),
     bus_volumes_db: Tuple[float, ...] = (0.0,),
+    chain: Tuple = (),
+    max_pitch: float = 2.0,
+    unit_pitch_aligned: bool = False,
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
@@ -93,6 +98,7 @@ def engine_step(
         mix_channel_mode=slot_cfg.mix_channel_mode,
         threshold_db=slot_cfg.threshold_db,
         paused=slot_cfg.paused,
+        use_chain=slot_cfg.use_chain,
     )
     channel_count = {0: 1, 1: 2, 2: 3, 3: 4}[int(speaker_mode)]
     new_state, bus_in, peaks = mix_block(
@@ -104,6 +110,9 @@ def engine_step(
         channel_count=channel_count,
         mix_channel_enabled=mix_channel_enabled,
         biquad_method=biquad_method,
+        chain=chain,
+        max_pitch=max_pitch,
+        unit_pitch_aligned=unit_pitch_aligned,
     )
     empty = tuple(() for _ in sends)
     master, _ = bus_graph_reduce(
@@ -124,6 +133,9 @@ def engine_step(
         "sends",
         "bus_volumes_db",
         "collect_master",
+        "chain",
+        "max_pitch",
+        "unit_pitch_aligned",
     ),
 )
 def render_trajectory(
@@ -141,10 +153,13 @@ def render_trajectory(
     frame_count: int,
     mix_channel_enabled: bool = False,
     global_panning_strength: float = 1.0,
-    biquad_method: str = "assoc",
+    biquad_method: str = "scan",
     sends: Tuple[int, ...] = (-1,),
     bus_volumes_db: Tuple[float, ...] = (0.0,),
     collect_master: bool = True,
+    chain: Tuple = (),
+    max_pitch: float = 2.0,
+    unit_pitch_aligned: bool = False,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -168,6 +183,9 @@ def render_trajectory(
             biquad_method=biquad_method,
             sends=sends,
             bus_volumes_db=bus_volumes_db,
+            chain=chain,
+            max_pitch=max_pitch,
+            unit_pitch_aligned=unit_pitch_aligned,
         )
         out = master if collect_master else jnp.sum(master * master)
         return (state, wo), out

@@ -159,9 +159,10 @@ class AudioEngine:
         max_sources: int = 64,
         mix_channel_enabled: bool = False,
         global_panning_strength: float = 1.0,
-        biquad_method: str = "assoc",
+        biquad_method: Optional[str] = None,
         physics_rate: float = 60.0,
         source_effects: Sequence = (),
+        max_pitch: float = 2.0,
     ):
         self.mix_rate = float(mix_rate)
         self.block_size = int(block_size)
@@ -170,8 +171,12 @@ class AudioEngine:
         self.max_sources = int(max_sources)
         self.mix_channel_enabled = bool(mix_channel_enabled)
         self.global_panning_strength = float(global_panning_strength)
+        if biquad_method is None:
+            # the pallas kernel is the TPU fast path; lax.scan elsewhere
+            biquad_method = "scan" if jax.default_backend() == "cpu" else "pallas"
         self.biquad_method = biquad_method
         self.physics_rate = float(physics_rate)
+        self.max_pitch = float(max_pitch)
 
         self.buses: List[Bus] = [Bus("Master", send=None)]
         self.listeners: List[ListenerDesc] = []
@@ -196,9 +201,10 @@ class AudioEngine:
         self._slot_mode = np.zeros(n, bool)
         self._slot_use_chain = np.zeros(n, bool)
 
-        # sample bank (host mirror + lazy device copy)
+        # sample bank (host mirror + lazy device copy); seed row keeps
+        # base offsets 128-aligned from the start
         self._clips: Dict[int, Tuple[int, int]] = {}  # stream_id -> (base, len)
-        self._bank_host = np.zeros((1, 2), np.float32)
+        self._bank_host = np.zeros((128, 2), np.float32)
         self._bank_device = None
         self._bank_dirty = True
 
@@ -247,10 +253,28 @@ class AudioEngine:
 
     # ------------------------------------------------------------ sample bank
     def register_stream(self, stream: AudioStream) -> Tuple[int, int]:
+        """Pack the clip into the bank: 128-aligned base + loop/edge margin
+        (see ops/resample.py build_bank for the layout contract)."""
         if stream.stream_id not in self._clips:
+            from ..ops.resample import ROW, margin_samples
+
+            margin = margin_samples(self.block_size, self.max_pitch)
+            data = stream.data
+            s = data.shape[0]
+            if stream.loop and s > 0:
+                reps = int(np.ceil(margin / s)) + 1
+                tail = np.tile(data, (reps, 1))[:margin]
+            elif s > 0:
+                tail = np.tile(data[-1:], (margin, 1))
+            else:
+                tail = np.zeros((margin, 2), np.float32)
+            body = np.concatenate([data, tail], axis=0)
+            pad = (-body.shape[0]) % ROW
+            if pad:
+                body = np.concatenate([body, np.tile(body[-1:], (pad, 1))], axis=0)
             base = self._bank_host.shape[0]
-            self._bank_host = np.concatenate([self._bank_host, stream.data], axis=0)
-            self._clips[stream.stream_id] = (base, stream.data.shape[0])
+            self._bank_host = np.concatenate([self._bank_host, body], axis=0)
+            self._clips[stream.stream_id] = (base, s)
             self._bank_dirty = True
         return self._clips[stream.stream_id]
 
@@ -509,6 +533,7 @@ class AudioEngine:
             bus_volumes_db=vols,
             effects=effects,
             chain=self.source_effects,
+            max_pitch=self.max_pitch,
         )
         self._bus_fx_states = fx_states
         return new_state, master, peaks
@@ -564,6 +589,7 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states, channel_
         "bus_volumes_db",
         "effects",
         "chain",
+        "max_pitch",
     ),
 )
 def _render_jit(
@@ -581,6 +607,7 @@ def _render_jit(
     bus_volumes_db,
     effects,
     chain,
+    max_pitch=2.0,
 ):
     new_state, bus_in, peaks = mix_block(
         state,
@@ -592,6 +619,7 @@ def _render_jit(
         mix_channel_enabled=mix_channel_enabled,
         biquad_method=biquad_method,
         chain=chain,
+        max_pitch=max_pitch,
     )
     master, new_fx = bus_graph_reduce(
         bus_in, sends, bus_volumes_db, effects, fx_states, channel_count

@@ -43,18 +43,21 @@ class AmbisonicDecoder:
         # pick nearest HRIR for each virtual speaker direction
         az = np.arctan2(dirs[:, 0], -dirs[:, 2])
         el = np.arcsin(np.clip(dirs[:, 1], -1, 1))
-        idx = np.asarray(
-            db.nearest_index(jnp.asarray(az, jnp.float32), jnp.asarray(el, jnp.float32))
-        )
+        idx = db.nearest_index_np(az, el)
         hrirs = db.hrirs[idx]  # [V,2,taps]
         self.sh_filters = design_binaural_decoder(hrirs, dirs, order)  # [K,2,taps]
         self._fft_cache = {}
 
     def spectra(self, frame_count: int):
+        """float32 real/imag packed [K, 2, M/2+1, 2] (see HrtfDatabase.spectra)."""
         if frame_count not in self._fft_cache:
             M = fft_size_for(frame_count, self.taps)
+            spec = np.fft.rfft(self.sh_filters, n=M, axis=-1)
             self._fft_cache[frame_count] = jnp.asarray(
-                np.fft.rfft(self.sh_filters, n=M, axis=-1).astype(np.complex64)
+                np.stack(
+                    [spec.real.astype(np.float32), spec.imag.astype(np.float32)],
+                    axis=-1,
+                )
             )
         return self._fft_cache[frame_count]
 
@@ -136,10 +139,12 @@ def ambisonic_engine_step(
     sh = ambisonic_encode_mix(mono, weights)  # [K,F]
 
     # SH-domain binaural decode (overlap-save over K channels)
+    from ..ops.hrtf import as_complex
+
     M = fft_size_for(F, taps)
     seg = jnp.concatenate([state.sh_tail, sh], axis=1)
     X = jnp.fft.rfft(seg, n=M, axis=1)  # [K, M/2+1]
-    Y = (X[:, None, :] * decoder_fft).sum(axis=0)  # [2, M/2+1]
+    Y = (X[:, None, :] * as_complex(decoder_fft)).sum(axis=0)  # [2, M/2+1]
     y = jnp.fft.irfft(Y, n=M, axis=1)[:, taps - 1 : taps - 1 + F]  # [2,F]
 
     new_state = AmbisonicState(

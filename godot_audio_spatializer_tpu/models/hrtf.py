@@ -117,14 +117,32 @@ class HrtfDatabase:
         return HrtfDatabase(hrirs, azimuths, elevations, sample_rate)
 
     def spectra(self, frame_count: int) -> jnp.ndarray:
-        """rfft of every HRIR at the overlap-save FFT size → [D,2,M/2+1]."""
+        """rfft of every HRIR at the overlap-save FFT size, packed as
+        float32 real/imag pairs → [D, 2, M/2+1, 2].
+
+        (Complex arrays are kept out of host↔device transfers — the axon
+        TPU backend only supports complex values inside traced programs;
+        ops/hrtf.py re-forms them with lax.complex.)"""
         key = frame_count
         if key not in self._fft_cache:
             M = fft_size_for(frame_count, self.taps)
-            self._fft_cache[key] = jnp.asarray(
-                np.fft.rfft(self.hrirs, n=M, axis=-1).astype(np.complex64)
+            spec = np.fft.rfft(self.hrirs, n=M, axis=-1)
+            packed = np.stack(
+                [spec.real.astype(np.float32), spec.imag.astype(np.float32)], axis=-1
             )
+            self._fft_cache[key] = jnp.asarray(packed)
         return self._fft_cache[key]
+
+    def nearest_index_np(self, az, el):
+        """Host-side (numpy) nearest-index twin for decoder design."""
+        az_step = 2 * math.pi / self.n_az
+        ai = np.mod(np.round((np.asarray(az) + math.pi) / az_step).astype(np.int64), self.n_az)
+        el0 = float(self.elevations[0])
+        el_step = float(self.elevations[1] - self.elevations[0])
+        ei = np.clip(
+            np.round((np.asarray(el) - el0) / el_step).astype(np.int64), 0, self.n_el - 1
+        )
+        return ei * self.n_az + ai
 
     def nearest_index(self, az, el):
         """Nearest grid HRIR for (az, el) radians — jit-safe."""

@@ -126,7 +126,14 @@ def biquad_block_assoc(x, coeffs0, incr, state):
     return jnp.moveaxis(ys, 0, -1), new_state, new_coeffs
 
 
-def biquad_interp_block(x, coeffs, target, state, apply_mask, *, method="assoc"):
+def default_method() -> str:
+    """Platform-appropriate biquad execution strategy."""
+    import jax
+
+    return "scan" if jax.default_backend() == "cpu" else "pallas"
+
+
+def biquad_interp_block(x, coeffs, target, state, apply_mask, *, method=None):
     """One audio block through the interpolated-coefficient highshelf.
 
     Mirrors AudioFilterSW::Processor::update_coeffs(F) +
@@ -136,10 +143,24 @@ def biquad_interp_block(x, coeffs, target, state, apply_mask, *, method="assoc")
 
     x: [..., F]; coeffs/target: [..., 5]; state: [..., 4];
     apply_mask: [...] bool.  Returns (y, new_state, new_coeffs).
+
+    method: "pallas" (TPU kernel — frame loop at register speed, the fast
+    path), "scan" (lax.scan, bit-faithful reference path, CPU-friendly),
+    "assoc" (associative scan — O(log F) depth, but slow on backends with
+    weak fused-loop support).
     """
+    if method is None:
+        method = default_method()
     F = x.shape[-1]
     incr = jnp.where(apply_mask[..., None], (target - coeffs) / F, 0.0)
-    fn = biquad_block_scan if method == "scan" else biquad_block_assoc
+    if method == "pallas":
+        from .pallas.biquad_kernel import biquad_block_pallas
+
+        fn = biquad_block_pallas
+    elif method == "scan":
+        fn = biquad_block_scan
+    else:
+        fn = biquad_block_assoc
     y, new_state, new_coeffs = fn(x, coeffs, incr, state)
     m = apply_mask[..., None]
     return (

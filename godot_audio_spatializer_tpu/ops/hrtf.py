@@ -17,9 +17,17 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
+
+
+def as_complex(packed):
+    """[..., 2] float32 real/imag → complex64 (inside traced code only)."""
+    if jnp.iscomplexobj(packed):
+        return packed
+    return jax.lax.complex(packed[..., 0], packed[..., 1])
 
 
 def fft_size_for(frame_count: int, taps: int) -> int:
@@ -71,7 +79,7 @@ def overlap_save_convolve(
     M = fft_size_for(frame_count, taps)
     seg = jnp.concatenate([tail, x], axis=1)  # [N, T-1+F]
     X = jnp.fft.rfft(seg, n=M, axis=1)  # [N, M/2+1]
-    Y = X[:, None, :] * hrir_fft  # [N, 2, M/2+1]
+    Y = X[:, None, :] * as_complex(hrir_fft)  # [N, 2, M/2+1]
     y = jnp.fft.irfft(Y, n=M, axis=2)  # [N, 2, M]
     valid = y[:, :, taps - 1 : taps - 1 + frame_count]  # [N, 2, F]
     new_tail = seg[:, -(taps - 1) :] if taps > 1 else tail
@@ -99,8 +107,8 @@ def render_hrtf_block(
     g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
     xg = x * g  # [N, F]
 
-    cur_fft = db_fft[hrir_idx]  # [N, 2, M/2+1]
-    prev_fft = db_fft[state.hrir_idx]
+    cur_fft = as_complex(db_fft[hrir_idx])  # [N, 2, M/2+1]
+    prev_fft = as_complex(db_fft[state.hrir_idx])
     # just-started sources (prev_gain 0) snap to the new HRIR instead of
     # crossfading from the default index (same discipline as the 3D
     # family's is_just_started history reset)

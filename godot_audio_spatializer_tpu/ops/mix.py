@@ -132,8 +132,10 @@ def mix_block(
     frame_count: int,
     channel_count: int,
     mix_channel_enabled: bool = False,
-    biquad_method: str = "assoc",
+    biquad_method: str = "scan",
     chain: tuple = (),
+    max_pitch: float = 2.0,
+    unit_pitch_aligned: bool = False,
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
 
@@ -157,6 +159,7 @@ def mix_block(
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
+        max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
     )
     do_mix = active0 & has0
     new_cursor_idx = jnp.where(do_mix, nidx, state.cursor_idx)

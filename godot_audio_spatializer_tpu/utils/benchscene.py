@@ -25,27 +25,37 @@ def build_bench_scene(
     clip_seconds: float = 1.0,
     doppler: bool = True,
     seed: int = 0,
+    chain_effects=(),
+    use_chain: bool = False,
 ):
     """→ (mix_state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank)."""
     rng = np.random.default_rng(seed)
     n = n_sources
 
-    # looping clips in one flat bank
-    clip_len = int(clip_seconds * mix_rate)
-    data = (rng.standard_normal((num_clips * clip_len, 2)) * 0.1).astype(np.float32)
-    base = (np.arange(n) % num_clips).astype(np.int32) * clip_len
+    # looping clips in one flat bank (aligned bases + loop margins; clip
+    # length a multiple of 128 so the aligned unit-pitch fast path holds)
+    from ..ops.resample import ROW, build_bank
+
+    clip_len = int(clip_seconds * mix_rate) // ROW * ROW
+    clips = [
+        ((rng.standard_normal((clip_len, 2)) * 0.1).astype(np.float32), True)
+        for _ in range(num_clips)
+    ]
+    bank_data, bases = build_bank(clips, frame_count, max_pitch=2.0)
+    base = np.asarray(bases, np.int32)[np.arange(n) % num_clips]
     bank = SampleBank(
-        data=jnp.asarray(data),
+        data=jnp.asarray(bank_data),
         base=jnp.asarray(base),
         length=jnp.full(n, clip_len, np.int32),
         loop=jnp.ones(n, bool),
     )
 
-    state = make_mix_state(n, num_buses=1, filter_channels=1)
+    state = make_mix_state(n, num_buses=1, filter_channels=1, chain_effects=chain_effects)
+    aligned_cursors = (rng.integers(0, clip_len // ROW, n) * ROW).astype(np.int32)
     state = state.replace(
         active=jnp.ones(n, bool),
         has_frames=jnp.ones(n, bool),
-        cursor_idx=jnp.asarray(rng.integers(0, clip_len, n).astype(np.int32)),
+        cursor_idx=jnp.asarray(aligned_cursors),
     )
     was_out = jnp.zeros(n, bool)
 
@@ -70,7 +80,7 @@ def build_bench_scene(
     ).astype(np.float32)
 
     scene0 = build_scene_state(pos[0], [ListenerDesc()], [], {"Master": 0})
-    slot_cfg = default_slot_config(n)
+    slot_cfg = default_slot_config(n, use_chain=use_chain)
     return (
         state,
         was_out,

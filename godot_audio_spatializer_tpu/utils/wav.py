@@ -1,0 +1,53 @@
+"""Minimal WAV read/write (16/24/32-bit PCM + float32), numpy-based.
+
+The native runtime (native/gas_runtime.cpp) provides a C++ WAV loader for
+the realtime path; this is the dependency-free fallback and the test tool.
+"""
+
+from __future__ import annotations
+
+import struct
+import wave
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """→ (frames [S, channels] float32 in [-1,1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        val = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        val = np.where(val >= 1 << 23, val - (1 << 24), val)
+        data = val.astype(np.float32) / float(1 << 23)
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return data.reshape(-1, ch), rate
+
+
+def write_wav(path: str, frames: np.ndarray, sample_rate: int) -> None:
+    """frames [S] or [S, channels] float32 → 16-bit PCM WAV."""
+    frames = np.asarray(frames, np.float32)
+    if frames.ndim == 1:
+        frames = frames[:, None]
+    pcm = np.clip(frames, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(frames.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(pcm.tobytes())
