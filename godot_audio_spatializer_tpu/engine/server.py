@@ -210,6 +210,7 @@ class AudioEngine:
 
         self._source_params_cache: Optional[SourceParams] = None
         self._params_dirty = True
+        self._last_peaks = None
 
     # ------------------------------------------------------------------ buses
     @property
@@ -510,6 +511,7 @@ class AudioEngine:
             self._block_params = self._default_block_params()
         new_state, master, peaks = self._render(self.mix_state, self._block_params)
         self.mix_state = new_state
+        self._last_peaks = peaks  # device array; get_metrics() syncs lazily
         return np.asarray(master)
 
     def _render(self, state: MixState, bp: BlockParams):
@@ -542,6 +544,60 @@ class AudioEngine:
         idx = int(np.asarray(self.mix_state.cursor_idx[slot]))
         frac = int(np.asarray(self.mix_state.cursor_frac[slot]))
         return (idx + frac / 65536.0) / self.mix_rate
+
+    # ------------------------------------------------- observability (§5.5)
+    def get_metrics(self) -> dict:
+        """Per-block observability: active sources, per-source peaks,
+        playback positions — the counters the reference only tracks
+        implicitly (peak auto-disable, audio_spatializer.cpp:419-445)."""
+        active = np.asarray(self.mix_state.active)
+        peaks = (
+            np.asarray(self._last_peaks) if self._last_peaks is not None else None
+        )
+        return {
+            "active_sources": int(active.sum()),
+            "allocated_slots": int((self.slot_player >= 0).sum()),
+            "free_slots": len(self._free_slots),
+            "source_peaks": peaks,
+            "num_buses": self.num_buses,
+        }
+
+    # --------------------------------------------- checkpoint/resume (§5.4)
+    def save_state(self, path: str) -> None:
+        """Serialize all carried audio state (cursors, lookahead tails,
+        filter histories, volume ramps, chain state) — trivially possible
+        because state is explicit arrays, unlike the reference's in-memory
+        object graph (SURVEY.md §5.4)."""
+        leaves, treedef = jax.tree.flatten(self.mix_state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays["slot_player"] = self.slot_player
+        arrays["slot_bank_base"] = self._slot_bank_base
+        arrays["slot_bank_length"] = self._slot_bank_length
+        arrays["slot_bank_loop"] = self._slot_bank_loop
+        arrays["slot_mode"] = self._slot_mode
+        arrays["slot_use_chain"] = self._slot_use_chain
+        if getattr(self, "_was_out", None) is not None:
+            arrays["was_out"] = np.asarray(self._was_out)
+        np.savez(path, **arrays)
+
+    def load_state(self, path: str) -> None:
+        data = np.load(path)
+        leaves, treedef = jax.tree.flatten(self.mix_state)
+        n_leaves = len(leaves)
+        restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
+        self.mix_state = jax.tree.unflatten(treedef, restored)
+        self.slot_player = data["slot_player"]
+        self._slot_bank_base = data["slot_bank_base"]
+        self._slot_bank_length = data["slot_bank_length"]
+        self._slot_bank_loop = data["slot_bank_loop"]
+        self._slot_mode = data["slot_mode"]
+        self._slot_use_chain = data["slot_use_chain"]
+        self._free_slots = [
+            s for s in range(self.max_sources - 1, -1, -1)
+            if self.slot_player[s] < 0
+        ]
+        if "was_out" in data:
+            self._was_out = jnp.asarray(data["was_out"])
 
 
 @functools.partial(

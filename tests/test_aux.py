@@ -1,0 +1,76 @@
+"""Auxiliary subsystems: checkpoint/resume, metrics, examples smoke."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+from godot_audio_spatializer_tpu.engine.server import AudioEngine
+from godot_audio_spatializer_tpu.engine.streams import noise_stream
+from godot_audio_spatializer_tpu.engine.player import AudioStreamPlayerSpatial
+from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
+
+
+def _engine_with_player():
+    eng = AudioEngine(mix_rate=44100.0, block_size=512, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    player = AudioStreamPlayerSpatial(
+        eng, stream=noise_stream(2.0, 44100.0, seed=5, loop=True),
+        spatializer=AudioSpatializer3D(),
+    )
+    player.set_position([2.0, 0.0, -2.0])
+    return eng, player
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """Save mid-playback, render on; reload and re-render — identical audio
+    (the golden-trace bit-exact state capture SURVEY §5.4 calls for)."""
+    eng, player = _engine_with_player()
+    player.play()
+    for _ in range(3):
+        eng.physics_step()
+        eng.render_block()
+
+    ckpt = str(tmp_path / "state.npz")
+    eng.save_state(ckpt)
+    cont = [eng.render_block() for _ in range(3)]
+
+    eng2, player2 = _engine_with_player()
+    player2.play()
+    eng2.physics_step()  # establish block params / bank registration
+    eng2.load_state(ckpt)
+    eng2._block_params = eng._block_params  # same tick snapshot
+    cont2 = [eng2.render_block() for _ in range(3)]
+
+    for a, b in zip(cont, cont2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_metrics():
+    eng, player = _engine_with_player()
+    player.play()
+    eng.physics_step()
+    eng.render_block()
+    m = eng.get_metrics()
+    assert m["active_sources"] == 1
+    assert m["allocated_slots"] == 1
+    assert m["free_slots"] == 3
+    assert m["source_peaks"] is not None
+    assert float(np.asarray(m["source_peaks"]).max()) > 0
+
+
+@pytest.mark.parametrize("script", ["examples/demo.py", "examples/custom_spatializer.py"])
+def test_examples_run(script, tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DEMO_SECONDS"] = "0.35"
+    r = subprocess.run(
+        [sys.executable, script, str(tmp_path)],
+        capture_output=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert any(f.endswith(".wav") for f in os.listdir(tmp_path))
