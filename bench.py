@@ -57,7 +57,8 @@ def _time(fn, *args, **kw):
 
 
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
-              chain=(), use_chain=False, label="", unit_pitch_aligned=False):
+              chain=(), use_chain=False, label="", unit_pitch_aligned=False,
+              physics_every=1):
     args = build_bench_scene(
         n, BLOCKS, frame_count, mix_rate,
         chain_effects=chain, use_chain=use_chain, doppler=doppler,
@@ -65,7 +66,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
     kwargs = dict(
         speaker_mode=speaker_mode, mix_rate=mix_rate, frame_count=frame_count,
         collect_master=False, chain=chain, biquad_method="pallas",
-        unit_pitch_aligned=unit_pitch_aligned,
+        unit_pitch_aligned=unit_pitch_aligned, physics_every=physics_every,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = BLOCKS * frame_count / mix_rate / secs
@@ -127,6 +128,13 @@ def main():
         label="north_star_4096src_7.1_48k",
     )
     results.append(headline)
+    # 47 Hz physics variant (games commonly tick physics at 30-60 Hz; the
+    # reference's parameters are per-tick snapshots either way)
+    results.append(
+        bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512,
+                  doppler=False, unit_pitch_aligned=True, physics_every=2,
+                  label="north_star_4096src_physics47Hz")
+    )
     # doppler variant of the north star (general resample path)
     results.append(
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512, doppler=True,

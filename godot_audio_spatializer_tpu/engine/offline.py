@@ -136,6 +136,7 @@ def engine_step(
         "chain",
         "max_pitch",
         "unit_pitch_aligned",
+        "physics_every",
     ),
 )
 def render_trajectory(
@@ -160,6 +161,7 @@ def render_trajectory(
     chain: Tuple = (),
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
+    physics_every: int = 1,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -167,30 +169,110 @@ def render_trajectory(
     and velocity trajectories animate sources at block rate.  Returns
     (final_state, was_out, master [K,C,F,2] or running power if
     collect_master=False).
-    """
 
-    def step(carry, xs):
+    `physics_every=k` runs Stage A once per k blocks — the reference's own
+    cadence (physics ticks at 60 Hz, audio blocks at mix_rate/F ≈ 94 Hz;
+    parameters are per-tick snapshots applied to whole blocks,
+    audio_spatializer.cpp:258-272).  K must be a multiple of k.
+    """
+    from ..ops.geometry import calculate_spatialization
+    from ..ops.mix import BlockParams, mix_block
+    from ..ops.resample import quantize_pitch
+
+    if physics_every == 1:
+
+        def step(carry, xs):
+            state, wo = carry
+            pos, vel = xs
+            scene = scene0.replace(source_pos=pos, source_vel=vel)
+            state, wo, master, _ = engine_step(
+                state, wo, scene, params, slot_cfg, bank,
+                speaker_mode=speaker_mode,
+                mix_rate=mix_rate,
+                frame_count=frame_count,
+                mix_channel_enabled=mix_channel_enabled,
+                global_panning_strength=global_panning_strength,
+                biquad_method=biquad_method,
+                sends=sends,
+                bus_volumes_db=bus_volumes_db,
+                chain=chain,
+                max_pitch=max_pitch,
+                unit_pitch_aligned=unit_pitch_aligned,
+            )
+            out = master if collect_master else jnp.sum(master * master)
+            return (state, wo), out
+
+        (state, wo), outs = jax.lax.scan(
+            step, (mix_state, was_out), (source_pos_seq, source_vel_seq)
+        )
+        return state, wo, outs
+
+    # tick-grouped scan: Stage A once, then k mix blocks per step
+    k = physics_every
+    K = source_pos_seq.shape[0]
+    assert K % k == 0, "num_blocks must be a multiple of physics_every"
+    pos_g = source_pos_seq[::k]
+    vel_g = source_vel_seq[::k]
+    channel_count = {0: 1, 1: 2, 2: 3, 3: 4}[int(speaker_mode)]
+    num_buses = mix_state.srv_prev.shape[1]
+
+    def tick_step(carry, xs):
         state, wo = carry
         pos, vel = xs
         scene = scene0.replace(source_pos=pos, source_vel=vel)
-        state, wo, master, _ = engine_step(
-            state, wo, scene, params, slot_cfg, bank,
-            speaker_mode=speaker_mode,
-            mix_rate=mix_rate,
-            frame_count=frame_count,
-            mix_channel_enabled=mix_channel_enabled,
-            global_panning_strength=global_panning_strength,
-            biquad_method=biquad_method,
-            sends=sends,
-            bus_volumes_db=bus_volumes_db,
-            chain=chain,
-            max_pitch=max_pitch,
-            unit_pitch_aligned=unit_pitch_aligned,
+        result = calculate_spatialization(
+            scene, params, wo, speaker_mode, global_panning_strength
         )
-        out = master if collect_master else jnp.sum(master * master)
-        return (state, wo), out
+        mv = result.mix_volumes
+        onehot = (
+            (result.bus_index[..., None] == jnp.arange(num_buses)[None, None, :])
+            & (result.bus_index[..., None] >= 0)
+        ).astype(jnp.float32)
+        safe_mv = jnp.where(mv[:, None] > 0, mv[:, None], 1.0)
+        ratio = jnp.where(mv[:, None] > 0.0, result.bus_volumes / safe_mv, 0.0)
+        val_a = jnp.broadcast_to(mv[:, None], result.bus_volumes.shape)
+        val = jnp.where(slot_cfg.mix_channel_mode[:, None, None, None], ratio, val_a)
+        dense = jnp.einsum("nsb,nsce->nbce", onehot, val)
+        state = state.replace(
+            srv_target=jnp.where(
+                result.update_parameters[:, None, None, None],
+                dense,
+                state.srv_target,
+            )
+        )
+        bp = BlockParams(
+            mix_volumes=mv,
+            pitch_fp=quantize_pitch(result.pitch_scale),
+            linear_attenuation=result.linear_attenuation,
+            attenuation_filter_cutoff_hz=result.attenuation_filter_cutoff_hz,
+            mix_channel_mode=slot_cfg.mix_channel_mode,
+            threshold_db=slot_cfg.threshold_db,
+            paused=slot_cfg.paused,
+            use_chain=slot_cfg.use_chain,
+        )
+        acc = 0.0
+        outs = []
+        for _ in range(k):
+            state, bus_in, _ = mix_block(
+                state, bp, bank,
+                mix_rate=mix_rate, frame_count=frame_count,
+                channel_count=channel_count,
+                mix_channel_enabled=mix_channel_enabled,
+                biquad_method=biquad_method, chain=chain,
+                max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
+            )
+            empty = tuple(() for _ in sends)
+            master, _ = bus_graph_reduce(
+                bus_in, sends, bus_volumes_db, empty, empty, channel_count
+            )
+            if collect_master:
+                outs.append(master)
+            else:
+                acc = acc + jnp.sum(master * master)
+        out = jnp.stack(outs) if collect_master else acc
+        return (state, result.was_out_of_range), out
 
-    (state, wo), outs = jax.lax.scan(
-        step, (mix_state, was_out), (source_pos_seq, source_vel_seq)
-    )
+    (state, wo), outs = jax.lax.scan(tick_step, (mix_state, was_out), (pos_g, vel_g))
+    if collect_master:
+        outs = outs.reshape((K,) + outs.shape[2:])
     return state, wo, outs

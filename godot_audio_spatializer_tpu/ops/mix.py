@@ -165,19 +165,9 @@ def mix_block(
     new_cursor_idx = jnp.where(do_mix, nidx, state.cursor_idx)
     new_cursor_frac = jnp.where(do_mix, nfrac, state.cursor_frac)
 
-    # ---- 2. lookahead delay line + end-of-stream fade ----
-    combined = jnp.concatenate([state.lookahead, frames[:, : F - la]], axis=1)
+    # ---- 2/3. masks + highshelf config (shared by both modes) ----
     full = mixed == F
-    factor = _end_fade_factor(mixed, F)  # [N,F]
-    combined = jnp.where(full[:, None, None], combined, combined * factor[..., None])
-    combined = jnp.where(do_mix[:, None, None], combined, 0.0)
-
-    new_lookahead = jnp.where(
-        (do_mix & full)[:, None, None], frames[:, F - la : F], state.lookahead
-    )
     new_has_frames = has0 & full
-
-    # ---- 3. highshelf config (shared by both modes) ----
     use_chain = (
         params.use_chain
         if (chain and params.use_chain is not None)
@@ -189,21 +179,46 @@ def mix_block(
 
     t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))  # [F] ramp
 
-    # ---- 4a. mode A: process_frames (filter only, 1 proxy channel) ----
     prev0 = state.prev_mix_volumes[:, 0]  # [N,2]
     justA = (prev0[:, 0] == 0) & (prev0[:, 1] == 0)
     stA = state.filter_state[:, 0]  # [N,2,4]
     stA = jnp.where((justA & apply_f)[:, None, None], 0.0, stA)
-    xA = jnp.moveaxis(combined, 1, 2)  # [N,2,F]
-    yA, nstA, ncA = biquad_interp_block(
-        xA,
-        jnp.broadcast_to(state.filter_coeffs[:, None, :], (N, 2, 5)),
-        jnp.broadcast_to(target[:, None, :], (N, 2, 5)),
-        stA,
-        jnp.broadcast_to(apply_f[:, None], (N, 2)),
-        method=biquad_method,
-    )
-    sigA = jnp.moveaxis(yA, 2, 1)  # [N,F,2]
+
+    combined = None
+    if biquad_method == "pallas" and not mix_channel_enabled:
+        # ---- 4a (fused): delay line + fade + mask + biquad + peak +
+        # lookahead update in ONE Pallas kernel (ops/pallas/mix_kernel.py)
+        from .pallas.mix_kernel import fused_mode_a
+
+        sigA, new_lookahead, nstA, ncA0, peakA_fused = fused_mode_a(
+            frames, state.lookahead, state.filter_coeffs, target, stA,
+            mixed, do_mix, apply_f, F,
+        )
+        ncA = ncA0[:, None, :]  # [N,1,5] — indexed [:, 0] below
+    else:
+        # ---- 2'. lookahead delay line + end-of-stream fade (XLA path) ----
+        combined = jnp.concatenate([state.lookahead, frames[:, : F - la]], axis=1)
+        factor = _end_fade_factor(mixed, F)  # [N,F]
+        combined = jnp.where(
+            full[:, None, None], combined, combined * factor[..., None]
+        )
+        combined = jnp.where(do_mix[:, None, None], combined, 0.0)
+        new_lookahead = jnp.where(
+            (do_mix & full)[:, None, None], frames[:, F - la : F], state.lookahead
+        )
+
+        # ---- 4a. mode A: process_frames (filter only, 1 proxy channel) ----
+        xA = jnp.moveaxis(combined, 1, 2)  # [N,2,F]
+        yA, nstA, ncA = biquad_interp_block(
+            xA,
+            jnp.broadcast_to(state.filter_coeffs[:, None, :], (N, 2, 5)),
+            jnp.broadcast_to(target[:, None, :], (N, 2, 5)),
+            stA,
+            jnp.broadcast_to(apply_f[:, None], (N, 2)),
+            method=biquad_method,
+        )
+        sigA = jnp.moveaxis(yA, 2, 1)  # [N,F,2]
+        peakA_fused = None
 
     # ---- 4a'. per-source effect chain (AudioSpatializerEffect family) ----
     if chain:
@@ -216,14 +231,21 @@ def mix_block(
             attenuation_filter_cutoff_hz=params.attenuation_filter_cutoff_hz,
             mix_volumes=params.mix_volumes,
         )
+        # chain input: for chain lanes the filter is bypassed, so the fused
+        # kernel's output IS the post-fade combined signal on those lanes
+        chain_in = combined if combined is not None else sigA
         new_chain_state, sig_chain = chain_process(
-            chain, state.chain_state, combined, ctx
+            chain, state.chain_state, chain_in, ctx
         )
         sigA = jnp.where(use_chain[:, None, None], sig_chain, sigA)
+        peakA = jnp.abs(sigA).max(axis=(1, 2))
     else:
         new_chain_state = state.chain_state
-
-    peakA = jnp.abs(sigA).max(axis=(1, 2))
+        peakA = (
+            peakA_fused
+            if peakA_fused is not None
+            else jnp.abs(sigA).max(axis=(1, 2))
+        )
     # prev volume := loudest channel's volume (cpp:537-551)
     flat = params.mix_volumes.reshape(N, -1)  # (c,e) order
     max_c = jnp.argmax(flat, axis=1) // 2

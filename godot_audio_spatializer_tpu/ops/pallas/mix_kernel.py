@@ -1,0 +1,199 @@
+"""Fused mode-A Stage-B kernel.
+
+Folds the whole per-source frame path of `_mix_from_playback_list`
+(reference audio_spatializer.cpp:326-471) around the biquad into ONE Pallas
+kernel: lookahead delay-line select, end-of-stream fade (0.96^k × linear
+64-tap ramp, cpp:380-398), active/has-frames masking, the interpolated-
+coefficient highshelf recurrence, bypass select, per-lane peak tracking,
+and the lookahead tail update — everything the XLA graph otherwise spends
+~10 elementwise passes (and ~10 × 7.5 µs dispatch) on.
+
+Lane packing mirrors biquad_kernel: (source, ear) pairs on [8, 128] vregs,
+frames sequential in registers.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import FADEOUT_BASE, LOOKAHEAD_BUFFER_SIZE
+from .biquad_kernel import LANES, _from_tiles, _to_tiles
+
+LA = LOOKAHEAD_BUFFER_SIZE
+
+
+def _mix_a_kernel(
+    x_ref,      # [1, F, 8, 128] resampled frames
+    la_ref,     # [1, LA, 8, 128] lookahead in
+    c0_ref,     # [1, 5, 8, 128]
+    inc_ref,    # [1, 5, 8, 128]
+    st_ref,     # [1, 4, 8, 128]
+    mixed_ref,  # [1, 1, 8, 128] f32 — frames mixed this block
+    zm_ref,     # [1, 1, 8, 128] f32 — signal mask (active & has_frames)
+    ap_ref,     # [1, 1, 8, 128] f32 — filter-apply mask (gain ≥ eps)
+    y_ref,      # out [1, F, 8, 128]
+    lao_ref,    # out [1, LA, 8, 128]
+    sto_ref,    # out [1, 4, 8, 128]
+    co_ref,     # out [1, 5, 8, 128]
+    pk_ref,     # out [1, 1, 8, 128]
+):
+    F = x_ref.shape[1]
+    b0 = c0_ref[0, 0]
+    b1 = c0_ref[0, 1]
+    b2 = c0_ref[0, 2]
+    a1 = c0_ref[0, 3]
+    a2 = c0_ref[0, 4]
+    i0 = inc_ref[0, 0]
+    i1 = inc_ref[0, 1]
+    i2 = inc_ref[0, 2]
+    i3 = inc_ref[0, 3]
+    i4 = inc_ref[0, 4]
+    x1 = st_ref[0, 0]
+    x2 = st_ref[0, 1]
+    y1 = st_ref[0, 2]
+    y2 = st_ref[0, 3]
+    mixed = mixed_ref[0, 0]
+    zmask = zm_ref[0, 0]
+    apply_m = ap_ref[0, 0]
+    la_f = jnp.float32(LA)
+
+    def make_step(read):
+        def step(f, carry):
+            b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+            xt = read(f)
+            # end-of-stream fade over combined positions [mixed, mixed+LA)
+            k = jnp.float32(f) - mixed  # [8,128]
+            in_fade = jnp.logical_and(k >= 0.0, k < la_f)
+            fadec = jnp.where(in_fade, fadec * FADEOUT_BASE, fadec)
+            factor = jnp.where(
+                k < 0.0, 1.0, jnp.where(in_fade, fadec * (la_f - k) / la_f, 0.0)
+            )
+            xt = xt * factor * zmask
+
+            b0 = b0 + i0
+            b1 = b1 + i1
+            b2 = b2 + i2
+            a1 = a1 + i3
+            a2 = a2 + i4
+            yf = b0 * xt + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+            yo = apply_m * yf + (1.0 - apply_m) * xt
+            y_ref[0, f] = yo
+            peak = jnp.maximum(peak, jnp.abs(yo))
+            return (b0, b1, b2, a1, a2, xt, x1, yf, y1, fadec, peak)
+
+        return step
+
+    init = (
+        b0, b1, b2, a1, a2, x1, x2, y1, y2,
+        jnp.ones_like(mixed), jnp.zeros_like(mixed),
+    )
+    # phase 1: delay-line head from the lookahead tail; phase 2: stream
+    carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
+    carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
+    b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+
+    # bypass lanes keep their history/coefficients (reference semantics)
+    sto_ref[0, 0] = apply_m * x1 + (1.0 - apply_m) * st_ref[0, 0]
+    sto_ref[0, 1] = apply_m * x2 + (1.0 - apply_m) * st_ref[0, 1]
+    sto_ref[0, 2] = apply_m * y1 + (1.0 - apply_m) * st_ref[0, 2]
+    sto_ref[0, 3] = apply_m * y2 + (1.0 - apply_m) * st_ref[0, 3]
+    co_ref[0, 0] = apply_m * b0 + (1.0 - apply_m) * c0_ref[0, 0]
+    co_ref[0, 1] = apply_m * b1 + (1.0 - apply_m) * c0_ref[0, 1]
+    co_ref[0, 2] = apply_m * b2 + (1.0 - apply_m) * c0_ref[0, 2]
+    co_ref[0, 3] = apply_m * a1 + (1.0 - apply_m) * c0_ref[0, 3]
+    co_ref[0, 4] = apply_m * a2 + (1.0 - apply_m) * c0_ref[0, 4]
+    pk_ref[0, 0] = peak
+
+    # lookahead tail update: full-mix lanes take the last LA resampled frames
+    full = jnp.logical_and(mixed >= jnp.float32(F), zmask > 0.0)[None]
+    lao_ref[0] = jnp.where(full, x_ref[0, F - LA : F], la_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("frame_count",))
+def _mix_a_tiles(x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
+    T = x.shape[0]
+    F = frame_count
+    spec = lambda k: pl.BlockSpec(
+        (1, k, 8, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _mix_a_kernel,
+        grid=(T,),
+        in_specs=[spec(F), spec(LA), spec(5), spec(5), spec(4), spec(1), spec(1), spec(1)],
+        out_specs=[spec(F), spec(LA), spec(4), spec(5), spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct(la.shape, jnp.float32),
+            jax.ShapeDtypeStruct(st.shape, jnp.float32),
+            jax.ShapeDtypeStruct(c0.shape, jnp.float32),
+            jax.ShapeDtypeStruct(mixed.shape, jnp.float32),
+        ],
+    )(x, la, c0, inc, st, mixed, zm, ap)
+
+
+def fused_mode_a(
+    frames,  # [N, F, 2] resampled frames (pre-fade)
+    lookahead,  # [N, LA, 2]
+    coeffs,  # [N, 5]
+    target,  # [N, 5]
+    state,  # [N, 2, 4] channel-0 filter histories (post just-started clear)
+    mixed,  # [N] i32
+    signal_mask,  # [N] bool — active & has_frames
+    apply_mask,  # [N] bool — highshelf engaged
+    frame_count: int,
+):
+    """Fused mode-A block. Returns (sigA [N,F,2], new_lookahead, new_state
+    [N,2,4], new_coeffs [N,5], peak [N])."""
+    N = frames.shape[0]
+    F = frame_count
+    L = 2 * N
+
+    def lanes(arr_ne):  # [N, 2, k] → [L, k]
+        return arr_ne.reshape(L, arr_ne.shape[-1])
+
+    x_l = lanes(jnp.moveaxis(frames, 2, 1))  # [L, F]
+    la_l = lanes(jnp.moveaxis(lookahead, 2, 1))  # [L, LA]
+    c0_l = lanes(jnp.broadcast_to(coeffs[:, None, :], (N, 2, 5)))
+    incr = jnp.where(apply_mask[:, None], (target - coeffs) / F, 0.0)
+    inc_l = lanes(jnp.broadcast_to(incr[:, None, :], (N, 2, 5)))
+    st_l = state.reshape(L, 4)
+    mixed_l = lanes(
+        jnp.broadcast_to(mixed.astype(jnp.float32)[:, None, None], (N, 2, 1))
+    )
+    zm_l = lanes(
+        jnp.broadcast_to(
+            signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1)
+        )
+    )
+    ap_l = lanes(
+        jnp.broadcast_to(apply_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
+    )
+
+    xt = _to_tiles(x_l, F)
+    lat = _to_tiles(la_l, LA)
+    c0t = _to_tiles(c0_l, 5)
+    inct = _to_tiles(inc_l, 5)
+    stt = _to_tiles(st_l, 4)
+    mt = _to_tiles(mixed_l, 1)
+    zt = _to_tiles(zm_l, 1)
+    at = _to_tiles(ap_l, 1)
+
+    y, lao, sto, co, pk = _mix_a_tiles(
+        xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F
+    )
+
+    def unl(arr, k):  # [T,k,8,128] → [N,2,k]
+        return _from_tiles(arr, L, k).reshape(N, 2, k)
+
+    sig = jnp.moveaxis(unl(y, F), 1, 2)  # [N, F, 2]
+    new_la = jnp.moveaxis(unl(lao, LA), 1, 2)
+    new_state = unl(sto, 4)
+    new_coeffs = unl(co, 5)[:, 0]
+    peak = unl(pk, 1)[:, :, 0].max(axis=1)  # max over ears
+    return sig, new_la, new_state, new_coeffs, peak
