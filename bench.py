@@ -77,7 +77,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
 def bench_hrtf(n, mix_rate, frame_count, taps=128):
     rng = np.random.default_rng(0)
     (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
-        build_bench_scene(n, BLOCKS, frame_count, mix_rate)
+        build_bench_scene(n, BLOCKS, frame_count, mix_rate, doppler=False)
     )
     db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
     st = make_hrtf_render_state(n, taps)
@@ -89,6 +89,7 @@ def bench_hrtf(n, mix_rate, frame_count, taps=128):
         lambda: render_hrtf_trajectory(
             st, scene0, pos_seq, vel_seq, rots, params, bank, db_fft,
             db_index_fn=db.nearest_index, frame_count=frame_count, taps=taps,
+            unit_pitch_aligned=True,
         )
     )
     rtf = BLOCKS * frame_count / mix_rate / secs
@@ -98,7 +99,7 @@ def bench_hrtf(n, mix_rate, frame_count, taps=128):
 
 def bench_ambisonic(n, mix_rate, frame_count, taps=128):
     (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
-        build_bench_scene(n, BLOCKS, frame_count, mix_rate)
+        build_bench_scene(n, BLOCKS, frame_count, mix_rate, doppler=False)
     )
     db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
     dec = AmbisonicDecoder(db, order=3, n_virtual=32)
@@ -108,6 +109,7 @@ def bench_ambisonic(n, mix_rate, frame_count, taps=128):
         lambda: render_ambisonic_trajectory(
             st, scene0, pos_seq, vel_seq, params, bank, fft,
             order=3, taps=taps, frame_count=frame_count, collect=False,
+            unit_pitch_aligned=True,
         )
     )
     rtf = BLOCKS * frame_count / mix_rate / secs
@@ -144,7 +146,7 @@ def main():
     # config 1: 1 mono source → stereo pan + inverse distance, 44.1 kHz
     results.append(
         bench_mix(1, SpeakerMode.STEREO, 44100.0, 512, doppler=False,
-                  label="c1_single_source_stereo")
+                  unit_pitch_aligned=True, label="c1_single_source_stereo")
     )
     # config 2: 64 moving sources → 5.1, doppler + gain ramps
     results.append(
@@ -154,7 +156,8 @@ def main():
     # config 3: per-source lowpass occlusion chain
     results.append(
         bench_mix(
-            1024, SpeakerMode.STEREO, 48000.0, 512,
+            1024, SpeakerMode.STEREO, 48000.0, 512, doppler=False,
+            unit_pitch_aligned=True,
             chain=(AudioEffectFilter(FilterMode.LOWPASS, cutoff_hz=1500.0),),
             use_chain=True, label="c3_1024src_occlusion_chain",
         )

@@ -91,6 +91,7 @@ def ambisonic_engine_step(
     order: int,
     taps: int,
     frame_count: int,
+    unit_pitch_aligned: bool = False,
 ):
     """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
     F = frame_count
@@ -130,6 +131,7 @@ def ambisonic_engine_step(
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), F,
+        unit_pitch_aligned=unit_pitch_aligned,
     )
     mono = frames.mean(axis=2)  # [N,F]
     t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
@@ -157,7 +159,10 @@ def ambisonic_engine_step(
     return new_state, jnp.moveaxis(y, 0, 1), sh
 
 
-@functools.partial(jax.jit, static_argnames=("order", "taps", "frame_count", "collect"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("order", "taps", "frame_count", "collect", "unit_pitch_aligned"),
+)
 def render_ambisonic_trajectory(
     state: AmbisonicState,
     scene0: SceneState,
@@ -171,6 +176,7 @@ def render_ambisonic_trajectory(
     taps: int,
     frame_count: int,
     collect: bool = True,
+    unit_pitch_aligned: bool = False,
 ):
     def step(carry, xs):
         st = carry
@@ -179,6 +185,7 @@ def render_ambisonic_trajectory(
         st, out, _ = ambisonic_engine_step(
             st, scene, params, bank, decoder_fft,
             order=order, taps=taps, frame_count=frame_count,
+            unit_pitch_aligned=unit_pitch_aligned,
         )
         return st, (out if collect else jnp.sum(out * out))
 

@@ -187,6 +187,7 @@ def hrtf_engine_step(
     *,
     frame_count: int,
     taps: int,
+    unit_pitch_aligned: bool = False,
 ):
     """One binaural block: geometry → resample → HRIR convolve → sum.
 
@@ -233,6 +234,7 @@ def hrtf_engine_step(
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
+        unit_pitch_aligned=unit_pitch_aligned,
     )
     mono = frames.mean(axis=2)  # [N,F] — HRTF path takes mono sources
     mono = jnp.where(state.active[:, None], mono, 0.0)
@@ -250,7 +252,8 @@ def hrtf_engine_step(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("frame_count", "taps", "db_index_fn")
+    jax.jit,
+    static_argnames=("frame_count", "taps", "db_index_fn", "unit_pitch_aligned"),
 )
 def render_hrtf_trajectory(
     state: HrtfRenderState,
@@ -265,6 +268,7 @@ def render_hrtf_trajectory(
     db_index_fn,
     frame_count: int,
     taps: int,
+    unit_pitch_aligned: bool = False,
 ):
     """K binaural blocks with moving sources and a rotating head."""
 
@@ -279,6 +283,7 @@ def render_hrtf_trajectory(
         st, out = hrtf_engine_step(
             st, scene, params, bank, db_fft, db_index_fn,
             frame_count=frame_count, taps=taps,
+            unit_pitch_aligned=unit_pitch_aligned,
         )
         return st, out
 
