@@ -58,6 +58,10 @@ class AudioStreamPlayerSpatial:
         self._pending_plays: List[float] = []
         self._pending_stop = False
         self.finished_callbacks: List[Callable[[], None]] = []
+        # per-stream playback parameters ("parameters/*" dynamic properties,
+        # reference audio_stream_player_spatial.cpp:158-173,425-463): applied
+        # to each new playback at start
+        self.playback_parameters: dict = {}
         if autoplay:
             self.play(0.0)
 
@@ -165,6 +169,24 @@ class AudioStreamPlayerSpatial:
     def has_stream_playback(self) -> bool:
         return len(self.slots) > 0
 
+    def get_stream_playback(self) -> Optional["PlaybackHandle"]:
+        """Handle to the most recent playback (reference cpp:330-340)."""
+        if not self.slots:
+            return None
+        return PlaybackHandle(self, self.slots[-1])
+
+    def set_playback_parameter(self, name: str, value) -> None:
+        """Set a `parameters/<name>` property applied to future playbacks.
+
+        Supported by AudioStreamSample playbacks: `looping` (bool) —
+        overrides the stream's loop flag per playback."""
+        key = name.split("/", 1)[-1]
+        self.playback_parameters[key] = value
+
+    def get_playback_parameter(self, name: str):
+        key = name.split("/", 1)[-1]
+        return self.playback_parameters.get(key)
+
     def get_playback_position(self) -> float:
         """Seconds into the most recent playback (reference cpp:145-159)."""
         if not self.slots:
@@ -180,3 +202,19 @@ class AudioStreamPlayerSpatial:
     def _emit_finished(self) -> None:
         for cb in self.finished_callbacks:
             cb()
+
+
+class PlaybackHandle:
+    """AudioStreamPlayback stand-in: a view onto one engine slot."""
+
+    def __init__(self, player: AudioStreamPlayerSpatial, slot: int):
+        self._player = player
+        self.slot = slot
+
+    def is_playing(self) -> bool:
+        return self.slot in self._player.slots
+
+    def get_playback_position(self) -> float:
+        if not self.is_playing():
+            return 0.0
+        return self._player.engine.get_slot_position_seconds(self.slot)

@@ -437,7 +437,13 @@ class AudioEngine:
                 base, length = self.register_stream(pl.stream)
                 self._slot_bank_base[s] = base
                 self._slot_bank_length[s] = length
-                self._slot_bank_loop[s] = pl.stream.loop
+                # `parameters/looping` playback parameter overrides the
+                # stream's loop flag per playback (the reference's dynamic
+                # parameters/* passthrough, cpp:158-173)
+                loop_override = pl.playback_parameters.get("looping")
+                self._slot_bank_loop[s] = (
+                    pl.stream.loop if loop_override is None else bool(loop_override)
+                )
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
                 )

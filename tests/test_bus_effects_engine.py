@@ -1,0 +1,69 @@
+"""Bus effect chains through the full engine (state threading across blocks)."""
+
+import numpy as np
+import pytest
+
+from godot_audio_spatializer_tpu.constants import SpeakerMode
+from godot_audio_spatializer_tpu.engine.scene import AreaDesc, ListenerDesc
+from godot_audio_spatializer_tpu.engine.server import AudioEngine
+from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+from godot_audio_spatializer_tpu.engine.player import AudioStreamPlayerSpatial
+from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
+from godot_audio_spatializer_tpu.models.effects import BusEffectFilter, BusEffectReverb
+from godot_audio_spatializer_tpu.ops.filters import FilterMode
+
+RATE, F = 44100.0, 512
+
+
+def test_reverb_bus_tail_persists_after_source_ends():
+    """Area routes a short burst into a Reverb bus with an FDN reverb; the
+    bus must keep ringing after the dry burst ends (fx state threads
+    across blocks through the engine)."""
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+    eng.add_bus("Reverb")
+    eng.add_bus_effect("Reverb", BusEffectReverb(room_size=0.9, damping=0.3,
+                                                 wet=1.0, dry=0.0))
+    eng.add_listener(ListenerDesc())
+    eng.add_area(AreaDesc(np.zeros(3), np.full(3, 40.0), 1,
+                          None, "Reverb", 1.0, 0.0))
+    burst = (np.random.default_rng(2).standard_normal(600) * 0.5).astype(np.float32)
+    player = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(burst, sample_rate=RATE),
+        spatializer=AudioSpatializer3D(),
+    )
+    player.set_position([1.0, 0.0, -1.0])
+    player.play()
+    blocks = []
+    for _ in range(20):
+        eng.physics_step()
+        blocks.append(eng.render_block())
+    assert not player.is_playing(), "burst should have ended"
+    late = np.abs(np.concatenate(blocks[10:], axis=1)).max()
+    assert late > 1e-6, "reverb tail missing — bus effect state not threaded"
+    early_energy = float((np.concatenate(blocks[:4], axis=1) ** 2).sum())
+    late_energy = float((np.concatenate(blocks[14:], axis=1) ** 2).sum())
+    assert late_energy < early_energy, "tail must decay"
+
+
+def test_bus_filter_and_fader():
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+    eng.add_bus("Muffled", volume_db=-6.0)
+    eng.add_bus_effect("Muffled", BusEffectFilter(FilterMode.LOWPASS, cutoff_hz=500.0))
+    eng.add_listener(ListenerDesc())
+    noise = (np.random.default_rng(3).standard_normal(int(RATE)) * 0.4).astype(np.float32)
+    player = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(noise, loop=True, sample_rate=RATE),
+        spatializer=AudioSpatializer3D(), bus="Muffled",
+    )
+    player.set_position([0.5, 0.0, -0.5])
+    player.play()
+    out = []
+    for _ in range(6):
+        eng.physics_step()
+        out.append(eng.render_block())
+    sig = np.concatenate(out, axis=1)[0, F:, 0]  # skip ramp-in block
+    spec = np.abs(np.fft.rfft(sig))
+    freqs = np.fft.rfftfreq(sig.shape[0], 1 / RATE)
+    lo = spec[(freqs > 50) & (freqs < 400)].mean()
+    hi = spec[(freqs > 4000) & (freqs < 10000)].mean()
+    assert lo > 8 * hi, f"lowpass bus effect not engaged (lo {lo}, hi {hi})"
