@@ -163,6 +163,7 @@ class AudioEngine:
         physics_rate: float = 60.0,
         source_effects: Sequence = (),
         max_pitch: float = 2.0,
+        stage_a_override: Optional[object] = None,
     ):
         self.mix_rate = float(mix_rate)
         self.block_size = int(block_size)
@@ -177,6 +178,9 @@ class AudioEngine:
         self.biquad_method = biquad_method
         self.physics_rate = float(physics_rate)
         self.max_pitch = float(max_pitch)
+        # custom batched Stage A (models/custom.py AudioSpatializerCustom);
+        # also auto-adopted from the first custom spatializer attached
+        self.stage_a_override = stage_a_override
 
         self.buses: List[Bus] = [Bus("Master", send=None)]
         self.listeners: List[ListenerDesc] = []
@@ -487,6 +491,37 @@ class AudioEngine:
         self._free_slots.append(s)
 
     def _stage_a(self, scene, params, was_out) -> SpatializeResult:
+        from ..models.custom import AudioSpatializerCustom
+
+        fn = self.stage_a_override
+        for pl in self.players:
+            if isinstance(pl.spatializer_base, AudioSpatializerCustom):
+                custom = pl.spatializer_base.calculate_spatialization
+                if fn is None:
+                    fn = custom
+                    self.stage_a_override = fn
+                elif fn is not custom:
+                    raise ValueError(
+                        "all custom spatializers in one engine must share a "
+                        "single batched stage-A function (the engine batches "
+                        "every player into one Stage A dispatch)"
+                    )
+        if fn is not None:
+            cached = getattr(self, "_stage_a_custom_jit", None)
+            if cached is None or cached[0] is not fn:
+                cached = (
+                    fn,
+                    jax.jit(
+                        fn,
+                        static_argnames=("speaker_mode", "global_panning_strength"),
+                    ),
+                )
+                self._stage_a_custom_jit = cached
+            return cached[1](
+                scene, params, was_out,
+                speaker_mode=self.speaker_mode,
+                global_panning_strength=self.global_panning_strength,
+            )
         return _stage_a_jit(
             scene,
             params,
