@@ -603,6 +603,19 @@ class AudioEngine:
             "num_buses": self.num_buses,
         }
 
+    # ------------------------------------------------------ profiling (§5.1)
+    def profile(self, path: str = "/tmp/gas_trace"):
+        """Context manager capturing a jax.profiler trace of enclosed work:
+
+            with engine.profile("/tmp/trace"):
+                engine.physics_step(); engine.render_block()
+
+        View with tensorboard / xprof.  (The reference has no tracing at
+        all — SURVEY §5.1 — only commented-out print_verbose calls.)"""
+        import jax.profiler
+
+        return jax.profiler.trace(path)
+
     # --------------------------------------------- checkpoint/resume (§5.4)
     def save_state(self, path: str) -> None:
         """Serialize all carried audio state (cursors, lookahead tails,

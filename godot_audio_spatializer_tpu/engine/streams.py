@@ -44,6 +44,24 @@ class AudioStreamSample(AudioStream):
     """Raw PCM clip."""
 
 
+class AudioStreamWAV(AudioStreamSample):
+    """WAV-file-backed clip (Godot AudioStreamWAV equivalent).
+
+    Decoding happens once at load via the native reader
+    (utils/native.py — C++ fast path with a pure-Python fallback)."""
+
+    @staticmethod
+    def load(path: str, loop: bool = False) -> "AudioStreamWAV":
+        from ..utils.native import read_wav_native
+
+        data, rate = read_wav_native(path)
+        if data.shape[1] == 1:
+            data = np.repeat(data, 2, axis=1)
+        elif data.shape[1] > 2:
+            data = data[:, :2]
+        return AudioStreamWAV(data, loop=loop, sample_rate=float(rate))
+
+
 def sine_stream(freq: float, seconds: float, mix_rate: float, amplitude: float = 0.5,
                 loop: bool = False) -> AudioStreamSample:
     t = np.arange(int(seconds * mix_rate), dtype=np.float64) / mix_rate
