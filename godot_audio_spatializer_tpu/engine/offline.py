@@ -12,13 +12,13 @@ block-by-block for interactive use; this path exists for throughput
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..constants import MAX_CHANNELS_PER_BUS, PLAYBACK_DISABLE_THRESHOLD_DB, SpeakerMode
+from ..constants import PLAYBACK_DISABLE_THRESHOLD_DB, SpeakerMode
 from ..ops.geometry import SceneState, SourceParams, calculate_spatialization
 from ..ops.mix import BlockParams, MixState, SampleBank, mix_block
 from ..ops.resample import quantize_pitch

@@ -9,7 +9,7 @@ drains at the mix-rate cadence and accounts underruns via the native pacer.
 from __future__ import annotations
 
 import threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

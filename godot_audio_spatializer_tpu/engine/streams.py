@@ -9,7 +9,6 @@ once at registration, not per block.
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np

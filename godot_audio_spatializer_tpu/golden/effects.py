@@ -7,7 +7,6 @@ as slow per-sample loops against which the batched chain is validated.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
 
 import numpy as np
 

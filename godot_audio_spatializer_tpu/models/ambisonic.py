@@ -9,8 +9,6 @@ SH-domain binaural filters (overlap-save, cost independent of N).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,11 +21,10 @@ gd_spatializer_instance.gd:131-133).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..constants import HIGHSHELF_GAIN_EPSILON
 from ..ops.biquad import biquad_interp_block

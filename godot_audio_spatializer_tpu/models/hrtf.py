@@ -15,14 +15,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..constants import CMP_EPSILON
 from ..ops.geometry import SceneState, SourceParams
 from ..ops.attenuation import attenuation_db
 from ..ops.hrtf import (

@@ -13,7 +13,7 @@ math runs in the batched Stage A/B kernels (ops/geometry.py, ops/mix.py);
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Optional
 
 from ..constants import AttenuationModel, DopplerTracking

@@ -20,7 +20,7 @@ the `_process_effects` hook pattern (reference cpp:90-92)."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from .spatializer3d import AudioSpatializer3D
 

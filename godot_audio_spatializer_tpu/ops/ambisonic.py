@@ -57,8 +57,6 @@ def sh_encode(dirs, order: int = 3):
 
 def sh_encode_np(dirs: np.ndarray, order: int = 3) -> np.ndarray:
     """NumPy twin of sh_encode for host-side decoder design."""
-    import numpy as jnp_  # same formulas, numpy backend
-
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     one = np.ones_like(x)
     ch = [one]

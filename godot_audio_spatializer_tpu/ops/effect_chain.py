@@ -18,8 +18,6 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
 from flax import struct
 
 

@@ -14,8 +14,6 @@ runs on device).
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import jax.numpy as jnp
 from flax import struct
@@ -23,7 +21,6 @@ from flax import struct
 from ..constants import (
     DOPPLER_PITCH_MAX,
     DOPPLER_PITCH_MIN,
-    MAX_CHANNELS_PER_BUS,
     SpeakerMode,
 )
 from ..utils.dsp import db_to_linear, safe_normalize

@@ -15,11 +15,9 @@ batched FFT + elementwise path, no per-source loops.
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import struct
 
 

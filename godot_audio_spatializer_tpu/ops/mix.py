@@ -23,7 +23,6 @@ from __future__ import annotations
 import math
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 

@@ -15,7 +15,6 @@ frames sequential in registers.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...constants import FADEOUT_BASE, LOOKAHEAD_BUFFER_SIZE
-from .biquad_kernel import LANES, _from_tiles, _to_tiles
+from .biquad_kernel import _from_tiles, _to_tiles
 
 LA = LOOKAHEAD_BUFFER_SIZE
 

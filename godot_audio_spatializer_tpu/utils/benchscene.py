@@ -9,8 +9,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import SpeakerMode
-from ..engine.offline import SlotConfig, default_slot_config
+from ..engine.offline import default_slot_config
 from ..engine.scene import ListenerDesc, build_scene_state, default_source_params
 from ..ops.mix import SampleBank, make_mix_state
 

@@ -6,7 +6,6 @@ the realtime path; this is the dependency-free fallback and the test tool.
 
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

@@ -1,0 +1,135 @@
+"""Direct parity: ops/resample vs the golden BufferStream, block by block.
+
+Covers the L0 resampler contract edges: fractional pitch, end-of-clip
+partial mixes, loop wrap (including short loops), cursor bit-exactness,
+and the unit-pitch aligned fast path.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from godot_audio_spatializer_tpu.golden.reference import BufferStream
+from godot_audio_spatializer_tpu.ops.resample import (
+    build_bank,
+    quantize_pitch,
+    resample_block,
+)
+
+F = 256
+
+
+def run_device(clips_data, loops, cursors, pitches, n_blocks, *, max_pitch=2.0,
+               unit_aligned=False):
+    n = len(clips_data)
+    bank_data, bases = build_bank(list(zip(clips_data, loops)), F, max_pitch)
+    bank = jnp.asarray(bank_data)
+    base = jnp.asarray(np.asarray(bases, np.int32))
+    length = jnp.asarray(np.asarray([d.shape[0] for d in clips_data], np.int32))
+    loop = jnp.asarray(np.asarray(loops, bool))
+    ci = jnp.asarray(np.asarray(cursors, np.int32))
+    cf = jnp.zeros(n, jnp.int32)
+    pfp = quantize_pitch(jnp.asarray(np.asarray(pitches, np.float32)))
+    frames_all, mixed_all, cis, cfs = [], [], [], []
+    for _ in range(n_blocks):
+        frames, mixed, ci, cf = resample_block(
+            bank, base, length, loop, ci, cf, pfp, F,
+            max_pitch=max_pitch, unit_pitch_aligned=unit_aligned,
+        )
+        frames_all.append(np.asarray(frames))
+        mixed_all.append(np.asarray(mixed))
+        cis.append(np.asarray(ci))
+        cfs.append(np.asarray(cf))
+    return frames_all, mixed_all, cis, cfs
+
+
+def run_golden(clips_data, loops, cursors, pitches, n_blocks):
+    streams = []
+    for d, l, c in zip(clips_data, loops, cursors):
+        s = BufferStream(d, loop=l)
+        s.start(int(c))
+        streams.append(s)
+    frames_all, mixed_all, idxs, fracs = [], [], [], []
+    for _ in range(n_blocks):
+        fb, mb, ib, frb = [], [], [], []
+        for s, p in zip(streams, pitches):
+            out = np.zeros((F, 2), np.float32)
+            m = s.mix(out, float(p), F)
+            fb.append(out)
+            mb.append(m)
+            ib.append(s.idx)
+            frb.append(s.frac)
+        frames_all.append(np.stack(fb))
+        mixed_all.append(np.asarray(mb))
+        idxs.append(np.asarray(ib))
+        fracs.append(np.asarray(frb))
+    return frames_all, mixed_all, idxs, fracs
+
+
+def _compare(clips, loops, cursors, pitches, n_blocks=4, check_cursors=True,
+             **kw):
+    d_frames, d_mixed, d_ci, d_cf = run_device(
+        clips, loops, cursors, pitches, n_blocks, **kw
+    )
+    g_frames, g_mixed, g_ci, g_cf = run_golden(
+        clips, loops, cursors, pitches, n_blocks
+    )
+    for b in range(n_blocks):
+        np.testing.assert_allclose(
+            d_frames[b], g_frames[b], atol=1e-6, err_msg=f"frames block {b}"
+        )
+        np.testing.assert_array_equal(d_mixed[b], g_mixed[b], f"mixed block {b}")
+        if check_cursors:
+            active = g_mixed[b] == F  # golden stops advancing at stream end
+            np.testing.assert_array_equal(
+                d_ci[b][active], g_ci[b][active], f"cursor idx block {b}"
+            )
+            np.testing.assert_array_equal(
+                d_cf[b][active], g_cf[b][active], f"cursor frac block {b}"
+            )
+
+
+def _clips(rng, lengths):
+    return [
+        (rng.standard_normal((s, 2)) * 0.5).astype(np.float32) for s in lengths
+    ]
+
+
+def test_fractional_pitches():
+    rng = np.random.default_rng(70)
+    clips = _clips(rng, [4000, 4000, 4000, 4000])
+    _compare(clips, [False] * 4, [0, 10, 100, 7],
+             [1.0, 0.5, 1.37, 1.999], n_blocks=3)
+
+
+def test_end_of_clip_partial_mix():
+    rng = np.random.default_rng(71)
+    clips = _clips(rng, [300, 500, 700])
+    _compare(clips, [False] * 3, [0, 0, 100], [1.0, 1.25, 0.75], n_blocks=4)
+
+
+def test_loop_wrap_and_short_loop():
+    rng = np.random.default_rng(72)
+    clips = _clips(rng, [1000, 300, 2048])
+    _compare(clips, [True] * 3, [0, 50, 2000], [1.0, 1.5, 0.9], n_blocks=5)
+
+
+def test_unit_pitch_aligned_fast_path():
+    rng = np.random.default_rng(73)
+    clips = _clips(rng, [2048, 1024])  # lengths multiples of 128
+    _compare(clips, [True, True], [0, 512], [1.0, 1.0], n_blocks=5,
+             unit_aligned=True)
+
+
+def test_fast_path_end_of_clip():
+    rng = np.random.default_rng(74)
+    clips = _clips(rng, [640, 2048])
+    _compare(clips, [False, False], [0, 128], [1.0, 1.0], n_blocks=4,
+             unit_aligned=True)
+
+
+def test_pitch_quantization_matches_golden():
+    # golden quantizes pitch the same way (round-half-even to 1/65536)
+    for p in (1.0, 1.2345, 0.333333, 1.99997):
+        fp = int(np.asarray(quantize_pitch(jnp.float32(p))))
+        assert fp == round(p * 65536)
