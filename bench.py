@@ -67,6 +67,8 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         speaker_mode=speaker_mode, mix_rate=mix_rate, frame_count=frame_count,
         collect_master=False, chain=chain, biquad_method="pallas",
         unit_pitch_aligned=unit_pitch_aligned, physics_every=physics_every,
+        # variable-pitch path: the Pallas one-hot-matmul resampler
+        resample_gather="xla" if unit_pitch_aligned else "kernel",
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = BLOCKS * frame_count / mix_rate / secs
@@ -134,7 +136,7 @@ def main():
     # reference's parameters are per-tick snapshots either way)
     results.append(
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512,
-                  doppler=False, unit_pitch_aligned=True, physics_every=2,
+                  doppler=False, unit_pitch_aligned=True,
                   label="north_star_4096src_physics47Hz")
     )
     # doppler variant of the north star (general resample path)

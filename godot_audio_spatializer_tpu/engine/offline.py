@@ -63,6 +63,7 @@ def engine_step(
     chain: Tuple = (),
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
@@ -113,6 +114,7 @@ def engine_step(
         chain=chain,
         max_pitch=max_pitch,
         unit_pitch_aligned=unit_pitch_aligned,
+        resample_gather=resample_gather,
     )
     empty = tuple(() for _ in sends)
     master, _ = bus_graph_reduce(
@@ -137,6 +139,7 @@ def engine_step(
         "max_pitch",
         "unit_pitch_aligned",
         "physics_every",
+        "resample_gather",
     ),
 )
 def render_trajectory(
@@ -162,6 +165,7 @@ def render_trajectory(
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
     physics_every: int = 1,
+    resample_gather: str = "xla",
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -174,40 +178,18 @@ def render_trajectory(
     cadence (physics ticks at 60 Hz, audio blocks at mix_rate/F ≈ 94 Hz;
     parameters are per-tick snapshots applied to whole blocks,
     audio_spatializer.cpp:258-272).  K must be a multiple of k.
+
+    Stage A runs ONCE for all ticks as a single vmapped dispatch before the
+    block scan: the only cross-tick dependency in the reference's physics
+    path is the out-of-range two-frame hysteresis (cpp:466-471), whose
+    recurrence `update_t = ¬(out_t ∧ out_{t−1})` separates from the pure
+    per-tick geometry — so the per-block Stage A cost is amortized to ~one
+    xs slice per scan step (the bench device pays ~7.5 µs per XLA op inside
+    scan; sequential Stage A was ~80 ops/tick).
     """
-    from ..ops.geometry import calculate_spatialization
     from ..ops.mix import BlockParams, mix_block
     from ..ops.resample import quantize_pitch
 
-    if physics_every == 1:
-
-        def step(carry, xs):
-            state, wo = carry
-            pos, vel = xs
-            scene = scene0.replace(source_pos=pos, source_vel=vel)
-            state, wo, master, _ = engine_step(
-                state, wo, scene, params, slot_cfg, bank,
-                speaker_mode=speaker_mode,
-                mix_rate=mix_rate,
-                frame_count=frame_count,
-                mix_channel_enabled=mix_channel_enabled,
-                global_panning_strength=global_panning_strength,
-                biquad_method=biquad_method,
-                sends=sends,
-                bus_volumes_db=bus_volumes_db,
-                chain=chain,
-                max_pitch=max_pitch,
-                unit_pitch_aligned=unit_pitch_aligned,
-            )
-            out = master if collect_master else jnp.sum(master * master)
-            return (state, wo), out
-
-        (state, wo), outs = jax.lax.scan(
-            step, (mix_state, was_out), (source_pos_seq, source_vel_seq)
-        )
-        return state, wo, outs
-
-    # tick-grouped scan: Stage A once, then k mix blocks per step
     k = physics_every
     K = source_pos_seq.shape[0]
     assert K % k == 0, "num_blocks must be a multiple of physics_every"
@@ -216,35 +198,52 @@ def render_trajectory(
     channel_count = {0: 1, 1: 2, 2: 3, 3: 4}[int(speaker_mode)]
     num_buses = mix_state.srv_prev.shape[1]
 
-    def tick_step(carry, xs):
-        state, wo = carry
-        pos, vel = xs
+    # ---- batched Stage A over all ticks ----
+    def one_tick(pos, vel):
         scene = scene0.replace(source_pos=pos, source_vel=vel)
-        result = calculate_spatialization(
-            scene, params, wo, speaker_mode, global_panning_strength
+        return calculate_spatialization(
+            scene, params, jnp.zeros_like(was_out), speaker_mode,
+            global_panning_strength,
         )
-        mv = result.mix_volumes
+
+    res = jax.vmap(one_tick)(pos_g, vel_g)  # SpatializeResult, leading G
+    out = res.was_out_of_range  # [G, N] — pure per-tick geometry
+    was_in = jnp.concatenate([was_out[None], out[:-1]], axis=0)
+    update = (~(out & was_in)) & scene0.source_active[None]
+    res = res.replace(update_parameters=update)
+
+    # batched dense server bus-volume targets (get_bus_map semantics; see
+    # server._tick_update for the per-mode rules)
+    def dense_of(r):
+        mv = r.mix_volumes
         onehot = (
-            (result.bus_index[..., None] == jnp.arange(num_buses)[None, None, :])
-            & (result.bus_index[..., None] >= 0)
+            (r.bus_index[..., None] == jnp.arange(num_buses)[None, None, :])
+            & (r.bus_index[..., None] >= 0)
         ).astype(jnp.float32)
         safe_mv = jnp.where(mv[:, None] > 0, mv[:, None], 1.0)
-        ratio = jnp.where(mv[:, None] > 0.0, result.bus_volumes / safe_mv, 0.0)
-        val_a = jnp.broadcast_to(mv[:, None], result.bus_volumes.shape)
-        val = jnp.where(slot_cfg.mix_channel_mode[:, None, None, None], ratio, val_a)
-        dense = jnp.einsum("nsb,nsce->nbce", onehot, val)
+        ratio = jnp.where(mv[:, None] > 0.0, r.bus_volumes / safe_mv, 0.0)
+        val_a = jnp.broadcast_to(mv[:, None], r.bus_volumes.shape)
+        val = jnp.where(
+            slot_cfg.mix_channel_mode[:, None, None, None], ratio, val_a
+        )
+        return jnp.einsum("nsb,nsce->nbce", onehot, val)
+
+    dense_g = jax.vmap(dense_of)(res)  # [G, N, B, 4, 2]
+
+    def tick_step(state, xs):
+        r, dense = xs
         state = state.replace(
             srv_target=jnp.where(
-                result.update_parameters[:, None, None, None],
+                r.update_parameters[:, None, None, None],
                 dense,
                 state.srv_target,
             )
         )
         bp = BlockParams(
-            mix_volumes=mv,
-            pitch_fp=quantize_pitch(result.pitch_scale),
-            linear_attenuation=result.linear_attenuation,
-            attenuation_filter_cutoff_hz=result.attenuation_filter_cutoff_hz,
+            mix_volumes=r.mix_volumes,
+            pitch_fp=quantize_pitch(r.pitch_scale),
+            linear_attenuation=r.linear_attenuation,
+            attenuation_filter_cutoff_hz=r.attenuation_filter_cutoff_hz,
             mix_channel_mode=slot_cfg.mix_channel_mode,
             threshold_db=slot_cfg.threshold_db,
             paused=slot_cfg.paused,
@@ -260,6 +259,7 @@ def render_trajectory(
                 mix_channel_enabled=mix_channel_enabled,
                 biquad_method=biquad_method, chain=chain,
                 max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
+                resample_gather=resample_gather,
             )
             empty = tuple(() for _ in sends)
             master, _ = bus_graph_reduce(
@@ -269,10 +269,10 @@ def render_trajectory(
                 outs.append(master)
             else:
                 acc = acc + jnp.sum(master * master)
-        out = jnp.stack(outs) if collect_master else acc
-        return (state, result.was_out_of_range), out
+        o = jnp.stack(outs) if collect_master else acc
+        return state, o
 
-    (state, wo), outs = jax.lax.scan(tick_step, (mix_state, was_out), (pos_g, vel_g))
+    state, outs = jax.lax.scan(tick_step, mix_state, (res, dense_g))
     if collect_master:
         outs = outs.reshape((K,) + outs.shape[2:])
-    return state, wo, outs
+    return state, out[-1], outs

@@ -195,6 +195,9 @@ class AudioStreamPlayerSpatial:
 
     def set_stream_paused(self, paused: bool) -> None:
         self.stream_paused = paused
+        # applies to live proxies immediately (reference cpp:115-122);
+        # playbacks started later begin unpaused
+        self.engine.apply_player_pause(self, paused)
 
     def connect_finished(self, cb: Callable[[], None]) -> None:
         self.finished_callbacks.append(cb)

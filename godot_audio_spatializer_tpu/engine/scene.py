@@ -134,9 +134,16 @@ def default_source_params(n: int, num_buses_master_index: int = 0) -> SourcePara
         doppler_speed_of_sound=np.full(n, 343.0, np.float32),
         volume_db=np.zeros(n, np.float32),
         max_db=np.full(n, 3.0, np.float32),
+        volume_linear=np.ones(n, np.float32),
+        max_linear=np.full(n, db_to_linear_host(3.0), np.float32),
         pitch_scale=np.ones(n, np.float32),
         bus_index=np.full(n, num_buses_master_index, np.int32),
     )
+
+
+def db_to_linear_host(db) -> np.ndarray:
+    """float64 host-side db→linear (feeds SourceParams.volume_linear)."""
+    return np.exp(np.asarray(db, np.float64) * 0.11512925464970228420089957273422)
 
 
 def build_scene_state(

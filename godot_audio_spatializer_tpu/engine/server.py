@@ -41,7 +41,7 @@ from ..ops.mix import BlockParams, MixState, SampleBank, make_mix_state, mix_blo
 from ..ops.resample import quantize_pitch
 from ..utils.dsp import db_to_linear
 from .player import AudioStreamPlayerSpatial
-from .scene import AreaDesc, ListenerDesc, build_scene_state
+from .scene import AreaDesc, ListenerDesc, build_scene_state, db_to_linear_host
 from .streams import AudioStream
 
 
@@ -75,7 +75,8 @@ def _slot_gather(result: SpatializeResult, slot_player, valid):
 def _tick_update(
     result: SpatializeResult,
     state: MixState,
-    slot_player,  # [N] i32, -1 = free slot
+    slot_player,  # [N] i32, -1 = free slot (post stop-release)
+    slot_player_sib,  # [N] i32 — snapshot BEFORE this tick's stop releases
     play_mask,  # [N] bool — slots (re)starting this tick
     play_cursor,  # [N] i32 — start sample for started slots
     stop_mask,  # [N] bool
@@ -87,28 +88,86 @@ def _tick_update(
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
     dense server bus-volume targets (get_bus_map semantics, reference
-    audio_spatializer.cpp:274-324), apply play/stop events."""
-    valid = slot_player >= 0
+    audio_spatializer.cpp:274-324), apply play/stop events.
+
+    Parameter updates use the PRE-stop slot map: the reference updates
+    proxy volumes before processing stop events in the same tick
+    (audio_stream_player_spatial.cpp:74-93), so lanes released this tick
+    still receive the tick's target — which same-tick sibling starts then
+    inherit."""
+    gather_map = jnp.where(slot_player >= 0, slot_player, slot_player_sib)
+    valid = gather_map >= 0
     mv, pitch, lin_att, cutoff, bus_idx, bus_vols, update = _slot_gather(
-        result, slot_player, valid
+        result, gather_map, valid
     )
 
-    # dense per-bus volumes [N,B,4,2]
-    onehot = (
-        (bus_idx[..., None] == jnp.arange(num_buses)[None, None, :])
-        & (bus_idx[..., None] >= 0)
-    ).astype(jnp.float32)  # [N,2,B]
-    # mix-channel mode: AudioServer volumes are bus/mix ratios masked per
-    # channel (cpp:295-313); process-frames mode: every routed bus receives
-    # the mix volumes — the reference deliberately ignores per-bus volumes
-    # there (cpp:314-319), which we reproduce (so reverb sends use the
-    # direct-path volumes in the default mode).
-    ratio = jnp.where(mv[:, None] > 0.0, bus_vols / jnp.where(mv[:, None] > 0, mv[:, None], 1.0), 0.0)
-    val_a = jnp.broadcast_to(mv[:, None], bus_vols.shape)
-    val = jnp.where(mix_channel_mode[:, None, None, None], ratio, val_a)
-    dense = jnp.einsum("nsb,nsce->nbce", onehot, val)
+    def _dense_volumes(mv, bus_idx, bus_vols):
+        # dense per-bus volumes [N,B,4,2]
+        onehot = (
+            (bus_idx[..., None] == jnp.arange(num_buses)[None, None, :])
+            & (bus_idx[..., None] >= 0)
+        ).astype(jnp.float32)  # [N,2,B]
+        # mix-channel mode: AudioServer volumes are bus/mix ratios masked per
+        # channel (cpp:295-313); process-frames mode: every routed bus
+        # receives the mix volumes — the reference deliberately ignores
+        # per-bus volumes there (cpp:314-319), which we reproduce (so reverb
+        # sends use the direct-path volumes in the default mode).
+        ratio = jnp.where(
+            mv[:, None] > 0.0,
+            bus_vols / jnp.where(mv[:, None] > 0, mv[:, None], 1.0),
+            0.0,
+        )
+        val_a = jnp.broadcast_to(mv[:, None], bus_vols.shape)
+        val = jnp.where(mix_channel_mode[:, None, None, None], ratio, val_a)
+        return jnp.einsum("nsb,nsce->nbce", onehot, val)
 
+    dense = _dense_volumes(mv, bus_idx, bus_vols)
     srv_target = jnp.where(update[:, None, None, None], dense, state.srv_target)
+
+    # A playback started while its player already has live playbacks rides
+    # the SAME AudioServer proxies (reference audio_spatializer.cpp:75-95:
+    # proxies are created only when playback_active flips) — so a new lane
+    # inherits the sibling lanes' current volume-ramp state instead of
+    # starting at the fresh target.  Siblings of one player are always
+    # identical, so a per-player segment-max recovers the shared value.
+    P = result.mix_volumes.shape[0]
+    sp = jnp.maximum(slot_player_sib, 0)
+    # proxies persist through a same-tick stop until the next mix's GC,
+    # so the sibling scan uses the pre-stop slot map
+    alive = state.active & (slot_player_sib >= 0)
+    n_lanes = slot_player.shape[0]
+    prev_flat = state.srv_prev.reshape(n_lanes, -1)
+    # the sibling pool must see this tick's target as the PRE-stop owner
+    # would: a lane released by player A and reused by player B in the same
+    # tick still carries A's proxy-ramp state, so its pool entry uses A's
+    # dense volumes — NOT the new owner's (gather_map), which would
+    # contaminate A's segment-max with B's values.
+    mv_s, _, _, _, bus_idx_s, bus_vols_s, update_s = _slot_gather(
+        result, jnp.maximum(slot_player_sib, 0), slot_player_sib >= 0
+    )
+    dense_s = _dense_volumes(mv_s, bus_idx_s, bus_vols_s)
+    targ_sib = jnp.where(
+        update_s[:, None, None, None], dense_s, state.srv_target
+    )
+    targ_flat = targ_sib.reshape(n_lanes, -1)
+    neg = jnp.float32(-jnp.inf)
+    sib_prev = jax.ops.segment_max(
+        jnp.where(alive[:, None], prev_flat, neg), sp, num_segments=P
+    )
+    sib_targ = jax.ops.segment_max(
+        jnp.where(alive[:, None], targ_flat, neg), sp, num_segments=P
+    )
+    has_sib = (
+        jax.ops.segment_max(alive.astype(jnp.int32), sp, num_segments=P) > 0
+    )
+    dense_flat = dense.reshape(n_lanes, -1)
+    sp_new = jnp.maximum(slot_player, 0)  # played lanes' player indices
+    start_prev = jnp.where(
+        has_sib[sp_new][:, None], sib_prev[sp_new], dense_flat
+    ).reshape(state.srv_prev.shape)
+    start_targ = jnp.where(
+        has_sib[sp_new][:, None], sib_targ[sp_new], dense_flat
+    ).reshape(state.srv_prev.shape)
 
     # stop events (reference stop_playback_stream: active.clear(), cpp:98-113)
     active = state.active & ~stop_mask
@@ -134,8 +193,8 @@ def _tick_update(
         prev_mix_volumes=jnp.where(pm2, 0.0, state.prev_mix_volumes),
         filter_coeffs=jnp.where(pm1, 0.0, state.filter_coeffs),
         filter_state=jnp.where(pm3, 0.0, state.filter_state),
-        srv_prev=jnp.where(pm3, dense, state.srv_prev),
-        srv_target=jnp.where(pm3, dense, srv_target),
+        srv_prev=jnp.where(pm3, start_prev, state.srv_prev),
+        srv_target=jnp.where(pm3, start_targ, srv_target),
     )
     block_params = BlockParams(
         mix_volumes=mv,
@@ -176,6 +235,13 @@ class AudioEngine:
             # the pallas kernel is the TPU fast path; lax.scan elsewhere
             biquad_method = "scan" if jax.default_backend() == "cpu" else "pallas"
         self.biquad_method = biquad_method
+        # variable-pitch resampling: the one-hot-matmul Pallas kernel on TPU
+        # (ops/pallas/resample_kernel.py), XLA take_along_axis elsewhere
+        self.resample_gather = (
+            "kernel"
+            if jax.default_backend() != "cpu" and block_size % 128 == 0
+            else "xla"
+        )
         self.physics_rate = float(physics_rate)
         self.max_pitch = float(max_pitch)
         # custom batched Stage A (models/custom.py AudioSpatializerCustom);
@@ -204,6 +270,9 @@ class AudioEngine:
         self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
         self._slot_mode = np.zeros(n, bool)
         self._slot_use_chain = np.zeros(n, bool)
+        # proxy-level pause state (reference set_playback_paused applies to
+        # the proxies alive at call time; fresh proxies start unpaused)
+        self._slot_paused = np.zeros(n, bool)
 
         # sample bank (host mirror + lazy device copy); seed row keeps
         # base offsets 128-aligned from the start
@@ -311,6 +380,14 @@ class AudioEngine:
     def mark_params_dirty(self) -> None:
         self._params_dirty = True
 
+    def apply_player_pause(self, player, paused: bool) -> None:
+        """set_playback_paused semantics: pause/unpause the player's live
+        proxies (slots) right now; later playbacks start unpaused unless
+        they join live paused siblings (reference audio_spatializer.cpp:
+        115-122 + proxy lifecycle)."""
+        for s in player.slots:
+            self._slot_paused[s] = paused
+
     # ------------------------------------------------------------ stage A prep
     def _player_params(self) -> SourceParams:
         """SourceParams lanes for all players (rebuilt when configs change)."""
@@ -331,6 +408,8 @@ class AudioEngine:
             "doppler_speed_of_sound": np.full(p, 343.0, np.float32),
             "volume_db": np.zeros(p, np.float32),
             "max_db": np.full(p, 3.0, np.float32),
+            "volume_linear": np.ones(p, np.float32),
+            "max_linear": np.full(p, 1.4125375446227544, np.float32),
             "pitch_scale": np.ones(p, np.float32),
             "bus_index": np.zeros(p, np.int32),
         }
@@ -355,6 +434,8 @@ class AudioEngine:
                 fields["doppler_speed_of_sound"][i] = sp.doppler_speed_of_sound
             fields["volume_db"][i] = pl.volume_db
             fields["max_db"][i] = pl.max_db
+            fields["volume_linear"][i] = db_to_linear_host(pl.volume_db)
+            fields["max_linear"][i] = db_to_linear_host(pl.max_db)
             fields["pitch_scale"][i] = pl.pitch_scale
             fields["bus_index"][i] = bus_map.get(pl.bus, 0)
         return SourceParams(**fields)
@@ -423,6 +504,10 @@ class AudioEngine:
         self._was_out = result.was_out_of_range
 
         # -- play/stop events --
+        # sibling snapshot: proxies of lanes stopped THIS tick are still
+        # alive for new voices started in the same tick (teardown happens
+        # during the next mix, reference audio_spatializer.cpp:484-491)
+        slot_player_sib = self.slot_player.copy()
         play_mask = np.zeros(n, bool)
         play_cursor = np.zeros(n, np.int32)
         stop_mask = np.zeros(n, bool)
@@ -438,6 +523,11 @@ class AudioEngine:
                     break  # slot pool exhausted
                 s = self._free_slots.pop()
                 self.slot_player[s] = pi
+                # new voices ride the player's existing proxies, inheriting
+                # their pause state; fresh proxies start unpaused
+                self._slot_paused[s] = bool(
+                    pl.slots and self._slot_paused[pl.slots[0]]
+                )
                 base, length = self.register_stream(pl.stream)
                 self._slot_bank_base[s] = base
                 self._slot_bank_length[s] = length
@@ -467,15 +557,13 @@ class AudioEngine:
                 play_mask[s] = False
                 self._release_slot(s)
 
-        paused = np.zeros(n, bool)
-        for pl in self.players:
-            for s in pl.slots:
-                paused[s] = pl.stream_paused
+        paused = self._slot_paused.copy()
 
         self.mix_state, self._block_params = _tick_update(
             result,
             self.mix_state,
             jnp.asarray(self.slot_player),
+            jnp.asarray(slot_player_sib),
             jnp.asarray(play_mask),
             jnp.asarray(play_cursor),
             jnp.asarray(stop_mask),
@@ -572,6 +660,7 @@ class AudioEngine:
             channel_count=self.channel_count,
             mix_channel_enabled=self.mix_channel_enabled,
             biquad_method=self.biquad_method,
+            resample_gather=self.resample_gather,
             sends=sends,
             bus_volumes_db=vols,
             effects=effects,
@@ -695,6 +784,7 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states, channel_
         "channel_count",
         "mix_channel_enabled",
         "biquad_method",
+        "resample_gather",
         "sends",
         "bus_volumes_db",
         "effects",
@@ -718,6 +808,7 @@ def _render_jit(
     effects,
     chain,
     max_pitch=2.0,
+    resample_gather="xla",
 ):
     new_state, bus_in, peaks = mix_block(
         state,
@@ -730,6 +821,7 @@ def _render_jit(
         biquad_method=biquad_method,
         chain=chain,
         max_pitch=max_pitch,
+        resample_gather=resample_gather,
     )
     master, new_fx = bus_graph_reduce(
         bus_in, sends, bus_volumes_db, effects, fx_states, channel_count

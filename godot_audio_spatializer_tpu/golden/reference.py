@@ -994,6 +994,13 @@ class GoldenAudioServer:
                 p["active"] = False
         self.playbacks = [p for p in self.playbacks if p["active"]]
 
+    def set_playback_paused(self, instance, paused: bool) -> None:
+        """AudioServer::set_playback_paused: a paused playback is not
+        mixed at all — its frames and volume-ramp state freeze."""
+        for p in self.playbacks:
+            if p["instance"] is instance:
+                p["paused"] = paused
+
     def set_playback_bus_volumes_linear(
         self, instance, channel: int, bus_map: Dict[str, np.ndarray]
     ) -> None:
@@ -1022,11 +1029,13 @@ class GoldenAudioServer:
         # (the proxy-channel re-mix trigger, reference cpp:494-527).
         instances = []
         for p in self.playbacks:
-            if p["instance"] not in instances:
+            if p["instance"] not in instances and not p.get("paused"):
                 instances.append(p["instance"])
         instance_frames = {inst: inst.mix_block(F) for inst in instances}
 
         for p in self.playbacks:
+            if p.get("paused"):
+                continue  # frozen entirely: no frames, no ramp advance
             inst = p["instance"]
             ch = p["channel"]
             if ch >= instance_frames[inst].shape[0]:

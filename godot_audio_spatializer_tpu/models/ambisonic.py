@@ -22,7 +22,7 @@ from ..ops.ambisonic import (
     sh_channels,
     sh_encode,
 )
-from ..ops.attenuation import attenuation_db
+from ..ops.attenuation import attenuation_multiplier
 from ..ops.geometry import SceneState, SourceParams
 from ..ops.hrtf import fft_size_for
 from ..ops.mix import SampleBank
@@ -90,6 +90,7 @@ def ambisonic_engine_step(
     taps: int,
     frame_count: int,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ):
     """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
     F = frame_count
@@ -100,11 +101,9 @@ def ambisonic_engine_step(
     dirs = safe_normalize(local)
     weights = sh_encode(dirs, order)  # [N,K]
 
-    gain = db_to_linear(
-        attenuation_db(
-            dist, params.attenuation_model, params.unit_size,
-            params.volume_db, params.max_db,
-        )
+    gain = attenuation_multiplier(
+        dist, params.attenuation_model, params.unit_size,
+        params.volume_linear, params.max_linear,
     )
     has_max = params.max_distance > 0
     gain = jnp.where(
@@ -129,7 +128,7 @@ def ambisonic_engine_step(
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), F,
-        unit_pitch_aligned=unit_pitch_aligned,
+        unit_pitch_aligned=unit_pitch_aligned, gather_method=resample_gather,
     )
     mono = frames.mean(axis=2)  # [N,F]
     t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
@@ -159,7 +158,10 @@ def ambisonic_engine_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("order", "taps", "frame_count", "collect", "unit_pitch_aligned"),
+    static_argnames=(
+        "order", "taps", "frame_count", "collect", "unit_pitch_aligned",
+        "resample_gather",
+    ),
 )
 def render_ambisonic_trajectory(
     state: AmbisonicState,
@@ -175,6 +177,7 @@ def render_ambisonic_trajectory(
     frame_count: int,
     collect: bool = True,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ):
     def step(carry, xs):
         st = carry
@@ -184,6 +187,7 @@ def render_ambisonic_trajectory(
             st, scene, params, bank, decoder_fft,
             order=order, taps=taps, frame_count=frame_count,
             unit_pitch_aligned=unit_pitch_aligned,
+            resample_gather=resample_gather,
         )
         return st, (out if collect else jnp.sum(out * out))
 

@@ -22,7 +22,7 @@ import numpy as np
 from flax import struct
 
 from ..ops.geometry import SceneState, SourceParams
-from ..ops.attenuation import attenuation_db
+from ..ops.attenuation import attenuation_multiplier
 from ..ops.hrtf import (
     HrtfState,
     direction_to_azel,
@@ -186,6 +186,7 @@ def hrtf_engine_step(
     frame_count: int,
     taps: int,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ):
     """One binaural block: geometry → resample → HRIR convolve → sum.
 
@@ -197,14 +198,9 @@ def hrtf_engine_step(
     az, el = direction_to_azel(local)
     idx = db_index_fn(az, el)
 
-    gain = db_to_linear(
-        attenuation_db(
-            dist,
-            params.attenuation_model,
-            params.unit_size,
-            params.volume_db,
-            params.max_db,
-        )
+    gain = attenuation_multiplier(
+        dist, params.attenuation_model, params.unit_size,
+        params.volume_linear, params.max_linear,
     )
     has_max = params.max_distance > 0
     gain = jnp.where(
@@ -232,7 +228,7 @@ def hrtf_engine_step(
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
-        unit_pitch_aligned=unit_pitch_aligned,
+        unit_pitch_aligned=unit_pitch_aligned, gather_method=resample_gather,
     )
     mono = frames.mean(axis=2)  # [N,F] — HRTF path takes mono sources
     mono = jnp.where(state.active[:, None], mono, 0.0)
@@ -251,7 +247,10 @@ def hrtf_engine_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("frame_count", "taps", "db_index_fn", "unit_pitch_aligned"),
+    static_argnames=(
+        "frame_count", "taps", "db_index_fn", "unit_pitch_aligned",
+        "resample_gather",
+    ),
 )
 def render_hrtf_trajectory(
     state: HrtfRenderState,
@@ -267,6 +266,7 @@ def render_hrtf_trajectory(
     frame_count: int,
     taps: int,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ):
     """K binaural blocks with moving sources and a rotating head."""
 
@@ -282,6 +282,7 @@ def render_hrtf_trajectory(
             st, scene, params, bank, db_fft, db_index_fn,
             frame_count=frame_count, taps=taps,
             unit_pitch_aligned=unit_pitch_aligned,
+            resample_gather=resample_gather,
         )
         return st, out
 

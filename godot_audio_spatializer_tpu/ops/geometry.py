@@ -24,7 +24,7 @@ from ..constants import (
     SpeakerMode,
 )
 from ..utils.dsp import db_to_linear, safe_normalize
-from .attenuation import attenuation_db
+from .attenuation import attenuation_multiplier
 from .pan import calc_output_vol
 from .reverb import calc_reverb_vol
 
@@ -52,6 +52,10 @@ class SourceParams:
     doppler_speed_of_sound: jnp.ndarray  # [N] f32, default 343
     volume_db: jnp.ndarray  # [N] f32 player volume
     max_db: jnp.ndarray  # [N] f32 player max_db, default 3
+    # host-precomputed linear twins (float64 exp on host): the device-side
+    # attenuation runs in the linear domain (see ops/attenuation.py)
+    volume_linear: jnp.ndarray  # [N] f32 = db_to_linear(volume_db)
+    max_linear: jnp.ndarray  # [N] f32 = db_to_linear(max_db)
     pitch_scale: jnp.ndarray  # [N] f32 player pitch
     bus_index: jnp.ndarray  # [N] int32 player bus
 
@@ -153,15 +157,14 @@ def calculate_spatialization(
         reverb_uniform[:, None, None], listener_area_pos, 0.0
     )
 
-    # ---- attenuation multiplier (cpp:359-373) ----
-    att_db = attenuation_db(
+    # ---- attenuation multiplier (cpp:359-373), linear domain ----
+    multiplier = attenuation_multiplier(
         dist,
         params.attenuation_model[:, None],
         params.unit_size[:, None],
-        params.volume_db[:, None],
-        params.max_db[:, None],
-    )
-    multiplier = db_to_linear(att_db)  # [N,L]
+        params.volume_linear[:, None],
+        params.max_linear[:, None],
+    )  # [N,L]
 
     has_max = params.max_distance[:, None] > 0
     total_max = jnp.where(
@@ -227,8 +230,8 @@ def calculate_spatialization(
         tmp_volume,
         params.attenuation_model[:, None],
         params.unit_size[:, None],
-        params.volume_db[:, None],
-        params.max_db[:, None],
+        params.volume_linear[:, None],
+        params.max_linear[:, None],
         params.panning_strength[:, None],
         speaker_mode,
         global_panning_strength,
@@ -253,14 +256,25 @@ def calculate_spatialization(
     dop_mask = (
         params.doppler_enabled[:, None] & nonzero_vel & in_range
     )
-    w = jnp.where(dop_mask, weight, 0.0)
-    log_pitch = (w * jnp.log2(doppler_pitch)).sum(axis=1)
-    w_sum = w.sum(axis=1)
-    pitch = jnp.where(
-        w_sum > 0,
-        jnp.exp2(log_pitch / jnp.where(w_sum > 0, w_sum, 1.0)),
-        params.pitch_scale,
-    )
+    if L == 1:
+        # single listener: the volume-weighted log-domain average (cpp:424-434)
+        # degenerates to the listener's own pitch — skip log2/exp2 entirely
+        # (the bench device's log2 is only ~2.6e-4 accurate, which would
+        # perturb the quantized pitch cursor; PERF.md)
+        pitch = jnp.where(
+            dop_mask[:, 0] & (weight[:, 0] > 0),
+            doppler_pitch[:, 0],
+            params.pitch_scale,
+        )
+    else:
+        w = jnp.where(dop_mask, weight, 0.0)
+        log_pitch = (w * jnp.log2(doppler_pitch)).sum(axis=1)
+        w_sum = w.sum(axis=1)
+        pitch = jnp.where(
+            w_sum > 0,
+            jnp.exp2(log_pitch / jnp.where(w_sum > 0, w_sum, 1.0)),
+            params.pitch_scale,
+        )
 
     # ---- bus routing (cpp:437-461) ----
     main_bus = jnp.where(

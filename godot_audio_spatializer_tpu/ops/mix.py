@@ -135,6 +135,7 @@ def mix_block(
     chain: tuple = (),
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
 
@@ -159,6 +160,7 @@ def mix_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
         max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
+        gather_method=resample_gather,
     )
     do_mix = active0 & has0
     new_cursor_idx = jnp.where(do_mix, nidx, state.cursor_idx)

@@ -1,0 +1,189 @@
+"""Pallas doppler resampler: fractional gather as one-hot × window matmuls.
+
+TPU-native replacement for the per-element gather in `ops/resample.py`'s
+variable-pitch path (the L0 `AudioStreamPlayback::mix(buf, pitch, n)`
+resampling contract, reference audio_spatializer.cpp:378).  On the bench
+device every XLA formulation of a per-element gather is scalar-emulated at
+~40 ns/element (~87 ms/block at N=4096 — PERF.md); this kernel instead
+expresses the gather the MXU way:
+
+  frames[f] = (1−frac_f)·win[rel_f] + frac_f·win[rel_f+1]
+            = Σ_r Σ_c  OH(row_f, col_f)[r, c] · win[r, c] · w_f
+
+For each 128-frame chunk the kernel builds two *pure one-hot* matrices
+(c == col_tap) [cols, frames], contracts the source's whole row-aligned
+window [2R, 128] with them on the MXU (G = win @ OH → [2R rows, frames]),
+selects each tap's row with a one-hot sublane compare, and applies the
+interpolation weights after selection.  Row wrap (col 127 → next row col 0)
+needs no special case — the two taps carry independent (row, col) pairs.
+
+Layout rule that makes this fast: FRAMES LIVE ON LANES everywhere.  The
+window is the matmul *lhs* (rows on sublanes, cols contracted) so G and
+every elementwise op land in [rows-on-sublanes, frames-on-lanes] layout and
+the final [S, frames] chunk writes straight into the [2, F/128, S, 128]
+output block — no in-kernel relayout anywhere (the first version had the
+dot the other way round and spent ~3× the kernel time shuffling sublanes).
+
+Cursor math is identical 16-bit fixed point to `ops/resample.py` and the
+golden BufferStream (positions are bit-identical; only the final lerp
+differs by MXU f32 rounding, far below the −80 dBFS budget).
+
+The window arrives via the cheap XLA 128-sample row gather, from a
+channel-planar bank view [T/128, 2, 128] so the kernel's lane dim is the
+sample index (the interleaved [T,2] layout would put 2 in lanes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..resample import FP_BITS, FP_MASK, ROW, window_rows
+
+S = 8  # sources per grid step
+FCHUNK = 128  # output frames per in-kernel chunk
+
+
+def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: int):
+    """p_ref [S,8] i32: off, cfrac, pint, pfrac, lim, loop.
+    win_ref [S, 2R, 128] f32 (index r·2+ch).
+    y_ref [2, F/128, S, 128].  mixed_ref [S, 1] i32."""
+    F = frame_count
+    off = p_ref[:, 0]
+    cfrac = p_ref[:, 1]
+    pint = p_ref[:, 2]
+    pfrac = p_ref[:, 3]
+    lim = p_ref[:, 4]
+    loopf = p_ref[:, 5]
+
+    win = win_ref[...]  # [S, 2R, 128] — matmul lhs, used in layout as-is
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (S, ROW, FCHUNK), 1)
+    iota_r2 = jax.lax.broadcasted_iota(jnp.int32, (S, r2, FCHUNK), 1)
+    fidx = jax.lax.broadcasted_iota(jnp.int32, (S, FCHUNK), 1)
+
+    dn = (((2,), (1,)), ((0,), (0,)))  # win[s, r2, c] × a[s, c, f] → [s, r2, f]
+    mixed = jnp.zeros((S,), jnp.int32)
+    for c in range(F // FCHUNK):
+        i = fidx + c * FCHUNK  # [S, FCHUNK]
+        acc = cfrac[:, None] + i * pfrac[:, None]
+        rel = off[:, None] + i * pint[:, None] + (acc >> FP_BITS)
+        frac = (acc & FP_MASK).astype(jnp.float32) * (1.0 / (1 << FP_BITS))
+        valid = (loopf[:, None] > 0) | (rel <= lim[:, None])
+        vf = valid.astype(jnp.float32)
+        w0 = (1.0 - frac) * vf
+        w1 = frac * vf
+        rel1 = rel + 1
+        # pure one-hots [S, cols, frames]; weights applied post-selection
+        a0 = ((rel & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
+        a1 = ((rel1 & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
+        # HIGHEST keeps the selected f32 samples exact (one nonzero per
+        # column, so no accumulation error either)
+        g0 = jax.lax.dot_general(
+            win, a0, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, 2R, FCHUNK]
+        g1 = jax.lax.dot_general(
+            win, a1, dn,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        row0x2 = (rel >> 7) * 2
+        row1x2 = (rel1 >> 7) * 2
+        for ch in (0, 1):
+            sel0 = ((row0x2 + ch)[:, None, :] == iota_r2).astype(jnp.float32)
+            sel1 = ((row1x2 + ch)[:, None, :] == iota_r2).astype(jnp.float32)
+            out = w0 * (sel0 * g0).sum(axis=1) + w1 * (sel1 * g1).sum(axis=1)
+            y_ref[ch, c] = out  # [S, FCHUNK]
+        mixed = mixed + valid.astype(jnp.int32).sum(axis=1)
+    mixed_ref[:, 0] = mixed
+
+
+@functools.partial(
+    jax.jit, static_argnames=("frame_count", "num_rows", "interpret")
+)
+def _resample_tiles(params, win, *, frame_count: int, num_rows: int, interpret: bool):
+    n = params.shape[0]
+    r2 = 2 * num_rows
+    nf = frame_count // FCHUNK
+    kern = functools.partial(_resample_kernel, frame_count=frame_count, r2=r2)
+    y, mixed = pl.pallas_call(
+        kern,
+        grid=(n // S,),
+        in_specs=[
+            pl.BlockSpec((S, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, r2, ROW), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (2, nf, S, FCHUNK), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((S, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nf, n, FCHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, win)
+    return y, mixed
+
+
+def resample_block_kernel(
+    bank_t,  # [T/128, 2, 128] f32 channel-planar bank rows
+    base,  # [N] i32, 128-aligned
+    length,  # [N] i32
+    loop,  # [N] bool
+    cursor_idx,  # [N] i32
+    cursor_frac,  # [N] i32
+    pitch_fp,  # [N] i32 (pre-clamped to max_pitch by the caller)
+    frame_count: int,
+    max_pitch: float,
+    *,
+    interpret: bool = False,
+):
+    """Kernel-path block read: returns (frames [N, 2, F], mixed [N]).
+
+    Bit-identical cursor positions to `resample_block`'s XLA path; sample
+    values match to MXU f32 lerp rounding.  Requires F % 128 == 0.
+    """
+    F = frame_count
+    assert F % FCHUNK == 0, "kernel resampler needs frame_count % 128 == 0"
+    N = base.shape[0]
+    R = window_rows(F, max_pitch)
+    num_rows = bank_t.shape[0]
+
+    start_al = (cursor_idx >> 7) << 7
+    rows = ((base + start_al) >> 7)[:, None] + jnp.arange(R, dtype=jnp.int32)
+    win = jnp.take(bank_t, jnp.clip(rows, 0, num_rows - 1), axis=0)  # [N,R,2,128]
+    win = win.reshape(N, 2 * R, ROW)
+
+    params = jnp.stack(
+        [
+            cursor_idx & (ROW - 1),
+            cursor_frac,
+            pitch_fp >> FP_BITS,
+            pitch_fp & FP_MASK,
+            jnp.maximum(length, 1) - 1 - start_al,
+            loop.astype(jnp.int32),
+            jnp.zeros_like(cursor_idx),
+            jnp.zeros_like(cursor_idx),
+        ],
+        axis=1,
+    )  # [N, 8] i32
+
+    pad = (-N) % S
+    if pad:
+        params = jnp.pad(params, ((0, pad), (0, 0)))
+        win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
+    y, mixed = _resample_tiles(
+        params, win, frame_count=F, num_rows=R, interpret=interpret
+    )
+    # [2, F/128, Np, 128] → [N, 2, F]
+    frames = y.transpose(2, 0, 1, 3).reshape(-1, 2, F)[:N]
+    return frames, mixed[:N, 0]

@@ -112,6 +112,7 @@ def resample_block(
     *,
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
+    gather_method: str = "xla",
 ):
     """Read one block of F frames per source at fractional rate.
 
@@ -121,6 +122,13 @@ def resample_block(
     pitch_fp accordingly); `unit_pitch_aligned=True` selects the zero-gather
     fast path (requires pitch==1, cursor_frac==0, 128-aligned cursors —
     maintained by the engine's aligned-start mode).
+
+    `gather_method` selects the fractional-gather implementation for the
+    variable-pitch path: "xla" (take_along_axis — portable, but
+    scalar-emulated at ~40 ns/element on the bench TPU) or "kernel" (the
+    Pallas one-hot-matmul resampler in ops/pallas/resample_kernel.py —
+    the TPU fast path; needs F % 128 == 0).  Cursor math is bit-identical
+    between the two.
     """
     F = frame_count
     N = base.shape[0]
@@ -143,6 +151,23 @@ def resample_block(
         return frames, mixed, new_idx, cursor_frac
 
     pitch_fp = jnp.minimum(pitch_fp, jnp.int32(round(max_pitch * FP_LEN)))
+
+    if gather_method == "kernel":
+        import jax
+
+        from .pallas.resample_kernel import resample_block_kernel
+
+        bank_t = bank_rows.transpose(0, 2, 1)  # [T/128, 2, 128] planar view
+        frames2, mixed = resample_block_kernel(
+            bank_t, base, length, loop, cursor_idx, cursor_frac, pitch_fp,
+            F, max_pitch, interpret=jax.default_backend() == "cpu",
+        )
+        frames = jnp.moveaxis(frames2, 1, 2)  # [N, F, 2]
+        new_idx, new_frac = _advance(
+            cursor_idx, cursor_frac, pitch_fp, F, length, loop
+        )
+        return frames, mixed, new_idx, new_frac
+
     idx, frac = _positions(cursor_idx, cursor_frac, pitch_fp, F)
     valid = loop[:, None] | (idx <= length_e[:, None] - 1)
 

@@ -11,8 +11,8 @@ from ..constants import (
     SPEAKER_MODE_CHANNEL_COUNT,
     SpeakerMode,
 )
-from ..utils.dsp import db_to_linear, safe_normalize
-from .attenuation import attenuation_db
+from ..utils.dsp import safe_normalize
+from .attenuation import attenuation_multiplier
 from .pan import calc_output_vol
 
 
@@ -24,8 +24,8 @@ def calc_reverb_vol(
     direct_path_vol,  # [..., 4, 2]
     att_model,  # [...] int32
     unit_size,
-    volume_db,
-    max_db,
+    volume_linear,  # db_to_linear(volume_db), host-precomputed
+    max_linear,  # db_to_linear(max_db), host-precomputed
     panning_strength,
     speaker_mode: SpeakerMode,
     global_panning_strength: float = 1.0,
@@ -38,8 +38,8 @@ def calc_reverb_vol(
     plain `direct * amount` (cpp:192-195).
     """
     chan_count = SPEAKER_MODE_CHANNEL_COUNT[speaker_mode]
-    attenuation = db_to_linear(
-        attenuation_db(lap_len, att_model, unit_size, volume_db, max_db)
+    attenuation = attenuation_multiplier(
+        lap_len, att_model, unit_size, volume_linear, max_linear
     )  # [...]
 
     center = REVERB_CENTER_VALUES[chan_count - 1]

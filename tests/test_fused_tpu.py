@@ -36,3 +36,28 @@ def test_fused_mode_a_matches_scan():
         outs[method] = np.asarray(master)
     err = np.abs(outs["scan"] - outs["pallas"]).max()
     assert err < 1e-4 * max(np.abs(outs["scan"]).max(), 1.0)
+
+
+def test_kernel_resampler_matches_xla_on_tpu():
+    """Doppler north star: Pallas resampler vs XLA gather through the full
+    offline engine on real TPU."""
+    import numpy as np
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(256, 6, 512, 48000.0, doppler=True, seed=5)
+    args = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)) if hasattr(x, "shape") else x, args
+    )
+    outs = {}
+    for method in ("xla", "kernel"):
+        kw = dict(
+            speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
+            frame_count=512, collect_master=True, biquad_method="pallas",
+            resample_gather=method,
+        )
+        _, _, master = render_trajectory(*args, **kw)
+        outs[method] = np.asarray(master)
+    err = np.abs(outs["xla"] - outs["kernel"]).max()
+    assert err < 1e-5 * max(np.abs(outs["xla"]).max(), 1.0)

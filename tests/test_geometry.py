@@ -104,6 +104,12 @@ def _random_scene(rng, n_sources, n_listeners, n_areas, speaker_mode, with_doppl
         doppler_enabled=np.array([c.doppler_enabled for c in configs], bool),
         volume_db=np.array([p["volume_db"] for p in players], np.float32),
         max_db=np.array([p["max_db"] for p in players], np.float32),
+        volume_linear=sc.db_to_linear_host(
+            [p["volume_db"] for p in players]
+        ).astype(np.float32),
+        max_linear=sc.db_to_linear_host(
+            [p["max_db"] for p in players]
+        ).astype(np.float32),
         pitch_scale=np.array([p["pitch_scale"] for p in players], np.float32),
         bus_index=np.array([bus_idx[p["bus"]] for p in players], np.int32),
     )

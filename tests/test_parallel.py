@@ -81,3 +81,45 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_batched_stage_a_matches_sequential_engine_step():
+    """render_trajectory's one-dispatch vmapped Stage A (incl. the separated
+    out-of-range hysteresis) vs per-block engine_step, with max_distance so
+    sources actually leave range."""
+    import jax
+    import jax.numpy as jnp
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import (
+        engine_step,
+        render_trajectory,
+    )
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(32, 12, 512, 48000.0, doppler=True, seed=9)
+    state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank = [
+        jax.tree.map(lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, a)
+        for a in args
+    ]
+    params = params.replace(max_distance=np.full(32, 25.0, np.float32))
+
+    st, wo = state, was_out
+    seq = []
+    for t in range(12):
+        scene = scene0.replace(source_pos=pos_seq[t], source_vel=vel_seq[t])
+        st, wo, master, _ = engine_step(
+            st, wo, scene, params, slot_cfg, bank,
+            speaker_mode=SpeakerMode.SURROUND_51, mix_rate=48000.0,
+            frame_count=512,
+        )
+        seq.append(np.asarray(master))
+    seq = np.stack(seq)
+
+    _, wo2, outs = render_trajectory(
+        state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank,
+        speaker_mode=SpeakerMode.SURROUND_51, mix_rate=48000.0,
+        frame_count=512, collect_master=True,
+    )
+    err = np.abs(np.asarray(outs) - seq).max()
+    assert err <= 1e-5 * max(np.abs(seq).max(), 1.0), err
+    assert (np.asarray(wo2) == np.asarray(wo)).all()

@@ -133,3 +133,51 @@ def test_pitch_quantization_matches_golden():
     for p in (1.0, 1.2345, 0.333333, 1.99997):
         fp = int(np.asarray(quantize_pitch(jnp.float32(p))))
         assert fp == round(p * 65536)
+
+
+def test_kernel_resampler_matches_xla_path():
+    """Pallas one-hot-matmul resampler (interpret mode on CPU) vs the XLA
+    take_along_axis path: identical cursors/mixed counts, samples within
+    f32 lerp-reassociation rounding."""
+    import jax.numpy as jnp
+
+    from godot_audio_spatializer_tpu.ops.resample import (
+        ROW,
+        build_bank,
+        resample_block,
+    )
+
+    rng = np.random.default_rng(5)
+    F, MAXP = 512, 2.0
+    clips = [
+        (rng.standard_normal((3000, 2)).astype(np.float32), True),
+        (rng.standard_normal((5000, 2)).astype(np.float32), False),
+        (rng.standard_normal((1200, 2)).astype(np.float32), True),
+    ]
+    bank, bases = build_bank(clips, F, MAXP)
+    N = 13  # deliberately not a multiple of the kernel's source tile
+    ci = rng.integers(0, 3, N)
+    base = jnp.asarray(np.array([bases[i] for i in ci], np.int32))
+    length_np = np.array([clips[i][0].shape[0] for i in ci], np.int32)
+    loop = jnp.asarray(np.array([clips[i][1] for i in ci]))
+    cursor_idx = np.array([rng.integers(0, l) for l in length_np], np.int32)
+    cursor_idx[1] = length_np[1] - 100  # one-shot near end-of-clip
+    cursor_frac = jnp.asarray(rng.integers(0, 65536, N).astype(np.int32))
+    pitch = rng.uniform(0.25, 2.0, N).astype(np.float32)
+    pitch[0] = 1.0
+    pitch_fp = jnp.asarray(np.round(pitch * 65536).astype(np.int32))
+
+    outs = {}
+    for method in ("xla", "kernel"):
+        outs[method] = resample_block(
+            jnp.asarray(bank), base, jnp.asarray(length_np), loop,
+            jnp.asarray(cursor_idx), cursor_frac, pitch_fp, F,
+            max_pitch=MAXP, gather_method=method,
+        )
+    f_x, m_x, ni_x, nf_x = outs["xla"]
+    f_k, m_k, ni_k, nf_k = outs["kernel"]
+    assert np.array_equal(np.asarray(m_x), np.asarray(m_k))
+    assert np.array_equal(np.asarray(ni_x), np.asarray(ni_k))
+    assert np.array_equal(np.asarray(nf_x), np.asarray(nf_k))
+    err = np.abs(np.asarray(f_x) - np.asarray(f_k)).max()
+    assert err <= 1e-5, f"kernel/xla sample mismatch: {err}"
