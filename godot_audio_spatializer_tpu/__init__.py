@@ -17,6 +17,17 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU f32 matmuls default to ONE bf16 MXU pass (measured ~2.5e-3 relative
+# error on the bench device) — that alone is −52 dB, blowing the −80 dBFS
+# golden-parity budget through the bus contraction and even the K=3
+# listener-transform einsums.  Audio gains nothing from fast-sloppy
+# matmuls here: at this framework's shapes the 6-pass exact-f32 mode costs
+# ~0.01 ms/block.  Set it globally; perf-critical kernels that can prove a
+# cheaper mode is safe opt down explicitly via `precision=`.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .constants import (  # noqa: F401
     AttenuationModel,
     DopplerTracking,

@@ -61,3 +61,62 @@ def test_kernel_resampler_matches_xla_on_tpu():
         outs[method] = np.asarray(master)
     err = np.abs(outs["xla"] - outs["kernel"]).max()
     assert err < 1e-5 * max(np.abs(outs["xla"]).max(), 1.0)
+
+
+def test_engine_tpu_matches_cpu_e2e():
+    """Full streaming-engine scenario on the TPU backend vs the same run on
+    the host CPU backend (which the golden-parity suite validates) — guards
+    device-only precision hazards (bf16 single-pass matmuls, device log/exp)
+    at the −80 dBFS budget."""
+    import numpy as np
+    from godot_audio_spatializer_tpu import (
+        AudioEngine,
+        AudioSpatializer3D,
+        AudioStreamPlayerSpatial,
+    )
+    from godot_audio_spatializer_tpu.constants import DopplerTracking
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+    from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+
+    rng = np.random.default_rng(11)
+    clip = (rng.standard_normal(30000) * 0.3).astype(np.float32)
+
+    def run(device):
+        on_cpu = device.platform == "cpu"
+        with jax.default_device(device):
+            eng = AudioEngine(
+                block_size=512,
+                max_sources=8,
+                # backend-pick happens off jax.default_backend(), which
+                # still reports the TPU under default_device(cpu) — force
+                # the portable paths for the CPU twin
+                biquad_method="scan" if on_cpu else None,
+            )
+            if on_cpu:
+                eng.resample_gather = "xla"
+            eng.add_listener(ListenerDesc())
+            sp = AudioSpatializer3D(
+                doppler_tracking=DopplerTracking.PHYSICS_STEP,
+                attenuation_filter_cutoff_hz=4000.0,
+            )
+            pl = AudioStreamPlayerSpatial(
+                eng, stream=AudioStreamSample(clip, loop=True), spatializer=sp
+            )
+            x = -15.0
+            pl.set_position([x, 0.0, -2.0])
+            pl.play()
+            eng.physics_step()
+            out = []
+            for _ in range(8):
+                x += 1.5
+                pl.set_position([x, 0.0, -2.0])
+                eng.physics_step()
+                out.append(eng.render_block())
+        return np.concatenate(out, axis=1)
+
+    got_tpu = run(jax.devices()[0])
+    got_cpu = run(jax.devices("cpu")[0])
+    peak = np.abs(got_cpu).max()
+    err = np.abs(got_tpu - got_cpu).max()
+    assert peak > 1e-3
+    assert err <= 1e-4 * max(peak, 1.0), f"TPU deviates {err} vs peak {peak}"
