@@ -21,6 +21,7 @@ checkpointable object (SURVEY.md §5.4).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -186,7 +187,32 @@ def mix_block(
     stA = jnp.where((justA & apply_f)[:, None, None], 0.0, stA)
 
     combined = None
-    if biquad_method == "pallas" and not mix_channel_enabled:
+    bus_fused = None
+    # GAS_FUSED_BUS=1 opts into the in-kernel bus contraction variant.
+    # It avoids the per-source signal's HBM round trip but its 32 small
+    # HIGHEST-precision dots + sublane slices measured SLOWER than the XLA
+    # einsum at the full-bench operating point (8.7 vs 10.8 RTF north
+    # star); it only wins when per-op dispatch overhead dominates (short
+    # scans).  Kept as an opt-in A/B lever.
+    if (biquad_method == "pallas" and not mix_channel_enabled and not chain
+            and os.environ.get("GAS_FUSED_BUS") == "1"):
+        # ---- 4a (fused+bus): the whole mode-A path INCLUDING the bus
+        # contraction in one Pallas kernel — the per-source signal never
+        # leaves VMEM (ops/pallas/mix_kernel.py fused_mode_a_bus)
+        import jax as _jax
+
+        from .pallas.mix_kernel import fused_mode_a_bus
+
+        bus0, busD, new_lookahead, nstA, ncA0, peakA_fused = fused_mode_a_bus(
+            frames, state.lookahead, state.filter_coeffs, target, stA,
+            mixed, do_mix, apply_f, active0, state.srv_prev, state.srv_target,
+            F, interpret=_jax.default_backend() == "cpu",
+        )
+        ncA = ncA0[:, None, :]
+        t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))
+        bus_fused = bus0 + busD * t[None, None, :, None]
+        sigA = None
+    elif biquad_method == "pallas" and not mix_channel_enabled:
         # ---- 4a (fused): delay line + fade + mask + biquad + peak +
         # lookahead update in ONE Pallas kernel (ops/pallas/mix_kernel.py)
         from .pallas.mix_kernel import fused_mode_a
@@ -306,7 +332,11 @@ def mix_block(
         new_prev = state.prev_mix_volumes.at[:, 0].set(prevA_new)
         new_fstate = state.filter_state.at[:, 0].set(nstA)
         new_coeffs = ncA[:, 0]
-        sigA_m = jnp.where(active0[:, None, None], sigA, 0.0)
+        sigA_m = (
+            jnp.where(active0[:, None, None], sigA, 0.0)
+            if sigA is not None
+            else None
+        )
         sigB_m = None
 
     # freeze state on inactive lanes
@@ -324,17 +354,20 @@ def mix_block(
 
     # ---- 6. bus contraction with server-side volume ramp (L0 behavior) ----
     # bus[b,c,f,e] = Σ_n sig·(v0·(1−t) + v1·t)
-    v0 = state.srv_prev
-    v1 = state.srv_target
-    busA0 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v0, preferred_element_type=jnp.float32)
-    busA1 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v1, preferred_element_type=jnp.float32)
-    one_t = (1.0 - t)[None, None, :, None]
-    t_e = t[None, None, :, None]
-    bus = busA0 * one_t + busA1 * t_e
-    if mix_channel_enabled:
-        busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0, preferred_element_type=jnp.float32)
-        busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1, preferred_element_type=jnp.float32)
-        bus = bus + busB0 * one_t + busB1 * t_e
+    if bus_fused is not None:
+        bus = bus_fused  # already contracted in-kernel
+    else:
+        v0 = state.srv_prev
+        v1 = state.srv_target
+        busA0 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v0, preferred_element_type=jnp.float32)
+        busA1 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v1, preferred_element_type=jnp.float32)
+        one_t = (1.0 - t)[None, None, :, None]
+        t_e = t[None, None, :, None]
+        bus = busA0 * one_t + busA1 * t_e
+        if mix_channel_enabled:
+            busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0, preferred_element_type=jnp.float32)
+            busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1, preferred_element_type=jnp.float32)
+            bus = bus + busB0 * one_t + busB1 * t_e
 
     new_state = MixState(
         cursor_idx=new_cursor_idx,

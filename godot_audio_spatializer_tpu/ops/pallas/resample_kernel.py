@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..resample import FP_BITS, FP_MASK, ROW, window_rows
+from ..resample import FP_BITS, FP_MASK, INT16_SCALE, ROW, window_rows
 
 S = 8  # sources per grid step
 FCHUNK = 128  # output frames per in-kernel chunk
@@ -61,6 +61,8 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
     loopf = p_ref[:, 5]
 
     win = win_ref[...]  # [S, 2R, 128] — matmul lhs, used in layout as-is
+    if win.dtype == jnp.int16:
+        win = win.astype(jnp.float32) * INT16_SCALE
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (S, ROW, FCHUNK), 1)
     iota_r2 = jax.lax.broadcasted_iota(jnp.int32, (S, r2, FCHUNK), 1)

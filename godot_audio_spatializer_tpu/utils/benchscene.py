@@ -40,6 +40,10 @@ def build_bench_scene(
         ((rng.standard_normal((clip_len, 2)) * 0.1).astype(np.float32), True)
         for _ in range(num_clips)
     ]
+    # f32 bank: int16 (supported, see ops/resample.build_bank) halves the
+    # row-gather bytes but its device-side dequant pass costs MORE than the
+    # saved gather bytes on the bench device (measured: north star 0.95 →
+    # 1.08 ms/block) — the gather is row-overhead-bound, not byte-bound
     bank_data, bases = build_bank(clips, frame_count, max_pitch=2.0)
     base = np.asarray(bases, np.int32)[np.arange(n) % num_clips]
     bank = SampleBank(
