@@ -83,7 +83,7 @@ def _tick_update(
     mix_channel_mode,  # [N] bool
     threshold_db,  # [N] f32
     paused,  # [N] bool
-    use_chain,  # [N] bool
+    chain_group,  # [N] i32 (-1 = built-in highshelf path)
     num_buses: int,
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
@@ -204,7 +204,7 @@ def _tick_update(
         mix_channel_mode=mix_channel_mode,
         threshold_db=threshold_db,
         paused=paused,
-        use_chain=use_chain,
+        chain_group=chain_group,
     )
     return new_state, block_params
 
@@ -254,6 +254,15 @@ class AudioEngine:
         self.players: List[AudioStreamPlayerSpatial] = []
 
         self.source_effects = tuple(source_effects)
+        # distinct per-player chain structures (reference: every
+        # AudioSpatializerEffect carries its own effect list,
+        # audio_spatializer_effect.cpp:157-169).  Group 0 = the
+        # engine-level source_effects when provided; further groups are
+        # discovered from players' audio_effects at play() time.
+        self._chain_groups: List[tuple] = (
+            [self.source_effects] if self.source_effects else []
+        )
+        self._chain_keys: List[tuple] = []
         n = self.max_sources
         filt_ch = self.channel_count if mix_channel_enabled else 1
         self.mix_state: MixState = make_mix_state(
@@ -269,7 +278,7 @@ class AudioEngine:
         self._slot_bank_loop = np.zeros(n, bool)
         self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
         self._slot_mode = np.zeros(n, bool)
-        self._slot_use_chain = np.zeros(n, bool)
+        self._slot_chain_group = np.full(n, -1, np.int32)
         # proxy-level pause state (reference set_playback_paused applies to
         # the proxies alive at call time; fresh proxies start unpaused)
         self._slot_paused = np.zeros(n, bool)
@@ -543,9 +552,12 @@ class AudioEngine:
                 )
                 from ..models.spatializer_effect import AudioSpatializerEffect
 
-                self._slot_use_chain[s] = isinstance(
-                    pl.spatializer_base, AudioSpatializerEffect
-                )
+                if isinstance(pl.spatializer_base, AudioSpatializerEffect):
+                    self._slot_chain_group[s] = self._ensure_chain_group(
+                        pl.spatializer_base.audio_effects
+                    )
+                else:
+                    self._slot_chain_group[s] = -1
                 play_mask[s] = True
                 play_cursor[s] = int(from_pos * self.mix_rate)
                 pl.slots.append(s)
@@ -570,13 +582,38 @@ class AudioEngine:
             jnp.asarray(self._slot_mode),
             jnp.asarray(self._slot_threshold_db),
             jnp.asarray(paused),
-            jnp.asarray(self._slot_use_chain),
+            jnp.asarray(self._slot_chain_group),
             num_buses=self.num_buses,
         )
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1
         self._free_slots.append(s)
+
+    def _ensure_chain_group(self, effects) -> int:
+        """Group index for a player's chain structure, creating the group
+        (and zero state lanes for it) on first sight.
+
+        An effect player with an empty chain and engine-level
+        source_effects set uses the engine chain (group 0 back-compat)."""
+        from ..ops.effect_chain import chain_init_state, chain_key
+
+        effects = tuple(effects)
+        if not effects and self.source_effects:
+            return 0  # back-compat: engine-level chain
+        if not self._chain_keys:
+            self._chain_keys = [chain_key(g) for g in self._chain_groups]
+        key = chain_key(effects)
+        for gi, k in enumerate(self._chain_keys):
+            if k == key:
+                return gi
+        self._chain_groups.append(effects)
+        self._chain_keys.append(key)
+        self.mix_state = self.mix_state.replace(
+            chain_state=self.mix_state.chain_state
+            + (chain_init_state(effects, self.max_sources),)
+        )
+        return len(self._chain_groups) - 1
 
     def _stage_a(self, scene, params, was_out) -> SpatializeResult:
         from ..models.custom import AudioSpatializerCustom
@@ -629,7 +666,7 @@ class AudioEngine:
             mix_channel_mode=jnp.zeros(n, bool),
             threshold_db=jnp.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, jnp.float32),
             paused=jnp.zeros(n, bool),
-            use_chain=jnp.zeros(n, bool),
+            chain_group=jnp.full(n, -1, jnp.int32),
         )
 
     def render_block(self) -> np.ndarray:
@@ -664,7 +701,7 @@ class AudioEngine:
             sends=sends,
             bus_volumes_db=vols,
             effects=effects,
-            chain=self.source_effects,
+            chain=tuple(self._chain_groups),
             max_pitch=self.max_pitch,
         )
         self._bus_fx_states = fx_states
@@ -718,7 +755,7 @@ class AudioEngine:
         arrays["slot_bank_length"] = self._slot_bank_length
         arrays["slot_bank_loop"] = self._slot_bank_loop
         arrays["slot_mode"] = self._slot_mode
-        arrays["slot_use_chain"] = self._slot_use_chain
+        arrays["slot_chain_group"] = self._slot_chain_group
         if getattr(self, "_was_out", None) is not None:
             arrays["was_out"] = np.asarray(self._was_out)
         np.savez(path, **arrays)
@@ -734,7 +771,12 @@ class AudioEngine:
         self._slot_bank_length = data["slot_bank_length"]
         self._slot_bank_loop = data["slot_bank_loop"]
         self._slot_mode = data["slot_mode"]
-        self._slot_use_chain = data["slot_use_chain"]
+        if "slot_chain_group" in data:
+            self._slot_chain_group = data["slot_chain_group"]
+        else:  # pre-multi-group checkpoints stored a bool mask
+            self._slot_chain_group = np.where(
+                data["slot_use_chain"], 0, -1
+            ).astype(np.int32)
         self._free_slots = [
             s for s in range(self.max_sources - 1, -1, -1)
             if self.slot_player[s] < 0

@@ -79,21 +79,13 @@ def make_ambisonic_state(n: int, order: int, taps: int) -> AmbisonicState:
     )
 
 
-def ambisonic_engine_step(
-    state: AmbisonicState,
-    scene: SceneState,
-    params: SourceParams,
-    bank: SampleBank,
-    decoder_fft,  # [K,2,M/2+1]
-    *,
-    order: int,
-    taps: int,
-    frame_count: int,
-    unit_pitch_aligned: bool = False,
-    resample_gather: str = "xla",
+def ambisonic_geometry(
+    scene: SceneState, params: SourceParams, *, order: int
 ):
-    """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
-    F = frame_count
+    """Per-tick geometry for the ambisonic path: SH weights, gain, pitch.
+
+    Pure per-tick math — `render_ambisonic_trajectory` vmaps it over all
+    blocks in one dispatch (batched-Stage-A discipline)."""
     rot = scene.listener_rot[0]
     diff = scene.source_pos - scene.listener_origin[0][None, :]
     local = jnp.einsum("ij,ni->nj", rot, diff)
@@ -111,9 +103,7 @@ def ambisonic_engine_step(
         gain * jnp.maximum(0.0, 1.0 - dist / jnp.where(has_max, params.max_distance, 1.0)),
         gain,
     )
-    gain = jnp.where(state.active, gain, 0.0)
 
-    # doppler
     rel_vel = scene.source_vel - scene.listener_vel[0][None, :]
     lv = jnp.einsum("ij,ni->nj", rot, rel_vel)
     lv_n = jnp.linalg.norm(lv, axis=-1)
@@ -124,6 +114,27 @@ def ambisonic_engine_step(
     pitch = jnp.where(
         params.doppler_enabled, jnp.clip(pitch, 1.0 / 8.0, 8.0), params.pitch_scale
     )
+    return weights, gain, pitch
+
+
+def ambisonic_mix_block(
+    state: AmbisonicState,
+    weights,  # [N, K] SH encode weights this block
+    gain,  # [N] f32
+    pitch,  # [N] f32
+    bank: SampleBank,
+    decoder_fft,
+    *,
+    taps: int,
+    frame_count: int,
+    unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
+):
+    """One ambisonic audio block from precomputed geometry.
+
+    Returns (state, out [F,2], sh [K,F])."""
+    F = frame_count
+    gain = jnp.where(state.active, gain, 0.0)
 
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
@@ -156,6 +167,28 @@ def ambisonic_engine_step(
     return new_state, jnp.moveaxis(y, 0, 1), sh
 
 
+def ambisonic_engine_step(
+    state: AmbisonicState,
+    scene: SceneState,
+    params: SourceParams,
+    bank: SampleBank,
+    decoder_fft,  # [K,2,M/2+1]
+    *,
+    order: int,
+    taps: int,
+    frame_count: int,
+    unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
+):
+    """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
+    weights, gain, pitch = ambisonic_geometry(scene, params, order=order)
+    return ambisonic_mix_block(
+        state, weights, gain, pitch, bank, decoder_fft,
+        taps=taps, frame_count=frame_count,
+        unit_pitch_aligned=unit_pitch_aligned, resample_gather=resample_gather,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -179,17 +212,22 @@ def render_ambisonic_trajectory(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
 ):
+    def geom(pos, vel):
+        scene = scene0.replace(source_pos=pos, source_vel=vel)
+        return ambisonic_geometry(scene, params, order=order)
+
+    weights_g, gain_g, pitch_g = jax.vmap(geom)(pos_seq, vel_seq)
+
     def step(carry, xs):
         st = carry
-        pos, vel = xs
-        scene = scene0.replace(source_pos=pos, source_vel=vel)
-        st, out, _ = ambisonic_engine_step(
-            st, scene, params, bank, decoder_fft,
-            order=order, taps=taps, frame_count=frame_count,
+        weights, gain, pitch = xs
+        st, out, _ = ambisonic_mix_block(
+            st, weights, gain, pitch, bank, decoder_fft,
+            taps=taps, frame_count=frame_count,
             unit_pitch_aligned=unit_pitch_aligned,
             resample_gather=resample_gather,
         )
         return st, (out if collect else jnp.sum(out * out))
 
-    state, outs = jax.lax.scan(step, state, (pos_seq, vel_seq))
+    state, outs = jax.lax.scan(step, state, (weights_g, gain_g, pitch_g))
     return state, outs

@@ -175,22 +175,12 @@ def make_hrtf_render_state(n: int, taps: int) -> HrtfRenderState:
     )
 
 
-def hrtf_engine_step(
-    state: HrtfRenderState,
-    scene: SceneState,
-    params: SourceParams,
-    bank: SampleBank,
-    db_fft,  # [D,2,M/2+1]
-    db_index_fn,
-    *,
-    frame_count: int,
-    taps: int,
-    unit_pitch_aligned: bool = False,
-    resample_gather: str = "xla",
-):
-    """One binaural block: geometry → resample → HRIR convolve → sum.
+def hrtf_geometry(scene: SceneState, params: SourceParams, db_index_fn):
+    """Per-tick geometry for the binaural path: HRIR index, gain, pitch.
 
-    Single-listener binaural (listener 0).  Returns (new_state, out [F,2])."""
+    Pure per-tick math (no carried state) — `render_hrtf_trajectory` vmaps
+    it over all blocks in one dispatch (same batched-Stage-A discipline as
+    engine/offline.py)."""
     rot = scene.listener_rot[0]
     diff = scene.source_pos - scene.listener_origin[0][None, :]
     local = jnp.einsum("ij,ni->nj", rot, diff)  # [N,3]
@@ -224,7 +214,23 @@ def hrtf_engine_step(
     )
     pitch = jnp.clip(pitch, 1.0 / 8.0, 8.0)
     pitch = jnp.where(params.doppler_enabled, pitch, params.pitch_scale)
+    return idx, gain, pitch
 
+
+def hrtf_mix_block(
+    state: HrtfRenderState,
+    idx,  # [N] i32 HRIR index this block
+    gain,  # [N] f32
+    pitch,  # [N] f32
+    bank: SampleBank,
+    db_fft,
+    *,
+    frame_count: int,
+    taps: int,
+    unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
+):
+    """One binaural audio block from precomputed geometry."""
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
@@ -243,6 +249,30 @@ def hrtf_engine_step(
         active=state.active,
     )
     return new_state, out
+
+
+def hrtf_engine_step(
+    state: HrtfRenderState,
+    scene: SceneState,
+    params: SourceParams,
+    bank: SampleBank,
+    db_fft,  # [D,2,M/2+1]
+    db_index_fn,
+    *,
+    frame_count: int,
+    taps: int,
+    unit_pitch_aligned: bool = False,
+    resample_gather: str = "xla",
+):
+    """One binaural block: geometry → resample → HRIR convolve → sum.
+
+    Single-listener binaural (listener 0).  Returns (new_state, out [F,2])."""
+    idx, gain, pitch = hrtf_geometry(scene, params, db_index_fn)
+    return hrtf_mix_block(
+        state, idx, gain, pitch, bank, db_fft,
+        frame_count=frame_count, taps=taps,
+        unit_pitch_aligned=unit_pitch_aligned, resample_gather=resample_gather,
+    )
 
 
 @functools.partial(
@@ -268,23 +298,32 @@ def render_hrtf_trajectory(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
 ):
-    """K binaural blocks with moving sources and a rotating head."""
+    """K binaural blocks with moving sources and a rotating head.
 
-    def step(carry, xs):
-        st = carry
-        pos, vel, rot = xs
+    Geometry for ALL blocks runs as one vmapped dispatch up front; the scan
+    carries only the audio state (tail/cursors) and consumes per-block
+    (idx, gain, pitch) as xs."""
+
+    def geom(pos, vel, rot):
         scene = scene0.replace(
             source_pos=pos,
             source_vel=vel,
             listener_rot=scene0.listener_rot.at[0].set(rot),
         )
-        st, out = hrtf_engine_step(
-            st, scene, params, bank, db_fft, db_index_fn,
+        return hrtf_geometry(scene, params, db_index_fn)
+
+    idx_g, gain_g, pitch_g = jax.vmap(geom)(pos_seq, vel_seq, listener_rot_seq)
+
+    def step(carry, xs):
+        st = carry
+        idx, gain, pitch = xs
+        st, out = hrtf_mix_block(
+            st, idx, gain, pitch, bank, db_fft,
             frame_count=frame_count, taps=taps,
             unit_pitch_aligned=unit_pitch_aligned,
             resample_gather=resample_gather,
         )
         return st, out
 
-    state, outs = jax.lax.scan(step, state, (pos_seq, vel_seq, listener_rot_seq))
+    state, outs = jax.lax.scan(step, state, (idx_g, gain_g, pitch_g))
     return state, outs  # outs [K,F,2]

@@ -39,6 +39,38 @@ def chain_init_state(effects: Sequence, n: int) -> Tuple:
     return tuple(e.init_state(n) for e in effects)
 
 
+def normalize_chains(chain) -> Tuple[Tuple, ...]:
+    """Accept either one flat chain (tuple of effects) or a tuple of
+    chains; return the tuple-of-chains form.
+
+    Multiple chain *structures* coexist in one engine (the reference lets
+    every AudioSpatializerEffect player carry its own effect list,
+    audio_spatializer_effect.cpp:157-169); each structure is one group,
+    selected per source by BlockParams.chain_group."""
+    if not chain:
+        return ()
+    if hasattr(chain[0], "process"):  # flat single chain
+        return (tuple(chain),)
+    return tuple(tuple(c) for c in chain)
+
+
+def chains_init_state(chain, n: int) -> Tuple:
+    """Zero state lanes for every group of a (possibly multi-group) chain."""
+    return tuple(chain_init_state(c, n) for c in normalize_chains(chain))
+
+
+def chain_key(effects: Sequence) -> Tuple:
+    """Structural identity of a chain (type + static config per effect) —
+    players whose chains are configured identically share one group."""
+    return tuple(
+        (
+            type(e).__name__,
+            tuple(sorted((k, repr(v)) for k, v in vars(e).items())),
+        )
+        for e in effects
+    )
+
+
 def chain_process(effects: Sequence, states: Tuple, x, ctx: EffectCtx):
     """Run x [N,F,2] through the chain; returns (new_states, y).
 

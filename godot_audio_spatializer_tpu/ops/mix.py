@@ -35,6 +35,7 @@ from ..constants import (
 )
 from ..utils.dsp import db_to_linear
 from .biquad import biquad_interp_block, highshelf_coeffs
+from .effect_chain import normalize_chains
 from .resample import resample_block
 
 
@@ -75,10 +76,10 @@ class MixState:
 def make_mix_state(
     n: int, num_buses: int, filter_channels: int = 1, chain_effects=()
 ) -> MixState:
-    from .effect_chain import chain_init_state
+    from .effect_chain import chains_init_state
 
     return MixState(
-        chain_state=chain_init_state(chain_effects, n),
+        chain_state=chains_init_state(chain_effects, n),
         cursor_idx=jnp.zeros(n, jnp.int32),
         cursor_frac=jnp.zeros(n, jnp.int32),
         active=jnp.zeros(n, bool),
@@ -109,6 +110,10 @@ class BlockParams:
     # sources use the built-in path (kept optional so existing callers and
     # cached pytree structures stay valid).
     use_chain: Optional[jnp.ndarray] = None  # [N] bool
+    # multi-group form: per-source chain-structure index (-1 = built-in
+    # path; g ≥ 0 selects the g-th chain passed to mix_block).  Preferred
+    # over use_chain when both are set.
+    chain_group: Optional[jnp.ndarray] = None  # [N] i32
 
 
 def _end_fade_factor(mixed, frame_count: int):
@@ -170,11 +175,14 @@ def mix_block(
     # ---- 2/3. masks + highshelf config (shared by both modes) ----
     full = mixed == F
     new_has_frames = has0 & full
-    use_chain = (
-        params.use_chain
-        if (chain and params.use_chain is not None)
-        else jnp.zeros(N, bool)
-    )
+    chains = normalize_chains(chain)
+    if chains and params.chain_group is not None:
+        chain_group = params.chain_group
+    elif chains and params.use_chain is not None:
+        chain_group = jnp.where(params.use_chain, 0, -1).astype(jnp.int32)
+    else:
+        chain_group = jnp.full(N, -1, jnp.int32)
+    use_chain = chain_group >= 0
     gain = params.linear_attenuation
     apply_f = (gain >= HIGHSHELF_GAIN_EPSILON) & ~use_chain
     target = highshelf_coeffs(mix_rate, params.attenuation_filter_cutoff_hz, gain)
@@ -194,7 +202,7 @@ def mix_block(
     # einsum at the full-bench operating point (8.7 vs 10.8 RTF north
     # star); it only wins when per-op dispatch overhead dominates (short
     # scans).  Kept as an opt-in A/B lever.
-    if (biquad_method == "pallas" and not mix_channel_enabled and not chain
+    if (biquad_method == "pallas" and not mix_channel_enabled and not chains
             and os.environ.get("GAS_FUSED_BUS") == "1"):
         # ---- 4a (fused+bus): the whole mode-A path INCLUDING the bus
         # contraction in one Pallas kernel — the per-source signal never
@@ -247,8 +255,10 @@ def mix_block(
         sigA = jnp.moveaxis(yA, 2, 1)  # [N,F,2]
         peakA_fused = None
 
-    # ---- 4a'. per-source effect chain (AudioSpatializerEffect family) ----
-    if chain:
+    # ---- 4a'. per-source effect chains (AudioSpatializerEffect family;
+    # one group per distinct chain structure — every group processes all
+    # lanes, the group mask selects its own) ----
+    if chains:
         from .effect_chain import EffectCtx, chain_process
 
         ctx = EffectCtx(
@@ -261,10 +271,15 @@ def mix_block(
         # chain input: for chain lanes the filter is bypassed, so the fused
         # kernel's output IS the post-fade combined signal on those lanes
         chain_in = combined if combined is not None else sigA
-        new_chain_state, sig_chain = chain_process(
-            chain, state.chain_state, chain_in, ctx
-        )
-        sigA = jnp.where(use_chain[:, None, None], sig_chain, sigA)
+        new_groups = []
+        for gidx, group in enumerate(chains):
+            nst_g, sig_g = chain_process(
+                group, state.chain_state[gidx], chain_in, ctx
+            )
+            sel = chain_group == gidx
+            sigA = jnp.where(sel[:, None, None], sig_g, sigA)
+            new_groups.append(nst_g)
+        new_chain_state = tuple(new_groups)
         peakA = jnp.abs(sigA).max(axis=(1, 2))
     else:
         new_chain_state = state.chain_state

@@ -234,3 +234,97 @@ def test_bus_filter_effect_runs():
     assert np.isfinite(y).all()
     # lowpass attenuates: output energy below input energy for white noise
     assert (y**2).sum() < (np.asarray(x) ** 2).sum()
+
+
+def test_heterogeneous_chains_two_players():
+    """Two effect-family players with DIFFERENT chain structures in one
+    engine (the reference's per-instance effect lists,
+    audio_spatializer_effect.cpp:157-169) vs two golden instances."""
+    rng = np.random.default_rng(31)
+    n_blocks = 8
+    data_a = (rng.standard_normal(int(0.4 * MIX_RATE)) * 0.3).astype(np.float32)
+    data_b = (rng.standard_normal(int(0.5 * MIX_RATE)) * 0.3).astype(np.float32)
+    pos_a = [np.array([2.0, 0.0, -3.0])] * n_blocks
+    pos_b = [np.array([-3.0, 0.5, -2.0])] * n_blocks
+
+    chain_a = (fx.AudioEffectFilter(mode=FilterMode.LOWPASS, cutoff_hz=1500.0),)
+    chain_b = (
+        fx.AudioEffectAmplify(volume_db=-4.0),
+        fx.AudioEffectFilter(mode=FilterMode.HIGHPASS, cutoff_hz=500.0),
+    )
+    geff_a = [gfx.GoldenFilterEffect(mode=FilterMode.LOWPASS, cutoff_hz=1500.0)]
+    geff_b = [
+        gfx.GoldenAmplify(volume_db=-4.0),
+        gfx.GoldenFilterEffect(mode=FilterMode.HIGHPASS, cutoff_hz=500.0),
+    ]
+    gcfg = g.Spatializer3DConfigG()
+
+    # ---- golden: two instances, each with its own chain ----
+    server = g.GoldenAudioServer(SpeakerMode.STEREO, MIX_RATE, F)
+    insts = []
+    for geff in (geff_a, geff_b):
+        insts.append(
+            g.GoldenSpatializerInstance(
+                gcfg, SpeakerMode.STEREO, MIX_RATE,
+                process_frames_hook=gfx.make_chain_hook(geff, MIX_RATE),
+                should_process_frames=True,
+                should_mix_channels=False,
+                instantiate_playback_data=lambda geff=geff: gfx.GoldenChainPlaybackData(geff),
+            )
+        )
+    datas = [data_a, data_b]
+    poss = [pos_a, pos_b]
+    was_out = [False, False]
+    started = [False, False]
+    ref_blocks = []
+    for b in range(n_blocks):
+        for i, inst in enumerate(insts):
+            t = g.Transform3D.looking(np.asarray(poss[i][b], np.float64))
+            params, was_out[i] = g.calculate_spatialization(
+                gcfg, t, np.zeros(3), 0.0, 3.0, 1.0, "Master",
+                [g.Listener()], [], SpeakerMode.STEREO, was_out[i],
+            )
+            inst.set_spatializer_parameters(params)
+            if not started[i]:
+                inst.start_playback_stream(g.BufferStream(datas[i]))
+                server.start_playback_stream(inst, 0, g.get_bus_map(params, 0, False))
+                started[i] = True
+            elif params.update_parameters:
+                server.set_playback_bus_volumes_linear(
+                    inst, 0, g.get_bus_map(params, 0, False)
+                )
+        ref_blocks.append(server.mix_block())
+    ref = np.concatenate(ref_blocks, axis=1)
+
+    # ---- engine: one engine, two players with different chains ----
+    eng = AudioEngine(
+        mix_rate=MIX_RATE, block_size=F, speaker_mode=SpeakerMode.STEREO,
+        max_sources=4,
+    )
+    eng.add_listener(ListenerDesc())
+    players = []
+    for data, chain, pos in ((data_a, chain_a, pos_a), (data_b, chain_b, pos_b)):
+        spat = AudioSpatializerEffect(
+            audio_effects=list(chain), geometry=AudioSpatializer3D()
+        )
+        pl = AudioStreamPlayerSpatial(
+            eng, stream=AudioStreamSample(data, sample_rate=MIX_RATE),
+            spatializer=spat,
+        )
+        pl.set_position(pos[0])
+        players.append(pl)
+    got_blocks = []
+    for b in range(n_blocks):
+        for i, pl in enumerate(players):
+            pl.set_position(poss[i][b])
+            if b == 0:
+                pl.play()
+        eng.physics_step()
+        got_blocks.append(eng.render_block())
+    got = np.concatenate(got_blocks, axis=1)
+
+    err = np.abs(got[: ref.shape[0]] - ref).max()
+    peak = np.abs(ref).max()
+    assert peak > 1e-3
+    assert err <= DB80 * max(peak, 1.0), f"max deviation {err} vs peak {peak}"
+    assert len(eng._chain_groups) == 2  # two distinct structures discovered
