@@ -40,7 +40,10 @@ from .engine.server import AudioEngine, Bus  # noqa: F401
 from .engine.player import AudioStreamPlayerSpatial  # noqa: F401
 from .engine.streams import (  # noqa: F401
     AudioStream,
+    AudioStreamGenerator,
+    AudioStreamRandomizer,
     AudioStreamSample,
+    AudioStreamWAV,
     noise_stream,
     sine_stream,
 )

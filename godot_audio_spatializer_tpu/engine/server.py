@@ -42,7 +42,7 @@ from ..ops.resample import quantize_pitch
 from ..utils.dsp import db_to_linear
 from .player import AudioStreamPlayerSpatial
 from .scene import AreaDesc, ListenerDesc, build_scene_state, db_to_linear_host
-from .streams import AudioStream
+from .streams import AudioStream, AudioStreamGenerator, AudioStreamRandomizer
 
 
 @dataclass
@@ -56,6 +56,11 @@ class Bus:
     send: Optional[str] = "Master"
     volume_db: float = 0.0
     effects: List = field(default_factory=list)  # BusEffect instances
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _bank_patch_jit(bank, seg, offset):
+    return jax.lax.dynamic_update_slice(bank, seg, (offset, 0))
 
 
 def _slot_gather(result: SpatializeResult, slot_player, valid):
@@ -84,6 +89,8 @@ def _tick_update(
     threshold_db,  # [N] f32
     paused,  # [N] bool
     chain_group,  # [N] i32 (-1 = built-in highshelf path)
+    slot_pitch_mul,  # [N] f32 — stream-rate ratio × per-voice random pitch
+    slot_gain,  # [N] f32 — per-voice gain (AudioStreamRandomizer volume)
     num_buses: int,
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
@@ -198,7 +205,8 @@ def _tick_update(
     )
     block_params = BlockParams(
         mix_volumes=mv,
-        pitch_fp=quantize_pitch(pitch),
+        pitch_fp=quantize_pitch(pitch * slot_pitch_mul),
+        voice_gain=slot_gain,
         linear_attenuation=lin_att,
         attenuation_filter_cutoff_hz=cutoff,
         mix_channel_mode=mix_channel_mode,
@@ -279,6 +287,14 @@ class AudioEngine:
         self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
         self._slot_mode = np.zeros(n, bool)
         self._slot_chain_group = np.full(n, -1, np.int32)
+        # stream-rate ratio × per-voice random pitch (AudioStreamPlayback
+        # resamples stream_rate → mix_rate at L0 in the reference engine)
+        self._slot_pitch_mul = np.ones(n, np.float32)
+        self._slot_gain = np.ones(n, np.float32)
+        self._slot_stream_rate = np.full(n, self.mix_rate, np.float32)
+        self._slot_loop_begin = np.zeros(n, np.int32)
+        # ping-pong position mapping: original loop_end (0 = not ping-pong)
+        self._slot_pp_end = np.zeros(n, np.int32)
         # proxy-level pause state (reference set_playback_paused applies to
         # the proxies alive at call time; fresh proxies start unpaused)
         self._slot_paused = np.zeros(n, bool)
@@ -337,16 +353,24 @@ class AudioEngine:
     # ------------------------------------------------------------ sample bank
     def register_stream(self, stream: AudioStream) -> Tuple[int, int]:
         """Pack the clip into the bank: 128-aligned base + loop/edge margin
-        (see ops/resample.py build_bank for the layout contract)."""
+        (see ops/resample.py build_bank for the layout contract).
+
+        Loop regions and ping-pong mode are resolved here
+        (AudioStream.registration_form): ping-pong becomes an equivalent
+        forward loop, loop_begin becomes a per-slot lane."""
         if stream.stream_id not in self._clips:
             from ..ops.resample import ROW, margin_samples
 
             margin = margin_samples(self.block_size, self.max_pitch)
-            data = stream.data
+            if hasattr(stream, "registration_form"):
+                data, begin, pp_end = stream.registration_form()
+            else:
+                data, begin, pp_end = stream.data, 0, None
             s = data.shape[0]
             if stream.loop and s > 0:
-                reps = int(np.ceil(margin / s)) + 1
-                tail = np.tile(data, (reps, 1))[:margin]
+                region = data[begin:]
+                reps = int(np.ceil(margin / max(region.shape[0], 1))) + 1
+                tail = np.tile(region, (reps, 1))[:margin]
             elif s > 0:
                 tail = np.tile(data[-1:], (margin, 1))
             else:
@@ -357,9 +381,49 @@ class AudioEngine:
                 body = np.concatenate([body, np.tile(body[-1:], (pad, 1))], axis=0)
             base = self._bank_host.shape[0]
             self._bank_host = np.concatenate([self._bank_host, body], axis=0)
-            self._clips[stream.stream_id] = (base, s)
+            self._clips[stream.stream_id] = (base, s, begin, pp_end)
             self._bank_dirty = True
-        return self._clips[stream.stream_id]
+        return self._clips[stream.stream_id][:2]
+
+    def push_generator_frames(self, stream: AudioStreamGenerator, frames) -> None:
+        """Push procedural frames into a generator stream's device ring
+        (the AudioStreamGeneratorPlayback::push_buffer role).
+
+        Host mirror and device bank update together; the device write is an
+        in-place dynamic_update_slice (donated), ~4 KB per audio block — no
+        full-bank re-upload."""
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim == 1:
+            frames = np.stack([frames, frames], axis=-1)
+        base, _ = self.register_stream(stream)
+        from ..ops.resample import margin_samples
+
+        ring = stream.ring_length
+        margin = margin_samples(self.block_size, self.max_pitch)
+        pos = stream.write_pos % ring
+        n = frames.shape[0]
+        assert n <= ring, "push larger than the generator ring"
+        first = min(n, ring - pos)
+        segs = [(pos, frames[:first])]
+        if n > first:
+            segs.append((0, frames[first:]))
+        for off, seg in segs:
+            k = seg.shape[0]
+            self._bank_host[base + off : base + off + k] = seg
+            self._patch_bank_device(base + off, seg)
+            # loop margin mirrors ring[0:margin] at ring[ring:ring+margin]
+            if off < margin:
+                m = min(k, margin - off)
+                self._bank_host[base + ring + off : base + ring + off + m] = seg[:m]
+                self._patch_bank_device(base + ring + off, seg[:m])
+        stream.write_pos += n
+
+    def _patch_bank_device(self, offset: int, seg: np.ndarray) -> None:
+        if self._bank_device is None or self._bank_dirty:
+            return  # next _bank() uploads the whole host mirror anyway
+        self._bank_device = _bank_patch_jit(
+            self._bank_device, jnp.asarray(seg), offset
+        )
 
     def _bank(self) -> SampleBank:
         if self._bank_dirty or self._bank_device is None:
@@ -370,6 +434,7 @@ class AudioEngine:
             base=jnp.asarray(self._slot_bank_base),
             length=jnp.asarray(self._slot_bank_length),
             loop=jnp.asarray(self._slot_bank_loop),
+            loop_begin=jnp.asarray(self._slot_loop_begin),
         )
 
     # ------------------------------------------------------------- scene defs
@@ -537,15 +602,27 @@ class AudioEngine:
                 self._slot_paused[s] = bool(
                     pl.slots and self._slot_paused[pl.slots[0]]
                 )
-                base, length = self.register_stream(pl.stream)
+                # a randomizer resolves to (stream, pitch, gain) per voice
+                stream = pl.stream
+                voice_pitch, voice_gain = 1.0, 1.0
+                if isinstance(stream, AudioStreamRandomizer):
+                    stream, voice_pitch, voice_gain = stream.pick()
+                stream_rate = stream.sample_rate or self.mix_rate
+                self._slot_pitch_mul[s] = voice_pitch * stream_rate / self.mix_rate
+                self._slot_gain[s] = voice_gain
+                self._slot_stream_rate[s] = stream_rate
+                base, length = self.register_stream(stream)
+                _, _, begin, pp_end = self._clips[stream.stream_id]
                 self._slot_bank_base[s] = base
                 self._slot_bank_length[s] = length
+                self._slot_loop_begin[s] = begin
+                self._slot_pp_end[s] = pp_end or 0
                 # `parameters/looping` playback parameter overrides the
                 # stream's loop flag per playback (the reference's dynamic
                 # parameters/* passthrough, cpp:158-173)
                 loop_override = pl.playback_parameters.get("looping")
                 self._slot_bank_loop[s] = (
-                    pl.stream.loop if loop_override is None else bool(loop_override)
+                    stream.loop if loop_override is None else bool(loop_override)
                 )
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
@@ -559,7 +636,8 @@ class AudioEngine:
                 else:
                     self._slot_chain_group[s] = -1
                 play_mask[s] = True
-                play_cursor[s] = int(from_pos * self.mix_rate)
+                # cursors live in STREAM sample units
+                play_cursor[s] = int(from_pos * stream_rate)
                 pl.slots.append(s)
             pl._pending_plays.clear()
             # polyphony limit: stop oldest (reference cpp:144-152)
@@ -583,6 +661,8 @@ class AudioEngine:
             jnp.asarray(self._slot_threshold_db),
             jnp.asarray(paused),
             jnp.asarray(self._slot_chain_group),
+            jnp.asarray(self._slot_pitch_mul),
+            jnp.asarray(self._slot_gain),
             num_buses=self.num_buses,
         )
 
@@ -710,7 +790,11 @@ class AudioEngine:
     def get_slot_position_seconds(self, slot: int) -> float:
         idx = int(np.asarray(self.mix_state.cursor_idx[slot]))
         frac = int(np.asarray(self.mix_state.cursor_frac[slot]))
-        return (idx + frac / 65536.0) / self.mix_rate
+        pos = idx + frac / 65536.0
+        pp_end = int(self._slot_pp_end[slot])
+        if pp_end and pos >= pp_end:  # reflected half of a ping-pong period
+            pos = 2.0 * pp_end - 2.0 - pos
+        return pos / float(self._slot_stream_rate[slot])
 
     # ------------------------------------------------- observability (§5.5)
     def get_metrics(self) -> dict:
@@ -756,6 +840,11 @@ class AudioEngine:
         arrays["slot_bank_loop"] = self._slot_bank_loop
         arrays["slot_mode"] = self._slot_mode
         arrays["slot_chain_group"] = self._slot_chain_group
+        arrays["slot_pitch_mul"] = self._slot_pitch_mul
+        arrays["slot_gain"] = self._slot_gain
+        arrays["slot_stream_rate"] = self._slot_stream_rate
+        arrays["slot_loop_begin"] = self._slot_loop_begin
+        arrays["slot_pp_end"] = self._slot_pp_end
         if getattr(self, "_was_out", None) is not None:
             arrays["was_out"] = np.asarray(self._was_out)
         np.savez(path, **arrays)
@@ -777,6 +866,15 @@ class AudioEngine:
             self._slot_chain_group = np.where(
                 data["slot_use_chain"], 0, -1
             ).astype(np.int32)
+        for key, attr in (
+            ("slot_pitch_mul", "_slot_pitch_mul"),
+            ("slot_gain", "_slot_gain"),
+            ("slot_stream_rate", "_slot_stream_rate"),
+            ("slot_loop_begin", "_slot_loop_begin"),
+            ("slot_pp_end", "_slot_pp_end"),
+        ):
+            if key in data:
+                setattr(self, attr, data[key])
         self._free_slots = [
             s for s in range(self.max_sources - 1, -1, -1)
             if self.slot_player[s] < 0

@@ -17,9 +17,24 @@ _ids = itertools.count()
 
 
 class AudioStream:
-    """Base stream resource (mirrors Godot AudioStream's role)."""
+    """Base stream resource (mirrors Godot AudioStream's role).
 
-    def __init__(self, data: np.ndarray, loop: bool = False, sample_rate: Optional[float] = None):
+    Loop semantics mirror Godot AudioStreamWAV: `loop_mode` is "forward"
+    (wrap to loop_begin) or "pingpong" (reflect between loop_begin and
+    loop_end); `loop_begin`/`loop_end` bound the loop region in samples
+    (end None = clip end).  Ping-pong is materialized at engine
+    registration as an equivalent forward loop (clip head + reflected
+    interior), so the device resampler needs no mode branches."""
+
+    def __init__(
+        self,
+        data: np.ndarray,
+        loop: bool = False,
+        sample_rate: Optional[float] = None,
+        loop_mode: str = "forward",
+        loop_begin: int = 0,
+        loop_end: Optional[int] = None,
+    ):
         data = np.asarray(data, np.float32)
         if data.ndim == 1:
             data = np.stack([data, data], axis=-1)
@@ -27,7 +42,29 @@ class AudioStream:
         self.data = data
         self.loop = loop
         self.sample_rate = sample_rate
+        assert loop_mode in ("forward", "pingpong")
+        self.loop_mode = loop_mode
+        self.loop_begin = int(loop_begin)
+        self.loop_end = int(loop_end) if loop_end is not None else None
         self.stream_id = next(_ids)
+
+    def registration_form(self):
+        """→ (data, loop_begin, pp_end) as the engine registers it: loop_end
+        truncation applied and ping-pong materialized as a forward loop.
+        pp_end = the original loop_end for position mapping (None if not
+        ping-pong)."""
+        data = self.data
+        end = self.loop_end if self.loop_end is not None else data.shape[0]
+        end = min(end, data.shape[0])
+        begin = min(max(self.loop_begin, 0), max(end - 1, 0))
+        if not self.loop:
+            return data, 0, None
+        data = data[:end]
+        if self.loop_mode == "pingpong" and end - begin > 2:
+            # forward-loop equivalent: period 2·span−2 over [begin, …)
+            data = np.concatenate([data, data[end - 2 : begin : -1]], axis=0)
+            return data, begin, end
+        return data, begin, None
 
     def __len__(self) -> int:
         return self.data.shape[0]
@@ -74,3 +111,98 @@ def noise_stream(seconds: float, mix_rate: float, amplitude: float = 0.25,
     n = int(seconds * mix_rate)
     wave = (amplitude * rng.standard_normal((n, 2))).astype(np.float32)
     return AudioStreamSample(wave, loop=loop, sample_rate=mix_rate)
+
+
+class AudioStreamRandomizer:
+    """Godot AudioStreamRandomizer equivalent: a pool of streams with
+    per-play random pitch/volume variation.
+
+    playback_mode: "random" (weighted), "random_no_repeats", "sequential".
+    random_pitch p ≥ 1 draws a per-voice pitch multiplier in [1/p, p];
+    random_volume_offset_db v ≥ 0 draws a per-voice offset in [−v, 0] dB.
+    The engine resolves a (stream, pitch, gain) pick at play() time — the
+    random pitch rides the per-slot rate multiplier, the volume the
+    per-slot gain lane.
+    """
+
+    def __init__(
+        self,
+        streams=(),
+        weights=None,
+        random_pitch: float = 1.0,
+        random_volume_offset_db: float = 0.0,
+        playback_mode: str = "random",
+        seed: Optional[int] = None,
+    ):
+        self.streams = list(streams)
+        self.weights = list(weights) if weights is not None else None
+        self.random_pitch = float(random_pitch)
+        self.random_volume_offset_db = float(random_volume_offset_db)
+        self.playback_mode = playback_mode
+        self._rng = np.random.default_rng(seed)
+        self._last = -1
+        self._seq = 0
+        self.stream_id = next(_ids)
+
+    def add_stream(self, stream, weight: float = 1.0) -> None:
+        self.streams.append(stream)
+        if self.weights is not None:
+            self.weights.append(weight)
+
+    def is_monophonic(self) -> bool:
+        return False
+
+    @property
+    def loop(self) -> bool:
+        return False
+
+    def pick(self):
+        """→ (stream, pitch_multiplier, gain_multiplier) for one voice."""
+        assert self.streams, "randomizer has no streams"
+        k = len(self.streams)
+        if self.playback_mode == "sequential":
+            i = self._seq % k
+            self._seq += 1
+        else:
+            w = np.asarray(self.weights if self.weights is not None else [1.0] * k, np.float64)
+            if self.playback_mode == "random_no_repeats" and k > 1 and self._last >= 0:
+                w = w.copy()
+                w[self._last] = 0.0
+            i = int(self._rng.choice(k, p=w / w.sum()))
+        self._last = i
+        pitch = 1.0
+        if self.random_pitch > 1.0:
+            pitch = float(self._rng.uniform(1.0 / self.random_pitch, self.random_pitch))
+        gain = 1.0
+        if self.random_volume_offset_db > 0.0:
+            db = float(self._rng.uniform(-self.random_volume_offset_db, 0.0))
+            gain = float(np.exp(db * 0.11512925464970228))
+        return self.streams[i], pitch, gain
+
+
+class AudioStreamGenerator(AudioStream):
+    """Godot AudioStreamGenerator equivalent: a procedural push stream.
+
+    The engine allocates a looping ring of `buffer_seconds` in the device
+    sample bank; the host pushes frames with
+    `engine.push_generator_frames(stream, frames)` (the
+    AudioStreamGeneratorPlayback::push_buffer role).  Realtime contract:
+    push at least one block of frames per rendered block and stay less
+    than the ring length ahead — an underrun replays stale ring content
+    (push silence to avoid that).
+    """
+
+    def __init__(self, sample_rate: float = 44100.0, buffer_seconds: float = 0.5):
+        ring = int(np.ceil(buffer_seconds * sample_rate / 128.0)) * 128
+        super().__init__(
+            np.zeros((max(ring, 256), 2), np.float32), loop=True,
+            sample_rate=float(sample_rate),
+        )
+        self.write_pos = 0  # total frames pushed (mod ring applied on write)
+
+    @property
+    def ring_length(self) -> int:
+        return self.data.shape[0]
+
+    def frames_pushed(self) -> int:
+        return self.write_pos

@@ -643,13 +643,14 @@ class BufferStream:
     end of data; looping streams wrap and never end.
     """
 
-    def __init__(self, data: np.ndarray, loop: bool = False):
+    def __init__(self, data: np.ndarray, loop: bool = False, loop_begin: int = 0):
         data = np.asarray(data, np.float32)
         if data.ndim == 1:
             data = np.stack([data, data], axis=-1)
         assert data.ndim == 2 and data.shape[1] == 2
         self.data = data
         self.loop = loop
+        self.loop_begin = int(loop_begin)
         self.idx = 0
         self.frac = 0
         self.playing = False
@@ -671,25 +672,33 @@ class BufferStream:
             return 0
         pitch_fp = int(round(pitch_scale * FP_LEN))
         s = self.data.shape[0]
+        b = self.loop_begin
+        span = max(s - b, 1)
         mixed = 0
         for i in range(n):
             idx = self.idx
             if self.loop:
-                idx = idx % s
+                if idx >= s:
+                    idx = b + (idx - b) % span
             elif idx > s - 1:
                 self.playing = False
                 break
-            i1 = (idx + 1) % s if self.loop else min(idx + 1, s - 1)
+            if self.loop:
+                i1 = idx + 1
+                if i1 >= s:
+                    i1 = b + (i1 - b) % span
+            else:
+                i1 = min(idx + 1, s - 1)
             frac = self.frac / FP_LEN
             out[i] = self.data[idx] * np.float32(1.0 - frac) + self.data[i1] * np.float32(frac)
             mixed += 1
             self.frac += pitch_fp
             self.idx += self.frac >> FP_BITS
             self.frac &= FP_MASK
-        if self.loop:
+        if self.loop and self.idx >= s:
             # keep the cursor wrapped (device engine wraps per block so the
             # two stay bit-identical across arbitrarily long playback)
-            self.idx %= s
+            self.idx = b + (self.idx - b) % span
         return mixed
 
     def is_playing(self) -> bool:

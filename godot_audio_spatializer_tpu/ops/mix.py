@@ -47,6 +47,8 @@ class SampleBank:
     base: jnp.ndarray  # [N] i32
     length: jnp.ndarray  # [N] i32
     loop: jnp.ndarray  # [N] bool
+    # loop-region start per slot (Godot AudioStreamWAV loop_begin); None = 0
+    loop_begin: Optional[jnp.ndarray] = None  # [N] i32
 
 
 @struct.dataclass
@@ -114,6 +116,10 @@ class BlockParams:
     # path; g ≥ 0 selects the g-th chain passed to mix_block).  Preferred
     # over use_chain when both are set.
     chain_group: Optional[jnp.ndarray] = None  # [N] i32
+    # per-voice signal gain (AudioStreamRandomizer volume) — applied to the
+    # resampled frames like the reference's playback-level wrapper, so
+    # sibling voices keep identical proxy volumes.  None = all ones.
+    voice_gain: Optional[jnp.ndarray] = None  # [N] f32
 
 
 def _end_fade_factor(mixed, frame_count: int):
@@ -166,8 +172,10 @@ def mix_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
         max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
-        gather_method=resample_gather,
+        gather_method=resample_gather, loop_begin=bank.loop_begin,
     )
+    if params.voice_gain is not None:
+        frames = frames * params.voice_gain[:, None, None]
     do_mix = active0 & has0
     new_cursor_idx = jnp.where(do_mix, nidx, state.cursor_idx)
     new_cursor_frac = jnp.where(do_mix, nfrac, state.cursor_frac)

@@ -68,14 +68,17 @@ def build_bank(
     chunks = []
     bases = []
     pos = 0
-    for data, loop in clips:
+    for clip in clips:
+        data, loop = clip[0], clip[1]
+        begin = clip[2] if len(clip) > 2 else 0  # loop-region start
         data = np.asarray(data, np.float32)
         if data.ndim == 1:
             data = np.stack([data, data], axis=-1)
         s = data.shape[0]
         if loop:
-            reps = int(np.ceil(margin / max(s, 1))) + 1
-            tail = np.tile(data, (reps, 1))[:margin]
+            region = data[begin:]
+            reps = int(np.ceil(margin / max(region.shape[0], 1))) + 1
+            tail = np.tile(region, (reps, 1))[:margin]
         else:
             tail = np.tile(data[-1:], (margin, 1)) if s else np.zeros((margin, 2), np.float32)
         body = np.concatenate([data, tail], axis=0)
@@ -108,13 +111,20 @@ def _positions(cursor_idx, cursor_frac, pitch_fp, frame_count):
     return idx, frac
 
 
-def _advance(cursor_idx, cursor_frac, pitch_fp, frame_count, length, loop):
+def _advance(cursor_idx, cursor_frac, pitch_fp, frame_count, length, loop,
+             loop_begin=None):
     pitch_int = pitch_fp >> FP_BITS
     pitch_frac = pitch_fp & FP_MASK
     acc_f = cursor_frac + frame_count * pitch_frac
     new_idx = cursor_idx + frame_count * pitch_int + (acc_f >> FP_BITS)
     new_frac = acc_f & FP_MASK
-    new_idx = jnp.where(loop, new_idx % jnp.maximum(length, 1), new_idx)
+    # loop wrap into [loop_begin, length) — a cursor still in the pre-loop
+    # head (idx < length) is untouched (Godot AudioStreamWAV loop_begin)
+    if loop_begin is None:
+        loop_begin = jnp.zeros_like(length)
+    span = jnp.maximum(length - loop_begin, 1)
+    wrapped = loop_begin + (new_idx - loop_begin) % span
+    new_idx = jnp.where(loop & (new_idx >= length), wrapped, new_idx)
     return new_idx, new_frac
 
 
@@ -131,6 +141,7 @@ def resample_block(
     max_pitch: float = 2.0,
     unit_pitch_aligned: bool = False,
     gather_method: str = "xla",
+    loop_begin=None,  # [N] i32 loop-region start (None = 0)
 ):
     """Read one block of F frames per source at fractional rate.
 
@@ -164,8 +175,10 @@ def resample_block(
         valid = loop[:, None] | (idx <= length_e[:, None] - 1)
         frames = jnp.where(valid[..., None], frames, 0.0)
         mixed = valid.sum(axis=1).astype(jnp.int32)
-        new_idx = cursor_idx + F
-        new_idx = jnp.where(loop, new_idx % length_e, new_idx)
+        new_idx, _ = _advance(
+            cursor_idx, cursor_frac * 0, jnp.full_like(cursor_idx, FP_LEN),
+            F, length, loop, loop_begin,
+        )
         return frames, mixed, new_idx, cursor_frac
 
     pitch_fp = jnp.minimum(pitch_fp, jnp.int32(round(max_pitch * FP_LEN)))
@@ -182,7 +195,7 @@ def resample_block(
         )
         frames = jnp.moveaxis(frames2, 1, 2)  # [N, F, 2]
         new_idx, new_frac = _advance(
-            cursor_idx, cursor_frac, pitch_fp, F, length, loop
+            cursor_idx, cursor_frac, pitch_fp, F, length, loop, loop_begin
         )
         return frames, mixed, new_idx, new_frac
 
@@ -213,5 +226,7 @@ def resample_block(
     frames = jnp.where(valid[..., None], frames, 0.0)
     mixed = valid.sum(axis=1).astype(jnp.int32)
 
-    new_idx, new_frac = _advance(cursor_idx, cursor_frac, pitch_fp, F, length, loop)
+    new_idx, new_frac = _advance(
+        cursor_idx, cursor_frac, pitch_fp, F, length, loop, loop_begin
+    )
     return frames, mixed, new_idx, new_frac
