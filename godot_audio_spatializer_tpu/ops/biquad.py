@@ -56,12 +56,22 @@ def biquad_block_scan(x, coeffs0, incr, state):
 
     x: [..., F]; coeffs0/incr: [..., 5]; state: [..., 4] = (x1, x2, y1, y2).
     Returns (y [..., F], new_state, new_coeffs).
-    """
-    xs = jnp.moveaxis(x, -1, 0)  # [F, ...]
 
-    def step(carry, xt):
-        c, x1, x2, y1, y2 = carry
-        c = c + incr
+    Coefficients are evaluated AFFINELY (c0 + k·incr) instead of
+    accumulated — f32 accumulation drifts ~F ulps per block, which blows
+    up near-pole filters (measured −72 dBFS on a resonant lowpass; the
+    affine form is −109 dBFS vs the golden's float64 coefficients).
+    """
+    F = x.shape[-1]
+    xs = jnp.moveaxis(x, -1, 0)  # [F, ...]
+    t = jnp.arange(1, F + 1, dtype=x.dtype).reshape(
+        (F,) + (1,) * coeffs0.ndim
+    )
+    cs = coeffs0[None] + t * incr[None]  # [F, ..., 5]
+
+    def step(carry, inp):
+        x1, x2, y1, y2 = carry
+        xt, c = inp
         y = (
             c[..., 0] * xt
             + c[..., 1] * x1
@@ -69,12 +79,12 @@ def biquad_block_scan(x, coeffs0, incr, state):
             + c[..., 3] * y1
             + c[..., 4] * y2
         )
-        return (c, xt, x1, y, y1), y
+        return (xt, x1, y, y1), y
 
-    init = (coeffs0, state[..., 0], state[..., 1], state[..., 2], state[..., 3])
-    (c_end, x1, x2, y1, y2), ys = jax.lax.scan(step, init, xs)
+    init = (state[..., 0], state[..., 1], state[..., 2], state[..., 3])
+    (x1, x2, y1, y2), ys = jax.lax.scan(step, init, (xs, cs))
     new_state = jnp.stack([x1, x2, y1, y2], axis=-1)
-    return jnp.moveaxis(ys, 0, -1), new_state, c_end
+    return jnp.moveaxis(ys, 0, -1), new_state, coeffs0 + F * incr
 
 
 def biquad_block_assoc(x, coeffs0, incr, state):

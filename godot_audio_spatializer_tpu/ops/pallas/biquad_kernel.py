@@ -43,29 +43,32 @@ def _biquad_kernel(x_ref, c0_ref, inc_ref, st_ref, y_ref, sto_ref, co_ref):
     y2 = st_ref[0, 3]
 
     def step(f, carry):
-        b0, b1, b2, a1, a2, x1, x2, y1, y2 = carry
-        b0 = b0 + i0
-        b1 = b1 + i1
-        b2 = b2 + i2
-        a1 = a1 + i3
-        a2 = a2 + i4
+        x1, x2, y1, y2 = carry
+        # coefficients evaluated affinely (c0 + (f+1)·incr): f32 ACCUMULATION
+        # drifts ~F ulps/block and audibly detunes near-pole filters
+        kf = jnp.float32(1) + f.astype(jnp.float32)
         xt = x_ref[0, f]
-        y = b0 * xt + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+        y = (
+            (b0 + kf * i0) * xt
+            + (b1 + kf * i1) * x1
+            + (b2 + kf * i2) * x2
+            + (a1 + kf * i3) * y1
+            + (a2 + kf * i4) * y2
+        )
         y_ref[0, f] = y
-        return (b0, b1, b2, a1, a2, xt, x1, y, y1)
+        return (xt, x1, y, y1)
 
-    b0, b1, b2, a1, a2, x1, x2, y1, y2 = jax.lax.fori_loop(
-        0, F, step, (b0, b1, b2, a1, a2, x1, x2, y1, y2)
-    )
+    x1, x2, y1, y2 = jax.lax.fori_loop(0, F, step, (x1, x2, y1, y2))
+    Ff = jnp.float32(F)
     sto_ref[0, 0] = x1
     sto_ref[0, 1] = x2
     sto_ref[0, 2] = y1
     sto_ref[0, 3] = y2
-    co_ref[0, 0] = b0
-    co_ref[0, 1] = b1
-    co_ref[0, 2] = b2
-    co_ref[0, 3] = a1
-    co_ref[0, 4] = a2
+    co_ref[0, 0] = b0 + Ff * i0
+    co_ref[0, 1] = b1 + Ff * i1
+    co_ref[0, 2] = b2 + Ff * i2
+    co_ref[0, 3] = a1 + Ff * i3
+    co_ref[0, 4] = a2 + Ff * i4
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count",))

@@ -64,7 +64,7 @@ def _mix_a_kernel(
 
     def make_step(read):
         def step(f, carry):
-            b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+            x1, x2, y1, y2, fadec, peak = carry
             xt = read(f)
             # end-of-stream fade over combined positions [mixed, mixed+LA)
             k = jnp.float32(f) - mixed  # [8,128]
@@ -75,38 +75,40 @@ def _mix_a_kernel(
             )
             xt = xt * factor * zmask
 
-            b0 = b0 + i0
-            b1 = b1 + i1
-            b2 = b2 + i2
-            a1 = a1 + i3
-            a2 = a2 + i4
-            yf = b0 * xt + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
+            # accumulation drifts ~F ulps/block — audible near-pole filters
+            kf = jnp.float32(1) + f.astype(jnp.float32)
+            yf = (
+                (b0 + kf * i0) * xt
+                + (b1 + kf * i1) * x1
+                + (b2 + kf * i2) * x2
+                + (a1 + kf * i3) * y1
+                + (a2 + kf * i4) * y2
+            )
             yo = apply_m * yf + (1.0 - apply_m) * xt
             y_ref[0, f] = yo
             peak = jnp.maximum(peak, jnp.abs(yo))
-            return (b0, b1, b2, a1, a2, xt, x1, yf, y1, fadec, peak)
+            return (xt, x1, yf, y1, fadec, peak)
 
         return step
 
-    init = (
-        b0, b1, b2, a1, a2, x1, x2, y1, y2,
-        jnp.ones_like(mixed), jnp.zeros_like(mixed),
-    )
+    init = (x1, x2, y1, y2, jnp.ones_like(mixed), jnp.zeros_like(mixed))
     # phase 1: delay-line head from the lookahead tail; phase 2: stream
     carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
     carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
-    b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+    x1, x2, y1, y2, fadec, peak = carry
+    Ff = jnp.float32(F)
 
     # bypass lanes keep their history/coefficients (reference semantics)
     sto_ref[0, 0] = apply_m * x1 + (1.0 - apply_m) * st_ref[0, 0]
     sto_ref[0, 1] = apply_m * x2 + (1.0 - apply_m) * st_ref[0, 1]
     sto_ref[0, 2] = apply_m * y1 + (1.0 - apply_m) * st_ref[0, 2]
     sto_ref[0, 3] = apply_m * y2 + (1.0 - apply_m) * st_ref[0, 3]
-    co_ref[0, 0] = apply_m * b0 + (1.0 - apply_m) * c0_ref[0, 0]
-    co_ref[0, 1] = apply_m * b1 + (1.0 - apply_m) * c0_ref[0, 1]
-    co_ref[0, 2] = apply_m * b2 + (1.0 - apply_m) * c0_ref[0, 2]
-    co_ref[0, 3] = apply_m * a1 + (1.0 - apply_m) * c0_ref[0, 3]
-    co_ref[0, 4] = apply_m * a2 + (1.0 - apply_m) * c0_ref[0, 4]
+    co_ref[0, 0] = apply_m * (b0 + Ff * i0) + (1.0 - apply_m) * c0_ref[0, 0]
+    co_ref[0, 1] = apply_m * (b1 + Ff * i1) + (1.0 - apply_m) * c0_ref[0, 1]
+    co_ref[0, 2] = apply_m * (b2 + Ff * i2) + (1.0 - apply_m) * c0_ref[0, 2]
+    co_ref[0, 3] = apply_m * (a1 + Ff * i3) + (1.0 - apply_m) * c0_ref[0, 3]
+    co_ref[0, 4] = apply_m * (a2 + Ff * i4) + (1.0 - apply_m) * c0_ref[0, 4]
     pk_ref[0, 0] = peak
 
     # lookahead tail update: full-mix lanes take the last LA resampled frames
@@ -248,7 +250,7 @@ def _mix_a_bus_kernel(
 
     def make_step(read):
         def step(f, carry):
-            b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+            x1, x2, y1, y2, fadec, peak = carry
             xt = read(f)
             k = jnp.float32(f) - mixed
             in_fade = jnp.logical_and(k >= 0.0, k < la_f)
@@ -257,36 +259,38 @@ def _mix_a_bus_kernel(
                 k < 0.0, 1.0, jnp.where(in_fade, fadec * (la_f - k) / la_f, 0.0)
             )
             xt = xt * factor * zmask
-            b0 = b0 + i0
-            b1 = b1 + i1
-            b2 = b2 + i2
-            a1 = a1 + i3
-            a2 = a2 + i4
-            yf = b0 * xt + b1 * x1 + b2 * x2 + a1 * y1 + a2 * y2
+            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
+            # accumulation drifts ~F ulps/block — audible near-pole filters
+            kf = jnp.float32(1) + f.astype(jnp.float32)
+            yf = (
+                (b0 + kf * i0) * xt
+                + (b1 + kf * i1) * x1
+                + (b2 + kf * i2) * x2
+                + (a1 + kf * i3) * y1
+                + (a2 + kf * i4) * y2
+            )
             yo = apply_m * yf + (1.0 - apply_m) * xt
             sig_ref[f] = yo
             peak = jnp.maximum(peak, jnp.abs(yo))
-            return (b0, b1, b2, a1, a2, xt, x1, yf, y1, fadec, peak)
+            return (xt, x1, yf, y1, fadec, peak)
 
         return step
 
-    init = (
-        b0, b1, b2, a1, a2, x1, x2, y1, y2,
-        jnp.ones_like(mixed), jnp.zeros_like(mixed),
-    )
+    init = (x1, x2, y1, y2, jnp.ones_like(mixed), jnp.zeros_like(mixed))
     carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
     carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
-    b0, b1, b2, a1, a2, x1, x2, y1, y2, fadec, peak = carry
+    x1, x2, y1, y2, fadec, peak = carry
+    Ff = jnp.float32(F)
 
     sto_ref[0, 0] = apply_m * x1 + (1.0 - apply_m) * st_ref[0, 0]
     sto_ref[0, 1] = apply_m * x2 + (1.0 - apply_m) * st_ref[0, 1]
     sto_ref[0, 2] = apply_m * y1 + (1.0 - apply_m) * st_ref[0, 2]
     sto_ref[0, 3] = apply_m * y2 + (1.0 - apply_m) * st_ref[0, 3]
-    co_ref[0, 0] = apply_m * b0 + (1.0 - apply_m) * c0_ref[0, 0]
-    co_ref[0, 1] = apply_m * b1 + (1.0 - apply_m) * c0_ref[0, 1]
-    co_ref[0, 2] = apply_m * b2 + (1.0 - apply_m) * c0_ref[0, 2]
-    co_ref[0, 3] = apply_m * a1 + (1.0 - apply_m) * c0_ref[0, 3]
-    co_ref[0, 4] = apply_m * a2 + (1.0 - apply_m) * c0_ref[0, 4]
+    co_ref[0, 0] = apply_m * (b0 + Ff * i0) + (1.0 - apply_m) * c0_ref[0, 0]
+    co_ref[0, 1] = apply_m * (b1 + Ff * i1) + (1.0 - apply_m) * c0_ref[0, 1]
+    co_ref[0, 2] = apply_m * (b2 + Ff * i2) + (1.0 - apply_m) * c0_ref[0, 2]
+    co_ref[0, 3] = apply_m * (a1 + Ff * i3) + (1.0 - apply_m) * c0_ref[0, 3]
+    co_ref[0, 4] = apply_m * (a2 + Ff * i4) + (1.0 - apply_m) * c0_ref[0, 4]
     pk_ref[0, 0] = peak
 
     full = jnp.logical_and(mixed >= jnp.float32(F), zmask > 0.0)[None]
