@@ -157,3 +157,118 @@ def make_chain_hook(effects, mix_rate):
         return x
 
     return hook
+
+
+# --- golden mirrors for the round-2 effect additions -----------------------
+
+
+class GoldenPanner:
+    def __init__(self, pan=0.0):
+        self.pan = pan
+
+    def make_state(self):
+        return None
+
+    def process(self, state, x, params, mix_rate):
+        lvol = min(max(1.0 - self.pan, 0.0), 1.0)
+        rvol = min(max(1.0 + self.pan, 0.0), 1.0)
+        out = x.copy()
+        out[:, 0] = (x[:, 0].astype(np.float64) * lvol).astype(np.float32)
+        out[:, 1] = (x[:, 1].astype(np.float64) * rvol).astype(np.float32)
+        return out
+
+
+class GoldenDistortion:
+    def __init__(self, mode="clip", drive=0.0, pre_gain_db=0.0, post_gain_db=0.0):
+        self.mode = mode
+        self.drive = drive
+        self.pre_gain_db = pre_gain_db
+        self.post_gain_db = post_gain_db
+
+    def make_state(self):
+        return None
+
+    def process(self, state, x, params, mix_rate):
+        from .reference import db_to_linear
+        import math as _m
+
+        drv = min(self.drive, 0.999)
+        y = x.astype(np.float64) * db_to_linear(self.pre_gain_db)
+        if self.mode == "clip":
+            y = np.sign(y) * np.power(np.clip(np.abs(y), 0.0, 1.0), 1.0001 - drv)
+        elif self.mode == "atan":
+            y = np.arctan(y * (1.0 + 30.0 * drv)) * (2.0 / _m.pi)
+        elif self.mode == "lofi":
+            levels = 2.0 ** (14.0 * (1.0 - drv))
+            y = np.round(y * levels) / levels
+        elif self.mode == "overdrive":
+            k = 2.0 * drv / (1.0 - drv)
+            y = (1.0 + k) * y / (1.0 + k * np.abs(y))
+        else:
+            k = 2.0 * drv / (1.0 - drv)
+            y = (1.0 + k) * y / (1.0 + k * np.abs(y))
+            y = np.clip(y, -1.0, 1.0)
+        return (y * db_to_linear(self.post_gain_db)).astype(np.float32)
+
+
+class GoldenStereoEnhance:
+    def __init__(self, pan_pullout=1.0):
+        self.pan_pullout = pan_pullout
+
+    def make_state(self):
+        return None
+
+    def process(self, state, x, params, mix_rate):
+        mid = 0.5 * (x[:, 0].astype(np.float64) + x[:, 1])
+        side = 0.5 * (x[:, 0].astype(np.float64) - x[:, 1]) * self.pan_pullout
+        return np.stack([mid + side, mid - side], axis=-1).astype(np.float32)
+
+
+class GoldenBusCompressor:
+    """Scalar mirror of BusEffectCompressor (per-frame loop)."""
+
+    def __init__(self, threshold_db=-12.0, ratio=4.0, attack_us=20000.0,
+                 release_ms=250.0, gain_db=0.0):
+        self.threshold_db = threshold_db
+        self.ratio = ratio
+        self.attack_us = attack_us
+        self.release_ms = release_ms
+        self.gain_db = gain_db
+        self.env = 0.0
+        self.att = 0.0
+
+    def process(self, buf, mix_rate):
+        import math as _m
+        from .reference import db_to_linear
+
+        rel = _m.exp(-1.0 / max(self.release_ms * 1e-3 * mix_rate, 1.0))
+        att = _m.exp(-1.0 / max(self.attack_us * 1e-6 * mix_rate, 1.0))
+        thr = db_to_linear(self.threshold_db)
+        mk = db_to_linear(self.gain_db)
+        F = buf.shape[1]
+        out = buf.copy()
+        for f in range(F):
+            d = float(np.abs(buf[:, f, :]).max())
+            self.env = max(d, rel * self.env)
+            self.att = att * self.att + (1.0 - att) * self.env
+            over = max(self.att / thr, 1.0)
+            gain = over ** (1.0 / self.ratio - 1.0) * mk
+            out[:, f, :] = buf[:, f, :] * np.float32(gain)
+        return out
+
+
+class GoldenBusLimiter:
+    def __init__(self, ceiling_db=-0.1, threshold_db=-6.0):
+        self.ceiling_db = ceiling_db
+        self.threshold_db = threshold_db
+
+    def process(self, buf, mix_rate):
+        from .reference import db_to_linear
+
+        thr = db_to_linear(self.threshold_db)
+        ceil = db_to_linear(self.ceiling_db)
+        span = max(ceil - thr, 1e-6)
+        a = np.abs(buf.astype(np.float64))
+        shaped = thr + span * np.tanh((a - thr) / span)
+        mag = np.where(a > thr, shaped, a)
+        return (np.sign(buf) * mag).astype(np.float32)

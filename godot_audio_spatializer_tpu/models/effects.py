@@ -262,3 +262,305 @@ class BusEffectReverb:
         wet_sig = taps.sum(axis=0) / math.sqrt(L)
         y = self.dry * buf + self.wet * wet_sig
         return {"lines": lines, "pos": (pos + F) % D, "lp": lp_new}, y
+
+
+# ---------------------------------------------------------------------------
+# Memoryless source effects (Godot AudioEffectPanner / Distortion /
+# StereoEnhance equivalents) — per-source batched, no carried state.
+# ---------------------------------------------------------------------------
+
+
+class AudioEffectPanner:
+    """Stereo balance (Godot AudioEffectPanner): pan ∈ [−1, 1];
+    lvol = clamp(1−pan, 0, 1), rvol = clamp(1+pan, 0, 1)."""
+
+    def __init__(self, pan: float = 0.0):
+        self.pan = float(pan)
+
+    def init_state(self, n: int):
+        return ()
+
+    def process(self, state, x, ctx: EffectCtx):
+        lvol = min(max(1.0 - self.pan, 0.0), 1.0)
+        rvol = min(max(1.0 + self.pan, 0.0), 1.0)
+        vol = jnp.asarray([lvol, rvol], jnp.float32)
+        return state, x * vol[None, None, :]
+
+
+class AudioEffectDistortion:
+    """Waveshaping distortion (Godot AudioEffectDistortion modes).
+
+    mode: "clip" | "atan" | "lofi" | "overdrive" | "waveshape";
+    drive ∈ [0, 1); pre/post gains in dB."""
+
+    def __init__(self, mode: str = "clip", drive: float = 0.0,
+                 pre_gain_db: float = 0.0, post_gain_db: float = 0.0):
+        assert mode in ("clip", "atan", "lofi", "overdrive", "waveshape")
+        self.mode = mode
+        self.drive = float(drive)
+        self.pre_gain_db = float(pre_gain_db)
+        self.post_gain_db = float(post_gain_db)
+
+    def init_state(self, n: int):
+        return ()
+
+    def process(self, state, x, ctx: EffectCtx):
+        drv = jnp.float32(min(self.drive, 0.999))
+        y = x * db_to_linear(jnp.float32(self.pre_gain_db))
+        if self.mode == "clip":
+            exp = 1.0001 - drv
+            y = jnp.sign(y) * jnp.power(
+                jnp.clip(jnp.abs(y), 0.0, 1.0), jnp.float32(exp)
+            )
+        elif self.mode == "atan":
+            k = 1.0 + 30.0 * drv
+            y = jnp.arctan(y * k) * (2.0 / math.pi)
+        elif self.mode == "lofi":
+            levels = jnp.float32(2.0 ** (14.0 * (1.0 - drv)))
+            y = jnp.round(y * levels) / levels
+        elif self.mode == "overdrive":
+            k = 2.0 * drv / (1.0 - min(self.drive, 0.999))
+            y = (1.0 + k) * y / (1.0 + k * jnp.abs(y))
+        else:  # waveshape
+            k = 2.0 * drv / (1.0 - min(self.drive, 0.999))
+            y = (1.0 + k) * y / (1.0 + k * jnp.abs(y))
+            y = jnp.clip(y, -1.0, 1.0)
+        return state, y * db_to_linear(jnp.float32(self.post_gain_db))
+
+
+class AudioEffectStereoEnhance:
+    """Mid/side width control (Godot AudioEffectStereoEnhance's
+    pan_pullout): side gain > 1 widens, < 1 narrows, 0 = mono."""
+
+    def __init__(self, pan_pullout: float = 1.0):
+        self.pan_pullout = float(pan_pullout)
+
+    def init_state(self, n: int):
+        return ()
+
+    def process(self, state, x, ctx: EffectCtx):
+        mid = 0.5 * (x[..., 0] + x[..., 1])
+        side = 0.5 * (x[..., 0] - x[..., 1]) * jnp.float32(self.pan_pullout)
+        return state, jnp.stack([mid + side, mid - side], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Dynamics bus effects (Godot AudioEffectCompressor / Limiter roles).
+# The compressor's envelope follower is expressed as associative scans
+# (release = max-decay, attack = one-pole) so a 512-frame block is O(log F)
+# depth on the TPU instead of a 512-step sequential loop.
+# ---------------------------------------------------------------------------
+
+
+def _max_decay_scan(d, decay, e_prev):
+    """e_t = max(d_t, decay·e_{t−1}) via associative_scan over [F]."""
+    d = d.at[0].set(jnp.maximum(d[0], decay * e_prev))
+    a = jnp.full_like(d, decay)
+
+    def op(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, jnp.maximum(b2, a2 * b1)
+
+    _, e = jax.lax.associative_scan(op, (a, d))
+    return e
+
+
+def _one_pole_scan(x, alpha, y_prev):
+    """y_t = α·y_{t−1} + (1−α)·x_t via associative_scan over [F]."""
+    b = (1.0 - alpha) * x
+    b = b.at[0].add(alpha * y_prev)
+    a = jnp.full_like(x, alpha)
+
+    def op(p, q):
+        a1, b1 = p
+        a2, b2 = q
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(op, (a, b))
+    return y
+
+
+class BusEffectCompressor:
+    """Feed-forward compressor on a bus (Godot AudioEffectCompressor role).
+
+    Detector = per-frame peak across the bus's channels; release is a
+    max-decay envelope, attack a one-pole smoother; gain above threshold
+    follows the ratio law with makeup gain."""
+
+    def __init__(self, threshold_db: float = -12.0, ratio: float = 4.0,
+                 attack_us: float = 20000.0, release_ms: float = 250.0,
+                 gain_db: float = 0.0):
+        self.threshold_db = float(threshold_db)
+        self.ratio = float(ratio)
+        self.attack_us = float(attack_us)
+        self.release_ms = float(release_ms)
+        self.gain_db = float(gain_db)
+        self._mix_rate = 44100.0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+
+    def init_state(self):
+        return {
+            "env": jnp.zeros((), jnp.float32),
+            "att": jnp.zeros((), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        rate = self._mix_rate
+        rel = math.exp(-1.0 / max(self.release_ms * 1e-3 * rate, 1.0))
+        att = math.exp(-1.0 / max(self.attack_us * 1e-6 * rate, 1.0))
+        det = jnp.abs(buf).max(axis=(0, 2))  # [F]
+        env = _max_decay_scan(det, jnp.float32(rel), state["env"])
+        sm = _one_pole_scan(env, jnp.float32(att), state["att"])
+        thr = db_to_linear(jnp.float32(self.threshold_db))
+        over = jnp.maximum(sm / thr, 1.0)
+        gain = jnp.power(over, jnp.float32(1.0 / self.ratio - 1.0))
+        gain = gain * db_to_linear(jnp.float32(self.gain_db))
+        y = buf * gain[None, :, None]
+        return {"env": env[-1], "att": sm[-1]}, y
+
+
+class BusEffectLimiter:
+    """Soft-knee ceiling limiter (Godot AudioEffectLimiter role): unity
+    below threshold, smooth compression into the ceiling above it."""
+
+    def __init__(self, ceiling_db: float = -0.1, threshold_db: float = -6.0):
+        self.ceiling_db = float(ceiling_db)
+        self.threshold_db = float(threshold_db)
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        pass
+
+    def init_state(self):
+        return {}
+
+    def process(self, state, buf):
+        thr = db_to_linear(jnp.float32(self.threshold_db))
+        ceil = db_to_linear(jnp.float32(self.ceiling_db))
+        a = jnp.abs(buf)
+        # above thr: thr + (ceil−thr)·tanh((a−thr)/(ceil−thr)) → ceiling
+        span = jnp.maximum(ceil - thr, 1e-6)
+        shaped = thr + span * jnp.tanh((a - thr) / span)
+        mag = jnp.where(a > thr, shaped, a)
+        return state, jnp.sign(buf) * mag
+
+
+class BusEffectEQ:
+    """Graphic EQ: cascade of peaking biquads at fixed band centers
+    (Godot AudioEffectEQ6/10/21 roles)."""
+
+    BANDS6 = (32.0, 100.0, 320.0, 1000.0, 3200.0, 10000.0)
+    BANDS10 = (31.25, 62.5, 125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0,
+               8000.0, 16000.0)
+
+    def __init__(self, band_hz=BANDS6, gains_db=None, bandwidth_octaves: float = 1.0):
+        self.band_hz = tuple(float(b) for b in band_hz)
+        self.gains_db = tuple(
+            float(g) for g in (gains_db or [0.0] * len(self.band_hz))
+        )
+        assert len(self.gains_db) == len(self.band_hz)
+        # RBJ peaking-EQ Q from bandwidth in octaves
+        bw = float(bandwidth_octaves)
+        self.q = 1.0 / (2.0 * math.sinh(math.log(2.0) / 2.0 * bw))
+        self._mix_rate = 44100.0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+
+    def init_state(self):
+        nb = len(self.band_hz)
+        return {
+            "coeffs": jnp.zeros((nb, 4, 2, 5), jnp.float32),
+            "hist": jnp.zeros((nb, 4, 2, 4), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        from ..ops.filters import FilterMode, filter_coeffs
+
+        y = jnp.moveaxis(buf, 2, 1)  # [4,2,F]
+        new_c, new_h = [], []
+        nyq = 0.5 * self._mix_rate
+        for i, (hz, gdb) in enumerate(zip(self.band_hz, self.gains_db)):
+            target = filter_coeffs(
+                FilterMode.PEAK, self._mix_rate,
+                jnp.full((4, 2), min(hz, nyq * 0.95), jnp.float32),
+                jnp.full((4, 2), float(db_to_linear(jnp.float32(gdb))), jnp.float32),
+                jnp.float32(self.q),
+            )
+            y, h, c = biquad_interp_block(
+                y, state["coeffs"][i], target, state["hist"][i],
+                jnp.ones((4, 2), bool),
+            )
+            new_c.append(c)
+            new_h.append(h)
+        return (
+            {"coeffs": jnp.stack(new_c), "hist": jnp.stack(new_h)},
+            jnp.moveaxis(y, 1, 2),
+        )
+
+
+class BusEffectChorus:
+    """Multi-voice chorus (Godot AudioEffectChorus role): each voice reads
+    the input through a fractionally interpolated delay line whose length
+    is modulated by a per-voice LFO.
+
+    voices: list of dicts with delay_ms, depth_ms, rate_hz, level_db
+    (defaults mirror a light 2-voice chorus); wet/dry mix on top."""
+
+    def __init__(self, voices=None, wet: float = 0.5, dry: float = 1.0):
+        self.voices = voices or [
+            {"delay_ms": 15.0, "depth_ms": 2.0, "rate_hz": 0.8, "level_db": 0.0},
+            {"delay_ms": 20.0, "depth_ms": 3.0, "rate_hz": 1.2, "level_db": 0.0},
+        ]
+        self.wet = float(wet)
+        self.dry = float(dry)
+        self._mix_rate = 44100.0
+        self._ring = 0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+        max_d = max(v["delay_ms"] + v["depth_ms"] for v in self.voices)
+        self._ring = int(max_d * 1e-3 * mix_rate) + block_size + 4
+
+    def init_state(self):
+        return {
+            "ring": jnp.zeros((4, self._ring, 2), jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+            "phase": jnp.zeros(len(self.voices), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        F = buf.shape[1]
+        D = self._ring
+        rate = self._mix_rate
+        pos = state["pos"]
+        write_idx = (pos + jnp.arange(F, dtype=jnp.int32)) % D
+        ring = state["ring"].at[:, write_idx].set(buf)
+
+        t = jnp.arange(F, dtype=jnp.float32)
+        wet_sum = jnp.zeros_like(buf)
+        new_phase = []
+        for vi, v in enumerate(self.voices):
+            ph = state["phase"][vi] + 2.0 * math.pi * v["rate_hz"] / rate * t
+            d = (v["delay_ms"] + v["depth_ms"] * jnp.sin(ph)) * (rate * 1e-3)
+            rp = (pos + t) - d  # fractional read position [F]
+            i0 = jnp.floor(rp).astype(jnp.int32)
+            frac = (rp - i0.astype(jnp.float32))[None, :, None]
+            s0 = jnp.take(ring, i0 % D, axis=1)  # [4,F,2]
+            s1 = jnp.take(ring, (i0 + 1) % D, axis=1)
+            tap = s0 * (1.0 - frac) + s1 * frac
+            wet_sum = wet_sum + tap * db_to_linear(jnp.float32(v["level_db"]))
+            new_phase.append(
+                jnp.mod(
+                    state["phase"][vi]
+                    + 2.0 * math.pi * v["rate_hz"] / rate * F,
+                    2.0 * math.pi,
+                )
+            )
+        y = self.dry * buf + self.wet * wet_sum / max(len(self.voices), 1)
+        return (
+            {"ring": ring, "pos": (pos + F) % D, "phase": jnp.stack(new_phase)},
+            y,
+        )
