@@ -483,10 +483,11 @@ class BusEffectEQ:
         new_c, new_h = [], []
         nyq = 0.5 * self._mix_rate
         for i, (hz, gdb) in enumerate(zip(self.band_hz, self.gains_db)):
+            glin = math.exp(gdb * 0.11512925464970228)  # host-side dB→linear
             target = filter_coeffs(
                 FilterMode.PEAK, self._mix_rate,
                 jnp.full((4, 2), min(hz, nyq * 0.95), jnp.float32),
-                jnp.full((4, 2), float(db_to_linear(jnp.float32(gdb))), jnp.float32),
+                jnp.full((4, 2), glin, jnp.float32),
                 jnp.float32(self.q),
             )
             y, h, c = biquad_interp_block(

@@ -86,6 +86,11 @@ def shard_bank(mesh: Mesh, bank: SampleBank) -> SampleBank:
         base=jax.device_put(bank.base, s),
         length=jax.device_put(bank.length, s),
         loop=jax.device_put(bank.loop, s),
+        loop_begin=(
+            jax.device_put(bank.loop_begin, s)
+            if bank.loop_begin is not None
+            else None
+        ),
     )
 
 
