@@ -35,8 +35,8 @@ from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
 
 BASELINE_RTF = 200.0
 QUICK = "--quick" in sys.argv
-BLOCKS = 16 if QUICK else 64
-REPS = 1 if QUICK else 3
+BLOCKS = 16 if QUICK else 256  # large enough that the ~23 ms dispatch sync amortizes below 0.1 ms/block
+REPS = 1 if QUICK else 5
 
 
 def _sync(out):

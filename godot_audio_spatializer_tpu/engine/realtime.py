@@ -89,9 +89,14 @@ class RealtimeRunner:
         import time as _time
 
         for b in range(num_blocks):
-            if b % blocks_per_tick == 0:
-                eng.physics_step()
-            master = eng.render_block()  # [C, F, 2]
+            if blocks_per_tick == 1:
+                # physics tick every block → fused single-dispatch step
+                # (3 device round trips → 1; see AudioEngine.step)
+                master = eng.step()
+            else:
+                if b % blocks_per_tick == 0:
+                    eng.physics_step()
+                master = eng.render_block()  # [C, F, 2]
             stereo = np.ascontiguousarray(master[0].astype(np.float32))  # front pair
             # back-pressure: wait until the ring has room
             while self.ring.writable < stereo.shape[0] and not self._stop.is_set():

@@ -76,8 +76,7 @@ def _slot_gather(result: SpatializeResult, slot_player, valid):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_buses",))
-def _tick_update(
+def _tick_update_impl(
     result: SpatializeResult,
     state: MixState,
     slot_player,  # [N] i32, -1 = free slot (post stop-release)
@@ -215,6 +214,90 @@ def _tick_update(
         chain_group=chain_group,
     )
     return new_state, block_params
+
+
+_tick_update = functools.partial(jax.jit, static_argnames=("num_buses",))(
+    _tick_update_impl
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_buses",
+        "speaker_mode",
+        "global_panning_strength",
+        "mix_rate",
+        "frame_count",
+        "channel_count",
+        "mix_channel_enabled",
+        "biquad_method",
+        "resample_gather",
+        "sends",
+        "bus_volumes_db",
+        "effects",
+        "chain",
+        "max_pitch",
+    ),
+)
+def _step_jit(
+    scene,
+    params,
+    was_out,
+    state,
+    slot_player,
+    slot_player_sib,
+    play_mask,
+    play_cursor,
+    stop_mask,
+    mix_channel_mode,
+    threshold_db,
+    paused,
+    chain_group,
+    slot_pitch_mul,
+    slot_gain,
+    bank,
+    fx_states,
+    *,
+    num_buses,
+    speaker_mode,
+    global_panning_strength,
+    mix_rate,
+    frame_count,
+    channel_count,
+    mix_channel_enabled,
+    biquad_method,
+    resample_gather,
+    sends,
+    bus_volumes_db,
+    effects,
+    chain,
+    max_pitch,
+):
+    """One fused physics tick + audio block: Stage A, slot/param
+    bookkeeping, Stage B mix and the bus-graph reduction in a SINGLE
+    device dispatch (AudioEngine.step) — the streaming engine otherwise
+    pays three round trips per block, which dominates realtime latency."""
+    result = calculate_spatialization(
+        scene, params, was_out, speaker_mode, global_panning_strength
+    )
+    new_state, bp = _tick_update_impl(
+        result, state, slot_player, slot_player_sib, play_mask, play_cursor,
+        stop_mask, mix_channel_mode, threshold_db, paused, chain_group,
+        slot_pitch_mul, slot_gain, num_buses=num_buses,
+    )
+    new_state, bus_in, peaks = mix_block(
+        new_state, bp, bank,
+        mix_rate=mix_rate, frame_count=frame_count,
+        channel_count=channel_count,
+        mix_channel_enabled=mix_channel_enabled,
+        biquad_method=biquad_method, chain=chain, max_pitch=max_pitch,
+        resample_gather=resample_gather,
+    )
+    master, new_fx = bus_graph_reduce(
+        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count
+    )
+    return new_state, result.was_out_of_range, master, peaks, new_fx
 
 
 class AudioEngine:
@@ -536,48 +619,13 @@ class AudioEngine:
             source_active=act,
         )
 
-    # ------------------------------------------------------------ physics tick
-    def physics_step(self, dt: Optional[float] = None) -> None:
-        """One physics tick: velocity tracking → Stage A → playback events.
+    def _process_slot_events(self):
+        """Apply pending play/stop/polyphony events to the slot pool.
 
-        Mirrors NOTIFICATION_INTERNAL_PHYSICS_PROCESS ordering (reference
-        audio_stream_player_spatial.cpp:74-93): parameters update first,
-        then pending playbacks start, then finished playbacks are GC'd and
-        the polyphony limit enforced."""
-        if dt is None:
-            dt = 1.0 / self.physics_rate
-        if not self.players:
-            return
+        → (slot_player_sib, play_mask, play_cursor, stop_mask) host arrays
+        (the sibling snapshot is taken BEFORE this tick's stop releases —
+        see _tick_update_impl's docstring)."""
         n = self.max_sources
-
-        for pl in self.players:
-            if pl.spatializer_base is not None and (
-                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
-            ):
-                pl.update_velocity(dt)
-
-        # -- GC finished playbacks (reads auto-disable results from device) --
-        active_now = np.asarray(self.mix_state.active)
-        for pl in self.players:
-            finished = [s for s in pl.slots if not active_now[s]]
-            if finished:
-                for s in finished:
-                    pl.slots.remove(s)
-                    self._release_slot(s)
-                pl._emit_finished()
-
-        # -- stage A --
-        if self._params_dirty or self._source_params_cache is None:
-            self._source_params_cache = self._player_params()
-            self._params_dirty = False
-        scene = self._build_scene()
-        was_out = getattr(self, "_was_out", None)
-        if was_out is None or was_out.shape[0] != len(self.players):
-            was_out = jnp.zeros(len(self.players), bool)
-        result = self._stage_a(scene, self._source_params_cache, was_out)
-        self._was_out = result.was_out_of_range
-
-        # -- play/stop events --
         # sibling snapshot: proxies of lanes stopped THIS tick are still
         # alive for new voices started in the same tick (teardown happens
         # during the next mix, reference audio_spatializer.cpp:484-491)
@@ -647,6 +695,54 @@ class AudioEngine:
                 play_mask[s] = False
                 self._release_slot(s)
 
+        return slot_player_sib, play_mask, play_cursor, stop_mask
+
+    # ------------------------------------------------------------ physics tick
+    def physics_step(self, dt: Optional[float] = None) -> None:
+        """One physics tick: velocity tracking → Stage A → playback events.
+
+        Mirrors NOTIFICATION_INTERNAL_PHYSICS_PROCESS ordering (reference
+        audio_stream_player_spatial.cpp:74-93): parameters update first,
+        then pending playbacks start, then finished playbacks are GC'd and
+        the polyphony limit enforced."""
+        if dt is None:
+            dt = 1.0 / self.physics_rate
+        if not self.players:
+            return
+        n = self.max_sources
+
+        for pl in self.players:
+            if pl.spatializer_base is not None and (
+                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
+            ):
+                pl.update_velocity(dt)
+
+        # -- GC finished playbacks (reads auto-disable results from device) --
+        active_now = np.asarray(self.mix_state.active)
+        for pl in self.players:
+            finished = [s for s in pl.slots if not active_now[s]]
+            if finished:
+                for s in finished:
+                    pl.slots.remove(s)
+                    self._release_slot(s)
+                pl._emit_finished()
+
+        # -- stage A --
+        if self._params_dirty or self._source_params_cache is None:
+            self._source_params_cache = self._player_params()
+            self._params_dirty = False
+        scene = self._build_scene()
+        was_out = getattr(self, "_was_out", None)
+        if was_out is None or was_out.shape[0] != len(self.players):
+            was_out = jnp.zeros(len(self.players), bool)
+        result = self._stage_a(scene, self._source_params_cache, was_out)
+        self._was_out = result.was_out_of_range
+
+        # -- play/stop events --
+        slot_player_sib, play_mask, play_cursor, stop_mask = (
+            self._process_slot_events()
+        )
+
         paused = self._slot_paused.copy()
 
         self.mix_state, self._block_params = _tick_update(
@@ -665,6 +761,110 @@ class AudioEngine:
             jnp.asarray(self._slot_gain),
             num_buses=self.num_buses,
         )
+
+    def step(self, dt: Optional[float] = None) -> np.ndarray:
+        """One physics tick + one audio block in a SINGLE device dispatch.
+
+        Equivalent to physics_step() followed by render_block(), but the
+        Stage A geometry, tick bookkeeping, Stage B mix and bus reduction
+        compose into one jitted call — the split path pays three device
+        round trips per block, which dominates realtime latency (the bench
+        tunnel's sync floor is ~23 ms/call; real hardware ~10 µs).
+        Falls back to the split path for custom Stage A overrides."""
+        from ..models.custom import AudioSpatializerCustom
+
+        has_custom = self.stage_a_override is not None or any(
+            isinstance(pl.spatializer_base, AudioSpatializerCustom)
+            for pl in self.players
+        )
+        if has_custom or not self.players:
+            self.physics_step(dt)
+            return self.render_block()
+        if dt is None:
+            dt = 1.0 / self.physics_rate
+
+        for pl in self.players:
+            if pl.spatializer_base is not None and (
+                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
+            ):
+                pl.update_velocity(dt)
+
+        # GC finished playbacks (device read of the previous block's actives)
+        active_now = np.asarray(self.mix_state.active)
+        for pl in self.players:
+            finished = [sl for sl in pl.slots if not active_now[sl]]
+            if finished:
+                for sl in finished:
+                    pl.slots.remove(sl)
+                    self._release_slot(sl)
+                pl._emit_finished()
+
+        if self._params_dirty or self._source_params_cache is None:
+            self._source_params_cache = self._player_params()
+            self._params_dirty = False
+        scene = self._build_scene()
+        was_out = getattr(self, "_was_out", None)
+        if was_out is None or was_out.shape[0] != len(self.players):
+            was_out = jnp.zeros(len(self.players), bool)
+
+        slot_player_sib, play_mask, play_cursor, stop_mask = (
+            self._process_slot_events()
+        )
+        paused = self._slot_paused.copy()
+
+        bank = self._bank()
+        sends = tuple(
+            self.bus_index(b.send) if b.send is not None else -1 for b in self.buses
+        )
+        vols = tuple(b.volume_db for b in self.buses)
+        effects = tuple(tuple(b.effects) for b in self.buses)
+        new_state, new_was_out, master, peaks, new_fx = _step_jit(
+            scene,
+            self._source_params_cache,
+            was_out,
+            self.mix_state,
+            jnp.asarray(self.slot_player),
+            jnp.asarray(slot_player_sib),
+            jnp.asarray(play_mask),
+            jnp.asarray(play_cursor),
+            jnp.asarray(stop_mask),
+            jnp.asarray(self._slot_mode),
+            jnp.asarray(self._slot_threshold_db),
+            jnp.asarray(paused),
+            jnp.asarray(self._slot_chain_group),
+            jnp.asarray(self._slot_pitch_mul),
+            jnp.asarray(self._slot_gain),
+            bank,
+            self._bus_effect_states(),
+            num_buses=self.num_buses,
+            speaker_mode=self.speaker_mode,
+            global_panning_strength=self.global_panning_strength,
+            mix_rate=self.mix_rate,
+            frame_count=self.block_size,
+            channel_count=self.channel_count,
+            mix_channel_enabled=self.mix_channel_enabled,
+            biquad_method=self.biquad_method,
+            resample_gather=self.resample_gather,
+            sends=sends,
+            bus_volumes_db=vols,
+            effects=effects,
+            chain=tuple(self._chain_groups),
+            max_pitch=self.max_pitch,
+        )
+        self.mix_state = new_state
+        self._was_out = new_was_out
+        self._block_params = None  # consumed by the fused dispatch
+        self._bus_fx_states = new_fx
+        self._last_peaks = peaks
+        # start the device→host copy of the active flags now so the next
+        # tick's finished-GC read doesn't stall the pipeline (finished
+        # detection lags one tick — same as the reference, which flags on
+        # the audio thread and signals on the next physics tick)
+        try:
+            new_state.active.copy_to_host_async()
+        except AttributeError:
+            pass
+        return np.asarray(master)
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1

@@ -107,3 +107,53 @@ def test_volume_linear_roundtrip():
     assert player.volume_linear == pytest.approx(0.5, rel=1e-6)
     with pytest.raises(ValueError):
         player.volume_db = float("nan")
+
+
+def test_fused_step_matches_split_path():
+    """AudioEngine.step() (single-dispatch tick+render) must produce the
+    same audio and state evolution as physics_step()+render_block()."""
+    import numpy as np
+
+    from godot_audio_spatializer_tpu import (
+        AudioEngine,
+        AudioSpatializer3D,
+        AudioStreamPlayerSpatial,
+        AudioStreamSample,
+    )
+    from godot_audio_spatializer_tpu.constants import DopplerTracking
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+
+    rng = np.random.default_rng(13)
+    clip = (rng.standard_normal(20000) * 0.3).astype(np.float32)
+    positions = [
+        np.array([2.0 - 0.4 * b, 0.3, -3.0 + 0.2 * b]) for b in range(10)
+    ]
+
+    def run(fused):
+        eng = AudioEngine(mix_rate=44100.0, block_size=512, max_sources=8)
+        eng.add_listener(ListenerDesc())
+        sp = AudioSpatializer3D(doppler_tracking=DopplerTracking.PHYSICS_STEP)
+        pl = AudioStreamPlayerSpatial(
+            eng, stream=AudioStreamSample(clip, loop=True), spatializer=sp,
+            max_polyphony=2,
+        )
+        out = []
+        for b, pos in enumerate(positions):
+            pl.set_position(pos)
+            if b in (0, 4):
+                pl.play()
+            if b == 7:
+                pl.set_stream_paused(True)
+            if b == 8:
+                pl.set_stream_paused(False)
+            if fused:
+                out.append(eng.step())
+            else:
+                eng.physics_step()
+                out.append(eng.render_block())
+        return np.concatenate(out, axis=1)
+
+    split = run(False)
+    fused = run(True)
+    assert np.array_equal(split, fused)
+    assert np.abs(split).max() > 1e-3
