@@ -59,9 +59,18 @@ from .models.spatializer_effect import (  # noqa: F401
 from .models.effects import (  # noqa: F401
     AudioEffectAmplify,
     AudioEffectDelay,
+    AudioEffectDistortion,
     AudioEffectFilter,
+    AudioEffectPanner,
+    AudioEffectStereoEnhance,
+    BusEffectChorus,
+    BusEffectCompressor,
+    BusEffectEQ,
     BusEffectFilter,
+    BusEffectLimiter,
+    BusEffectRecord,
     BusEffectReverb,
+    BusEffectSpectrumAnalyzer,
 )
 from .models.hrtf import HrtfDatabase  # noqa: F401
 from .ops.filters import FilterMode  # noqa: F401

@@ -426,6 +426,12 @@ class AudioEngine:
         bus.effects.append(effect)
         self._bus_fx_states = None  # rebuild lazily
 
+    def get_bus_effect_state(self, bus_name: str, index: int):
+        """Current device state of a bus effect (e.g. the spectrum
+        analyzer's magnitudes or the recorder's ring) — pass it to the
+        effect object's query helpers."""
+        return self._bus_effect_states()[self.bus_index(bus_name)][index]
+
     def _bus_effect_states(self):
         if getattr(self, "_bus_fx_states", None) is None:
             self._bus_fx_states = tuple(

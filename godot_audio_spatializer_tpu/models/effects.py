@@ -565,3 +565,102 @@ class BusEffectChorus:
             {"ring": ring, "pos": (pos + F) % D, "phase": jnp.stack(new_phase)},
             y,
         )
+
+
+class BusEffectSpectrumAnalyzer:
+    """Audio-tap spectrum analyzer (Godot AudioEffectSpectrumAnalyzer
+    role): passthrough that keeps the magnitude spectrum of the last
+    `fft_size` samples.  Query via `magnitudes(state)` /
+    `magnitude_for_frequency_range(state, lo, hz)` on the state fetched
+    with `engine.get_bus_effect_state(bus, index)`."""
+
+    def __init__(self, fft_size: int = 1024):
+        assert fft_size and (fft_size & (fft_size - 1)) == 0
+        self.fft_size = int(fft_size)
+        self._mix_rate = 44100.0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+
+    def init_state(self):
+        return {
+            "tail": jnp.zeros((self.fft_size, 2), jnp.float32),
+            "mags": jnp.zeros((2, self.fft_size // 2 + 1), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        F = buf.shape[1]
+        x = buf[0]  # front L/R pair feeds the analyzer (Godot taps the bus)
+        seg = jnp.concatenate([state["tail"], x], axis=0)[-self.fft_size :]
+        win = jnp.hanning(self.fft_size).astype(jnp.float32)[:, None]
+        spec = jnp.fft.rfft(seg * win, axis=0)  # [fft/2+1, 2]
+        mags = jnp.abs(spec).T * (2.0 / self.fft_size)
+        return {"tail": seg, "mags": mags}, buf
+
+    def magnitudes(self, state):
+        """[2 ears, fft/2+1] magnitude spectrum of the last window."""
+        import numpy as _np
+
+        return _np.asarray(state["mags"])
+
+    def magnitude_for_frequency_range(self, state, from_hz: float, to_hz: float):
+        """Peak magnitude (per ear) within [from_hz, to_hz]."""
+        import numpy as _np
+
+        mags = self.magnitudes(state)
+        freqs = _np.fft.rfftfreq(self.fft_size, 1.0 / self._mix_rate)
+        sel = (freqs >= from_hz) & (freqs <= to_hz)
+        if not sel.any():
+            return _np.zeros(2, _np.float32)
+        return mags[:, sel].max(axis=1)
+
+
+class BusEffectRecord:
+    """Bus capture (Godot AudioEffectRecord role): passthrough that writes
+    the bus's front L/R pair into a device-resident ring of
+    `max_seconds`.  Fetch with `recording(state)` (trimmed, oldest
+    first)."""
+
+    def __init__(self, max_seconds: float = 10.0):
+        self.max_seconds = float(max_seconds)
+        self._cap = 0
+        self._mix_rate = 44100.0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+        self._cap = int(self.max_seconds * mix_rate) // block_size * block_size
+        self._cap = max(self._cap, block_size)
+
+    def init_state(self):
+        return {
+            "ring": jnp.zeros((self._cap, 2), jnp.float32),
+            "pos": jnp.zeros((), jnp.int32),
+            "total": jnp.zeros((), jnp.int64)
+            if jax.config.jax_enable_x64
+            else jnp.zeros((), jnp.int32),
+        }
+
+    def process(self, state, buf):
+        F = buf.shape[1]
+        x = buf[0]  # front pair
+        idx = (state["pos"] + jnp.arange(F, dtype=jnp.int32)) % self._cap
+        ring = state["ring"].at[idx].set(x)
+        return (
+            {
+                "ring": ring,
+                "pos": (state["pos"] + F) % self._cap,
+                "total": state["total"] + F,
+            },
+            buf,
+        )
+
+    def recording(self, state):
+        """Captured frames [n, 2] float32, oldest first (≤ max_seconds)."""
+        import numpy as _np
+
+        ring = _np.asarray(state["ring"])
+        pos = int(_np.asarray(state["pos"]))
+        total = int(_np.asarray(state["total"]))
+        if total >= self._cap:
+            return _np.concatenate([ring[pos:], ring[:pos]], axis=0)
+        return ring[:total]

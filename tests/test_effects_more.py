@@ -205,3 +205,41 @@ def test_chorus():
     assert 0.3 < np.abs(blocks).max() < 1.5
     # the wet path actually contributes (output differs from dry scaling)
     assert np.abs(blocks[0, 2 * F :, 0] - x[2 * F :]).max() > 0.05
+
+
+def test_spectrum_analyzer_and_record():
+    """Analyzer reports the dominant tone; recorder captures the master."""
+    from godot_audio_spatializer_tpu import (
+        AudioEngine, AudioSpatializer3D, AudioStreamPlayerSpatial,
+        AudioStreamSample,
+    )
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+
+    t = np.arange(int(1.0 * MIX)) / MIX
+    clip = (0.4 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    eng = AudioEngine(mix_rate=MIX, block_size=F, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    ana = fx.BusEffectSpectrumAnalyzer(fft_size=1024)
+    rec = fx.BusEffectRecord(max_seconds=1.0)
+    eng.add_bus_effect("Master", ana)
+    eng.add_bus_effect("Master", rec)
+    pl = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=True),
+        spatializer=AudioSpatializer3D(),
+    )
+    pl.set_position([0.0, 0.0, -1.0])
+    pl.play()
+    eng.physics_step()
+    blocks = [eng.render_block() for _ in range(6)]
+
+    st_ana = eng.get_bus_effect_state("Master", 0)
+    in_band = ana.magnitude_for_frequency_range(st_ana, 900.0, 1100.0)
+    off_band = ana.magnitude_for_frequency_range(st_ana, 4000.0, 6000.0)
+    assert (in_band > 10 * np.maximum(off_band, 1e-7)).all()
+
+    st_rec = eng.get_bus_effect_state("Master", 1)
+    captured = rec.recording(st_rec)
+    assert captured.shape[0] == 6 * F
+    # the capture is the master front pair (post-effects = passthrough here)
+    master = np.concatenate(blocks, axis=1)[0]
+    assert np.array_equal(captured, master.astype(np.float32))
