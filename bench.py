@@ -58,7 +58,7 @@ def _time(fn, *args, **kw):
 
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               chain=(), use_chain=False, label="", unit_pitch_aligned=False,
-              physics_every=1):
+              physics_every=1, max_pitch=2.0):
     args = build_bench_scene(
         n, BLOCKS, frame_count, mix_rate,
         chain_effects=chain, use_chain=use_chain, doppler=doppler,
@@ -69,11 +69,51 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         unit_pitch_aligned=unit_pitch_aligned, physics_every=physics_every,
         # variable-pitch path: the Pallas one-hot-matmul resampler
         resample_gather="xla" if unit_pitch_aligned else "kernel",
+        max_pitch=max_pitch,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = BLOCKS * frame_count / mix_rate / secs
     return {"config": label, "sources": n, "rtf": round(rtf, 2),
             "block_ms": round(secs / BLOCKS * 1e3, 4)}
+
+
+def bench_streaming(n_sources):
+    """Interactive-path latency: AudioEngine.step() (fused tick+mix in one
+    dispatch) driven block-by-block like a game loop.  Dominated by the
+    tunnel's per-call sync floor on this device; the number is the
+    realtime budget check (must be < block duration on target hardware)."""
+    from godot_audio_spatializer_tpu import (
+        AudioEngine, AudioSpatializer3D, AudioStreamPlayerSpatial,
+        AudioStreamSample,
+    )
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+
+    rng = np.random.default_rng(0)
+    clip = (rng.standard_normal(30000) * 0.3).astype(np.float32)
+    eng = AudioEngine(mix_rate=48000.0, block_size=512,
+                      max_sources=max(n_sources, 4))
+    eng.add_listener(ListenerDesc())
+    pls = [
+        AudioStreamPlayerSpatial(
+            eng, stream=AudioStreamSample(clip, loop=True),
+            spatializer=AudioSpatializer3D(),
+        )
+        for _ in range(n_sources)
+    ]
+    for i, pl in enumerate(pls):
+        pl.set_position([np.cos(i), 0.0, -2.0 - np.sin(i)])
+        pl.play()
+    for _ in range(3):
+        eng.step()  # compile + warm
+    reps = 8 if QUICK else 20
+    t0 = time.perf_counter()
+    for k in range(reps):
+        pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
+        eng.step()
+    ms = (time.perf_counter() - t0) / reps * 1e3
+    rtf = 512 / 48000.0 / (ms * 1e-3)
+    return {"config": f"streaming_step_{n_sources}src", "sources": n_sources,
+            "rtf": round(rtf, 2), "block_ms": round(ms, 4)}
 
 
 def bench_hrtf(n, mix_rate, frame_count, taps=128):
@@ -141,8 +181,13 @@ def main():
     )
     # doppler variant of the north star (general resample path)
     results.append(
+        # host-side doppler bound for the window size: the scene's sources
+        # orbit at ≤ 2 rad/s × 40 m = 80 m/s toward a static listener →
+        # pitch ≤ 343/(343−80) = 1.305 < 1.4; a tighter static max_pitch
+        # shrinks the resample window (R=8 rows instead of 10) without
+        # ever clamping a legitimate pitch
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512, doppler=True,
-                  label="north_star_4096src_doppler")
+                  label="north_star_4096src_doppler", max_pitch=1.4)
     )
 
     # config 1: 1 mono source → stereo pan + inverse distance, 44.1 kHz
@@ -150,10 +195,13 @@ def main():
         bench_mix(1, SpeakerMode.STEREO, 44100.0, 512, doppler=False,
                   unit_pitch_aligned=True, label="c1_single_source_stereo")
     )
+    # streaming latency: the fused single-dispatch engine step
+    results.append(bench_streaming(32))
+
     # config 2: 64 moving sources → 5.1, doppler + gain ramps
     results.append(
         bench_mix(64, SpeakerMode.SURROUND_51, 44100.0, 512,
-                  label="c2_64src_5.1_doppler")
+                  label="c2_64src_5.1_doppler", max_pitch=1.4)
     )
     # config 3: per-source lowpass occlusion chain
     results.append(
