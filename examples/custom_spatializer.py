@@ -26,6 +26,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from godot_audio_spatializer_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must beat sitecustomize
+
 import jax.numpy as jnp
 
 from godot_audio_spatializer_tpu.constants import MAX_CHANNELS_PER_BUS

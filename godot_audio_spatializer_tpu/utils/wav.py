@@ -6,6 +6,7 @@ the realtime path; this is the dependency-free fallback and the test tool.
 
 from __future__ import annotations
 
+import os
 import wave
 from typing import Tuple
 
@@ -45,6 +46,9 @@ def write_wav(path: str, frames: np.ndarray, sample_rate: int) -> None:
         frames = frames[:, None]
     pcm = np.clip(frames, -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2")
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     with wave.open(path, "wb") as w:
         w.setnchannels(frames.shape[1])
         w.setsampwidth(2)
