@@ -10,6 +10,14 @@ and the lookahead tail update — everything the XLA graph otherwise spends
 
 Lane packing mirrors biquad_kernel: (source, ear) pairs on [8, 128] vregs,
 frames sequential in registers.
+
+The sequential loop is the kernel's cost (F steps × ~16-25 vector ops per
+tile; the bench device issues ~1 vop per few cycles), so the common case is
+special-cased: when every active lane mixed a full block — no stream ended,
+the end-fade machinery is dead — a per-tile SMEM flag (computed in XLA)
+selects a loop body without the fade compare/select chain (~8 fewer vops
+per step, ~25% of kernel time).  Streams that do end fall back to the full
+body for their tile only.
 """
 
 from __future__ import annotations
@@ -25,9 +33,94 @@ from ...constants import FADEOUT_BASE, LOOKAHEAD_BUFFER_SIZE
 from .biquad_kernel import _from_tiles, _to_tiles
 
 LA = LOOKAHEAD_BUFFER_SIZE
+ROWLANES = 128
+
+
+def _mix_loop_and_state(
+    la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
+    store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
+):
+    """The delay-line + end-fade + coefficient-ramped biquad loop shared by
+    the y-output and bus-fused kernels; `store(f, yo)` receives each output
+    frame.  `fade=False` is the all-full fast body (the SMEM flag
+    guarantees every active lane mixed F frames, so factor ≡ zmask)."""
+    b0 = c0_ref[0, 0]
+    b1 = c0_ref[0, 1]
+    b2 = c0_ref[0, 2]
+    a1 = c0_ref[0, 3]
+    a2 = c0_ref[0, 4]
+    i0 = inc_ref[0, 0]
+    i1 = inc_ref[0, 1]
+    i2 = inc_ref[0, 2]
+    i3 = inc_ref[0, 3]
+    i4 = inc_ref[0, 4]
+    la_f = jnp.float32(LA)
+    apply_b = apply_m > 0.0
+    zm_over_la = zmask * (1.0 / la_f)
+
+    def make_step(read):
+        def step(f, carry):
+            x1, x2, y1, y2, fadec, peak = carry
+            if fade:
+                # end-of-stream fade over combined positions [mixed, mixed+LA)
+                k = jnp.float32(f) - mixed  # [8,128]
+                in_fade = jnp.logical_and(k >= 0.0, k < la_f)
+                fadec = jnp.where(in_fade, fadec * FADEOUT_BASE, fadec)
+                factor = jnp.where(
+                    k < 0.0,
+                    zmask,
+                    jnp.where(in_fade, fadec * (la_f - k) * zm_over_la, 0.0),
+                )
+                xt = read(f) * factor
+            else:
+                xt = read(f) * zmask
+
+            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
+            # accumulation drifts ~F ulps/block — audible near-pole filters
+            kf = jnp.float32(1) + f.astype(jnp.float32)
+            yf = (
+                (b0 + kf * i0) * xt
+                + (b1 + kf * i1) * x1
+                + (b2 + kf * i2) * x2
+                + (a1 + kf * i3) * y1
+                + (a2 + kf * i4) * y2
+            )
+            yo = jnp.where(apply_b, yf, xt)
+            store(f, yo)
+            peak = jnp.maximum(peak, jnp.abs(yo))
+            return (xt, x1, yf, y1, fadec, peak)
+
+        return step
+
+    init = (
+        st_ref[0, 0], st_ref[0, 1], st_ref[0, 2], st_ref[0, 3],
+        jnp.ones_like(mixed), jnp.zeros_like(mixed),
+    )
+    # phase 1: delay-line head from the lookahead tail; phase 2: stream
+    carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
+    carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
+    x1, x2, y1, y2, fadec, peak = carry
+    Ff = jnp.float32(F)
+
+    # bypass lanes keep their history/coefficients (reference semantics)
+    sto_ref[0, 0] = jnp.where(apply_b, x1, st_ref[0, 0])
+    sto_ref[0, 1] = jnp.where(apply_b, x2, st_ref[0, 1])
+    sto_ref[0, 2] = jnp.where(apply_b, y1, st_ref[0, 2])
+    sto_ref[0, 3] = jnp.where(apply_b, y2, st_ref[0, 3])
+    co_ref[0, 0] = jnp.where(apply_b, b0 + Ff * i0, c0_ref[0, 0])
+    co_ref[0, 1] = jnp.where(apply_b, b1 + Ff * i1, c0_ref[0, 1])
+    co_ref[0, 2] = jnp.where(apply_b, b2 + Ff * i2, c0_ref[0, 2])
+    co_ref[0, 3] = jnp.where(apply_b, a1 + Ff * i3, c0_ref[0, 3])
+    co_ref[0, 4] = jnp.where(apply_b, a2 + Ff * i4, c0_ref[0, 4])
+    pk_ref[0, 0] = peak
+
+    # lookahead tail update: full-mix lanes take the last LA resampled frames
+    full = jnp.logical_and(mixed >= Ff, zmask > 0.0)[None]
+    lao_ref[0] = jnp.where(full, x_ref[0, F - LA : F], la_ref[0])
 
 
 def _mix_a_kernel(
+    ff_ref,     # SMEM [T] i32 — 1 when tile t's active lanes all mix fully
     x_ref,      # [1, F, 8, 128] resampled frames
     la_ref,     # [1, LA, 8, 128] lookahead in
     c0_ref,     # [1, 5, 8, 128]
@@ -43,90 +136,43 @@ def _mix_a_kernel(
     pk_ref,     # out [1, 1, 8, 128]
 ):
     F = x_ref.shape[1]
-    b0 = c0_ref[0, 0]
-    b1 = c0_ref[0, 1]
-    b2 = c0_ref[0, 2]
-    a1 = c0_ref[0, 3]
-    a2 = c0_ref[0, 4]
-    i0 = inc_ref[0, 0]
-    i1 = inc_ref[0, 1]
-    i2 = inc_ref[0, 2]
-    i3 = inc_ref[0, 3]
-    i4 = inc_ref[0, 4]
-    x1 = st_ref[0, 0]
-    x2 = st_ref[0, 1]
-    y1 = st_ref[0, 2]
-    y2 = st_ref[0, 3]
     mixed = mixed_ref[0, 0]
     zmask = zm_ref[0, 0]
     apply_m = ap_ref[0, 0]
-    la_f = jnp.float32(LA)
 
-    def make_step(read):
-        def step(f, carry):
-            x1, x2, y1, y2, fadec, peak = carry
-            xt = read(f)
-            # end-of-stream fade over combined positions [mixed, mixed+LA)
-            k = jnp.float32(f) - mixed  # [8,128]
-            in_fade = jnp.logical_and(k >= 0.0, k < la_f)
-            fadec = jnp.where(in_fade, fadec * FADEOUT_BASE, fadec)
-            factor = jnp.where(
-                k < 0.0, 1.0, jnp.where(in_fade, fadec * (la_f - k) / la_f, 0.0)
-            )
-            xt = xt * factor * zmask
-
-            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
-            # accumulation drifts ~F ulps/block — audible near-pole filters
-            kf = jnp.float32(1) + f.astype(jnp.float32)
-            yf = (
-                (b0 + kf * i0) * xt
-                + (b1 + kf * i1) * x1
-                + (b2 + kf * i2) * x2
-                + (a1 + kf * i3) * y1
-                + (a2 + kf * i4) * y2
-            )
-            yo = apply_m * yf + (1.0 - apply_m) * xt
+    def run(fade):
+        def store(f, yo):
             y_ref[0, f] = yo
-            peak = jnp.maximum(peak, jnp.abs(yo))
-            return (xt, x1, yf, y1, fadec, peak)
 
-        return step
+        _mix_loop_and_state(
+            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
+            store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
+        )
 
-    init = (x1, x2, y1, y2, jnp.ones_like(mixed), jnp.zeros_like(mixed))
-    # phase 1: delay-line head from the lookahead tail; phase 2: stream
-    carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
-    carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
-    x1, x2, y1, y2, fadec, peak = carry
-    Ff = jnp.float32(F)
+    fast = ff_ref[pl.program_id(0)] > 0
 
-    # bypass lanes keep their history/coefficients (reference semantics)
-    sto_ref[0, 0] = apply_m * x1 + (1.0 - apply_m) * st_ref[0, 0]
-    sto_ref[0, 1] = apply_m * x2 + (1.0 - apply_m) * st_ref[0, 1]
-    sto_ref[0, 2] = apply_m * y1 + (1.0 - apply_m) * st_ref[0, 2]
-    sto_ref[0, 3] = apply_m * y2 + (1.0 - apply_m) * st_ref[0, 3]
-    co_ref[0, 0] = apply_m * (b0 + Ff * i0) + (1.0 - apply_m) * c0_ref[0, 0]
-    co_ref[0, 1] = apply_m * (b1 + Ff * i1) + (1.0 - apply_m) * c0_ref[0, 1]
-    co_ref[0, 2] = apply_m * (b2 + Ff * i2) + (1.0 - apply_m) * c0_ref[0, 2]
-    co_ref[0, 3] = apply_m * (a1 + Ff * i3) + (1.0 - apply_m) * c0_ref[0, 3]
-    co_ref[0, 4] = apply_m * (a2 + Ff * i4) + (1.0 - apply_m) * c0_ref[0, 4]
-    pk_ref[0, 0] = peak
+    @pl.when(fast)
+    def _():
+        run(False)
 
-    # lookahead tail update: full-mix lanes take the last LA resampled frames
-    full = jnp.logical_and(mixed >= jnp.float32(F), zmask > 0.0)[None]
-    lao_ref[0] = jnp.where(full, x_ref[0, F - LA : F], la_ref[0])
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        run(True)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count",))
-def _mix_a_tiles(x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
+def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
     T = x.shape[0]
     F = frame_count
     spec = lambda k: pl.BlockSpec(
         (1, k, 8, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    ffspec = pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _mix_a_kernel,
         grid=(T,),
-        in_specs=[spec(F), spec(LA), spec(5), spec(5), spec(4), spec(1), spec(1), spec(1)],
+        in_specs=[ffspec, spec(F), spec(LA), spec(5), spec(5), spec(4),
+                  spec(1), spec(1), spec(1)],
         out_specs=[spec(F), spec(LA), spec(4), spec(5), spec(1)],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
@@ -135,7 +181,18 @@ def _mix_a_tiles(x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
             jax.ShapeDtypeStruct(c0.shape, jnp.float32),
             jax.ShapeDtypeStruct(mixed.shape, jnp.float32),
         ],
-    )(x, la, c0, inc, st, mixed, zm, ap)
+    )(ff, x, la, c0, inc, st, mixed, zm, ap)
+
+
+def _full_flags(mixed, signal_mask, frame_count, T):
+    """Per-tile i32 flags: 1 when every active (source, ear) lane in the
+    tile mixed the full block (fade machinery provably dead)."""
+    L = signal_mask.shape[0]
+    ok = (mixed >= frame_count) | jnp.logical_not(signal_mask)  # [L] lanes
+    pad = T * 1024 - L
+    if pad:
+        ok = jnp.concatenate([ok, jnp.ones(pad, bool)])
+    return ok.reshape(T, 1024).all(axis=1).astype(jnp.int32)
 
 
 def fused_mode_a(
@@ -184,9 +241,14 @@ def fused_mode_a(
     mt = _to_tiles(mixed_l, 1)
     zt = _to_tiles(zm_l, 1)
     at = _to_tiles(ap_l, 1)
+    sm_l = lanes(jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)))[:, 0]
+    mix_lanes = lanes(
+        jnp.broadcast_to(mixed[:, None, None], (N, 2, 1))
+    )[:, 0]
+    ff = _full_flags(mix_lanes, sm_l, F, xt.shape[0])
 
     y, lao, sto, co, pk = _mix_a_tiles(
-        xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F
+        ff, xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F
     )
 
     def unl(arr, k):  # [T,k,8,128] → [N,2,k]
@@ -204,13 +266,27 @@ def fused_mode_a(
 # Variant with in-kernel bus accumulation (the default no-chain mode-A path):
 # the per-source signal never round-trips HBM — each grid step parks its
 # frames in a VMEM scratch and contracts them with the server volume lanes
-# on the MXU (8 per-sublane dots; Mosaic has no multi-dim contraction),
-# accumulating the tiny [ears, ramp, F, B·4] bus output across lane tiles.
-# Replaces the 16.8 MB sig write + XLA einsum reads of the split path.
+# on the MXU, accumulating the tiny bus output across lane tiles.  Replaces
+# the 16.8 MB sig write + XLA einsum reads of the split path.
+#
+# v2 contraction: Mosaic has no multi-dim-contraction dot, and v1's
+# decomposition into 8 per-sublane dots required a sublane-strided slice of
+# the scratch per dot (a relayout each) — measured slower than the XLA
+# einsum it replaced.  v2 instead flattens the scratch [F, 8, 128] →
+# [F·8, 128] (layout no-op) and dots against a block-column volume matrix
+# [128, 8·m] whose column block s holds sublane s's volumes:
+# D[f·8+s, s'·m+j] = Σ_l sig[f,s,l]·vol[s',l,j].  Only the s==s' blocks are
+# wanted; a grid-invariant iota mask kills the rest, lane-rolls fold the 8
+# column blocks, one sublane reduction folds each frame's 8 rows.  The tail
+# runs in 128-frame chunks (≤ ~3 MB VMEM live, so block pipelining
+# survives) and the dot uses a 3-term bf16 split (s_hi·v_hi + s_hi·v_lo +
+# s_lo·v_hi: three native MXU passes instead of HIGHEST's six; the dropped
+# lo·lo term is ~2⁻¹⁸ relative ≈ −108 dB, far inside the −80 dBFS budget).
 # ---------------------------------------------------------------------------
 
 
 def _mix_a_bus_kernel(
+    ff_ref,     # SMEM [T] i32
     x_ref,      # [1, F, 8, 128]
     la_ref,     # [1, LA, 8, 128]
     c0_ref,     # [1, 5, 8, 128]
@@ -219,133 +295,103 @@ def _mix_a_bus_kernel(
     mixed_ref,  # [1, 1, 8, 128]
     zm_ref,     # [1, 1, 8, 128]
     ap_ref,     # [1, 1, 8, 128]
-    vol_ref,    # [1, 2, 2, B4, 8, 128] — (ear, v0/Δv, bus·chan) volume lanes
+    vol_ref,    # [1, 128, 8·m] — lane l, column s·m+j: sublane-s volume j
     lao_ref,    # out [1, LA, 8, 128]
     sto_ref,    # out [1, 4, 8, 128]
     co_ref,     # out [1, 5, 8, 128]
     pk_ref,     # out [1, 1, 8, 128]
-    bus_ref,    # out [2, 2, F, B4] — accumulated over the lane-tile grid
+    bus_ref,    # out [F, m] — accumulated over the lane-tile grid
     sig_ref,    # scratch VMEM [F, 8, 128]
 ):
     F = x_ref.shape[1]
-    b4 = vol_ref.shape[3]
-    b0 = c0_ref[0, 0]
-    b1 = c0_ref[0, 1]
-    b2 = c0_ref[0, 2]
-    a1 = c0_ref[0, 3]
-    a2 = c0_ref[0, 4]
-    i0 = inc_ref[0, 0]
-    i1 = inc_ref[0, 1]
-    i2 = inc_ref[0, 2]
-    i3 = inc_ref[0, 3]
-    i4 = inc_ref[0, 4]
-    x1 = st_ref[0, 0]
-    x2 = st_ref[0, 1]
-    y1 = st_ref[0, 2]
-    y2 = st_ref[0, 3]
+    m = vol_ref.shape[2] // 8
     mixed = mixed_ref[0, 0]
     zmask = zm_ref[0, 0]
     apply_m = ap_ref[0, 0]
-    la_f = jnp.float32(LA)
 
-    def make_step(read):
-        def step(f, carry):
-            x1, x2, y1, y2, fadec, peak = carry
-            xt = read(f)
-            k = jnp.float32(f) - mixed
-            in_fade = jnp.logical_and(k >= 0.0, k < la_f)
-            fadec = jnp.where(in_fade, fadec * FADEOUT_BASE, fadec)
-            factor = jnp.where(
-                k < 0.0, 1.0, jnp.where(in_fade, fadec * (la_f - k) / la_f, 0.0)
-            )
-            xt = xt * factor * zmask
-            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
-            # accumulation drifts ~F ulps/block — audible near-pole filters
-            kf = jnp.float32(1) + f.astype(jnp.float32)
-            yf = (
-                (b0 + kf * i0) * xt
-                + (b1 + kf * i1) * x1
-                + (b2 + kf * i2) * x2
-                + (a1 + kf * i3) * y1
-                + (a2 + kf * i4) * y2
-            )
-            yo = apply_m * yf + (1.0 - apply_m) * xt
+    def run(fade):
+        def store(f, yo):
             sig_ref[f] = yo
-            peak = jnp.maximum(peak, jnp.abs(yo))
-            return (xt, x1, yf, y1, fadec, peak)
 
-        return step
+        _mix_loop_and_state(
+            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
+            store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
+        )
 
-    init = (x1, x2, y1, y2, jnp.ones_like(mixed), jnp.zeros_like(mixed))
-    carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
-    carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
-    x1, x2, y1, y2, fadec, peak = carry
-    Ff = jnp.float32(F)
+    fast = ff_ref[pl.program_id(0)] > 0
 
-    sto_ref[0, 0] = apply_m * x1 + (1.0 - apply_m) * st_ref[0, 0]
-    sto_ref[0, 1] = apply_m * x2 + (1.0 - apply_m) * st_ref[0, 1]
-    sto_ref[0, 2] = apply_m * y1 + (1.0 - apply_m) * st_ref[0, 2]
-    sto_ref[0, 3] = apply_m * y2 + (1.0 - apply_m) * st_ref[0, 3]
-    co_ref[0, 0] = apply_m * (b0 + Ff * i0) + (1.0 - apply_m) * c0_ref[0, 0]
-    co_ref[0, 1] = apply_m * (b1 + Ff * i1) + (1.0 - apply_m) * c0_ref[0, 1]
-    co_ref[0, 2] = apply_m * (b2 + Ff * i2) + (1.0 - apply_m) * c0_ref[0, 2]
-    co_ref[0, 3] = apply_m * (a1 + Ff * i3) + (1.0 - apply_m) * c0_ref[0, 3]
-    co_ref[0, 4] = apply_m * (a2 + Ff * i4) + (1.0 - apply_m) * c0_ref[0, 4]
-    pk_ref[0, 0] = peak
+    @pl.when(fast)
+    def _():
+        run(False)
 
-    full = jnp.logical_and(mixed >= jnp.float32(F), zmask > 0.0)[None]
-    lao_ref[0] = jnp.where(full, x_ref[0, F - LA : F], la_ref[0])
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        run(True)
 
-    # ---- bus contraction over this tile's lanes ----
+    # ---- bus contraction over this tile's lanes (v2, see header) ----
     @pl.when(pl.program_id(0) == 0)
     def _():
         bus_ref[...] = jnp.zeros_like(bus_ref)
 
-    dn = (((1,), (1,)), ((), ()))  # [F,128] × [B4,128]ᵀ → [F,B4]
-    for e in range(2):
-        for r in range(2):
-            acc = jnp.zeros((F, b4), jnp.float32)
-            for s in range(8):
-                acc = acc + jax.lax.dot_general(
-                    sig_ref[:, s, :], vol_ref[0, e, r, :, s, :], dn,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            bus_ref[e, r] = bus_ref[e, r] + acc
+    vol = vol_ref[0]  # [128, 8m]
+    # hi/lo split stays in f32 (hi parts are exactly bf16-representable):
+    # Mosaic rejects bf16-operand matmuls with f32 accumulation, but a
+    # DEFAULT-precision f32 dot truncates operands to bf16 on the MXU —
+    # an identity on the hi parts — and accumulates in f32.
+    v_hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
+    v_lo = vol - v_hi
+    CH = 128 if F % 128 == 0 else F
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 1)
+    mask = ((rows % 8) == (cols // m)).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for c in range(F // CH):
+        y2 = sig_ref[c * CH : (c + 1) * CH].reshape(CH * 8, ROWLANES)
+        s_hi = y2.astype(jnp.bfloat16).astype(jnp.float32)
+        s_lo = y2 - s_hi
+        d = (
+            jax.lax.dot_general(s_hi, v_hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_hi, v_lo, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_lo, v_hi, dn, preferred_element_type=jnp.float32)
+        )  # [CH·8, 8·m]
+        dm = d * mask
+        for sh in (4 * m, 2 * m, m):  # fold the 8 column blocks into block 0
+            dm = dm + jnp.roll(dm, -sh, axis=1)
+        red = dm[:, :m].reshape(CH, 8, m).sum(axis=1)  # fold each frame's rows
+        bus_ref[c * CH : (c + 1) * CH] = bus_ref[c * CH : (c + 1) * CH] + red
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
-def _mix_a_bus_tiles(x, la, c0, inc, st, mixed, zm, ap, vols, *,
+def _mix_a_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, vols, *,
                      frame_count: int, interpret: bool):
     T = x.shape[0]
     F = frame_count
-    b4 = vols.shape[3]
+    m8 = vols.shape[2]
+    m = m8 // 8
     spec = lambda k: pl.BlockSpec(
         (1, k, 8, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
     )
+    ffspec = pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM)
     vspec = pl.BlockSpec(
-        (1, 2, 2, b4, 8, 128), lambda t: (t, 0, 0, 0, 0, 0),
-        memory_space=pltpu.VMEM,
+        (1, 128, m8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
     )
-    busspec = pl.BlockSpec(
-        (2, 2, F, b4), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
+    busspec = pl.BlockSpec((F, m), lambda t: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _mix_a_bus_kernel,
         grid=(T,),
-        in_specs=[spec(F), spec(LA), spec(5), spec(5), spec(4), spec(1),
-                  spec(1), spec(1), vspec],
+        in_specs=[ffspec, spec(F), spec(LA), spec(5), spec(5), spec(4),
+                  spec(1), spec(1), spec(1), vspec],
         out_specs=[spec(LA), spec(4), spec(5), spec(1), busspec],
         out_shape=[
             jax.ShapeDtypeStruct(la.shape, jnp.float32),
             jax.ShapeDtypeStruct(st.shape, jnp.float32),
             jax.ShapeDtypeStruct(c0.shape, jnp.float32),
             jax.ShapeDtypeStruct(mixed.shape, jnp.float32),
-            jax.ShapeDtypeStruct((2, 2, F, b4), jnp.float32),
+            jax.ShapeDtypeStruct((F, m), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((F, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(x, la, c0, inc, st, mixed, zm, ap, vols)
+    )(ff, x, la, c0, inc, st, mixed, zm, ap, vols)
 
 
 def fused_mode_a_bus(
@@ -374,6 +420,7 @@ def fused_mode_a_bus(
     L = 2 * N
     B = srv_prev.shape[1]
     b4 = B * 4
+    m = 2 * 2 * b4  # (e_out, ramp, bus·chan)
 
     def lanes(arr_ne):
         return arr_ne.reshape(L, arr_ne.shape[-1])
@@ -394,18 +441,18 @@ def fused_mode_a_bus(
         jnp.broadcast_to(apply_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
     )
 
-    # volume lanes [L, 2ear, 2ramp, B4]: lane (n, e) carries srv[n, :, :, e]
-    # masked to its own ear (the bus output ear e sums only ear-e lanes)
-    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)  # [N, e, B4]
+    # volume lanes [L, m]: lane (n, e) carries srv[n, :, :, e] masked to its
+    # own ear (the bus output ear e_out sums only ear-e_out lanes), column
+    # j = (e_out·2 + ramp)·B4 + bus·chan
+    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)  # [N, e_out, B4]
     dv = jnp.moveaxis(srv_target - srv_prev, 3, 1).reshape(N, 2, b4)
+    vm = jnp.stack([v0, dv], axis=2)  # [N, e_out, ramp, B4]
     ear = jnp.arange(2)
     emask = (ear[None, :, None] == ear[None, None, :]).astype(jnp.float32)
-    # [N, lane_e, out_e, B4]
-    am = active.astype(jnp.float32)[:, None, None, None]
-    v0_l = v0[:, None, :, :] * emask[..., None] * am
-    dv_l = dv[:, None, :, :] * emask[..., None] * am
-    vol_ne = jnp.stack([v0_l, dv_l], axis=3)  # [N, lane_e, out_e, ramp, B4]
-    vol_lanes = vol_ne.reshape(L, 2, 2, b4)  # [(n,e) lanes, out_e, ramp, B4]
+    am = active.astype(jnp.float32)[:, None, None, None, None]
+    # [N, lane_e, out_e, ramp, B4] → [(n,e) lanes, m]
+    vol_ne = vm[:, None] * emask[..., None, None] * am
+    vol_lanes = vol_ne.reshape(L, m)
 
     xt = _to_tiles(x_l, F)
     lat = _to_tiles(la_l, LA)
@@ -415,12 +462,14 @@ def fused_mode_a_bus(
     mt = _to_tiles(mixed_l, 1)
     zt = _to_tiles(zm_l, 1)
     at = _to_tiles(ap_l, 1)
-    vt = _to_tiles(vol_lanes.reshape(L, 2 * 2 * b4), 2 * 2 * b4).reshape(
-        -1, 2, 2, b4, 8, 128
-    )
+    # [T, m, 8, 128] → block-column form [T, 128, 8·m]: vols[t, l, s·m+j]
+    vt = _to_tiles(vol_lanes, m).transpose(0, 3, 2, 1).reshape(-1, 128, 8 * m)
+    sm_l = lanes(jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)))[:, 0]
+    mix_lanes = lanes(jnp.broadcast_to(mixed[:, None, None], (N, 2, 1)))[:, 0]
+    ff = _full_flags(mix_lanes, sm_l, F, xt.shape[0])
 
     lao, sto, co, pk, bus = _mix_a_bus_tiles(
-        xt, lat, c0t, inct, stt, mt, zt, at, vt,
+        ff, xt, lat, c0t, inct, stt, mt, zt, at, vt,
         frame_count=F, interpret=interpret,
     )
 
@@ -431,6 +480,6 @@ def fused_mode_a_bus(
     new_state = unl(sto, 4)
     new_coeffs = unl(co, 5)[:, 0]
     peak = unl(pk, 1)[:, :, 0].max(axis=1)
-    # bus [2ear, 2ramp, F, B4] → two [B, 4, F, 2]
-    bus_e = bus.reshape(2, 2, F, B, 4).transpose(1, 3, 4, 2, 0)  # [r,B,4,F,e]
+    # bus [F, m] → (f, e_out, ramp, B, c) → two [B, 4, F, 2]
+    bus_e = bus.reshape(F, 2, 2, B, 4).transpose(2, 3, 4, 0, 1)  # [r,B,4,F,e]
     return bus_e[0], bus_e[1], new_la, new_state, new_coeffs, peak

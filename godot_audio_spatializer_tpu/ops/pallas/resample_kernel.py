@@ -44,14 +44,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..resample import FP_BITS, FP_MASK, INT16_SCALE, ROW, window_rows
 
-S = 8  # sources per grid step
-FCHUNK = 128  # output frames per in-kernel chunk
+import os
+
+S = int(os.environ.get("GAS_RS_S", "16"))  # sources per grid step
+FCHUNK = int(os.environ.get("GAS_RS_FCHUNK", "128"))  # output frames per in-kernel chunk
 
 
 def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: int):
     """p_ref [S,8] i32: off, cfrac, pint, pfrac, lim, loop.
     win_ref [S, 2R, 128] f32 (index r·2+ch).
-    y_ref [2, F/128, S, 128].  mixed_ref [S, 1] i32."""
+    y_ref [2, F/128, S, 128].  mixed_ref [S, 1] i32.
+
+    v3: the two interpolation taps share ONE one-hot — tap1's sample
+    x[rel+1] is read from a lane-shifted copy of the window (win1[i, c] =
+    win[i, c+1], lane 127 patched with the next same-channel row's lane 0),
+    so tap0 and tap1 live at the SAME (row, col) coordinates.  The shifted
+    window stacks under the original as matmul lhs [S, 2·2R, 128]: one
+    one-hot build and one MXU dot per chunk instead of two of each (the
+    one-hot construction was ~half the kernel's VPU time, and doubling the
+    lhs rows doubles MXU utilization of the small dot)."""
     F = frame_count
     off = p_ref[:, 0]
     cfrac = p_ref[:, 1]
@@ -64,11 +75,23 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
     if win.dtype == jnp.int16:
         win = win.astype(jnp.float32) * INT16_SCALE
 
+    # win1: next-sample window.  Lane roll by −1; lane 127 takes the next
+    # row of the same channel (row index +2 in the channel-interleaved
+    # window).  The window's interp margin guarantees rel+1 stays inside
+    # the gathered rows, so the sublane-roll wrap rows are never selected.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, r2, ROW), 2)
+    shifted = jnp.roll(win, shift=-1, axis=2)
+    nxt0 = jnp.broadcast_to(
+        jnp.roll(win, shift=-2, axis=1)[:, :, 0:1], (S, r2, ROW)
+    )
+    win1 = jnp.where(lane == ROW - 1, nxt0, shifted)
+    lhs = jnp.concatenate([win, win1], axis=1)  # [S, 2·r2, 128]
+
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (S, ROW, FCHUNK), 1)
-    iota_r2 = jax.lax.broadcasted_iota(jnp.int32, (S, r2, FCHUNK), 1)
+    iota_rr = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * r2, FCHUNK), 1)
     fidx = jax.lax.broadcasted_iota(jnp.int32, (S, FCHUNK), 1)
 
-    dn = (((2,), (1,)), ((0,), (0,)))  # win[s, r2, c] × a[s, c, f] → [s, r2, f]
+    dn = (((2,), (1,)), ((0,), (0,)))  # lhs[s, rr, c] × a[s, c, f] → [s, rr, f]
     mixed = jnp.zeros((S,), jnp.int32)
     for c in range(F // FCHUNK):
         i = fidx + c * FCHUNK  # [S, FCHUNK]
@@ -79,29 +102,23 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
         vf = valid.astype(jnp.float32)
         w0 = (1.0 - frac) * vf
         w1 = frac * vf
-        rel1 = rel + 1
-        # pure one-hots [S, cols, frames]; weights applied post-selection
-        a0 = ((rel & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
-        a1 = ((rel1 & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
+        # ONE pure one-hot [S, cols, frames]; weights applied post-selection.
         # HIGHEST keeps the selected f32 samples exact (one nonzero per
-        # column, so no accumulation error either)
-        g0 = jax.lax.dot_general(
-            win, a0, dn,
+        # column, so no accumulation error either).
+        a0 = ((rel & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
+        g = jax.lax.dot_general(
+            lhs, a0, dn,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [S, 2R, FCHUNK]
-        g1 = jax.lax.dot_general(
-            win, a1, dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        )  # [S, 2·r2, FCHUNK]: rows < r2 = tap0, rows ≥ r2 = tap1
         row0x2 = (rel >> 7) * 2
-        row1x2 = (rel1 >> 7) * 2
         for ch in (0, 1):
-            sel0 = ((row0x2 + ch)[:, None, :] == iota_r2).astype(jnp.float32)
-            sel1 = ((row1x2 + ch)[:, None, :] == iota_r2).astype(jnp.float32)
-            out = w0 * (sel0 * g0).sum(axis=1) + w1 * (sel1 * g1).sum(axis=1)
-            y_ref[ch, c] = out  # [S, FCHUNK]
+            r_idx = (row0x2 + ch)[:, None, :]
+            wsel = (
+                w0[:, None, :] * (r_idx == iota_rr)
+                + w1[:, None, :] * (r_idx + r2 == iota_rr)
+            )
+            y_ref[ch, c] = (wsel * g).sum(axis=1)  # [S, FCHUNK]
         mixed = mixed + valid.astype(jnp.int32).sum(axis=1)
     mixed_ref[:, 0] = mixed
 
