@@ -297,7 +297,13 @@ def _step_jit(
     master, new_fx = bus_graph_reduce(
         bus_in, sends, bus_volumes_db, effects, fx_states, channel_count
     )
-    return new_state, result.was_out_of_range, master, peaks, new_fx
+    # master + active flags packed into ONE flat array so the host fetches
+    # a single transfer per step (the tunnel pays a ~23 ms round trip per
+    # device→host read; two reads per block doubled streaming latency)
+    packed = jnp.concatenate(
+        [master.ravel(), new_state.active.astype(jnp.float32)]
+    )
+    return new_state, result.was_out_of_range, master, peaks, new_fx, packed
 
 
 class AudioEngine:
@@ -392,6 +398,9 @@ class AudioEngine:
         self._source_params_cache: Optional[SourceParams] = None
         self._params_dirty = True
         self._last_peaks = None
+        # host cache of the last step()'s active flags (fetched inside
+        # the packed master transfer); None = must read from device
+        self._active_host = None
 
     # ------------------------------------------------------------------ buses
     @property
@@ -724,6 +733,7 @@ class AudioEngine:
                 pl.update_velocity(dt)
 
         # -- GC finished playbacks (reads auto-disable results from device) --
+        self._active_host = None  # split path: flags are read fresh below
         active_now = np.asarray(self.mix_state.active)
         for pl in self.players:
             finished = [s for s in pl.slots if not active_now[s]]
@@ -795,8 +805,14 @@ class AudioEngine:
             ):
                 pl.update_velocity(dt)
 
-        # GC finished playbacks (device read of the previous block's actives)
-        active_now = np.asarray(self.mix_state.active)
+        # GC finished playbacks — one tick of lag as in the reference (the
+        # audio thread flags, the next physics tick signals).  The previous
+        # step() already fetched the active flags inside its packed master
+        # transfer; fall back to a device read only when the cache is cold
+        # (first step, or after a split-path/physics_step interleave).
+        active_now = self._active_host
+        if active_now is None:
+            active_now = np.asarray(self.mix_state.active)
         for pl in self.players:
             finished = [sl for sl in pl.slots if not active_now[sl]]
             if finished:
@@ -824,7 +840,7 @@ class AudioEngine:
         )
         vols = tuple(b.volume_db for b in self.buses)
         effects = tuple(tuple(b.effects) for b in self.buses)
-        new_state, new_was_out, master, peaks, new_fx = _step_jit(
+        new_state, new_was_out, master, peaks, new_fx, packed = _step_jit(
             scene,
             self._source_params_cache,
             was_out,
@@ -862,15 +878,14 @@ class AudioEngine:
         self._block_params = None  # consumed by the fused dispatch
         self._bus_fx_states = new_fx
         self._last_peaks = peaks
-        # start the device→host copy of the active flags now so the next
-        # tick's finished-GC read doesn't stall the pipeline (finished
-        # detection lags one tick — same as the reference, which flags on
-        # the audio thread and signals on the next physics tick)
-        try:
-            new_state.active.copy_to_host_async()
-        except AttributeError:
-            pass
-        return np.asarray(master)
+        # single device→host transfer: master block + active flags (the
+        # flags feed the NEXT tick's finished-GC — one tick of lag, as in
+        # the reference, which flags on the audio thread and signals on the
+        # next physics tick)
+        arr = np.asarray(packed)
+        msz = int(np.prod(master.shape))
+        self._active_host = arr[msz:] > 0.5
+        return arr[:msz].reshape(master.shape)
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1
@@ -1061,6 +1076,7 @@ class AudioEngine:
         n_leaves = len(leaves)
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
         self.mix_state = jax.tree.unflatten(treedef, restored)
+        self._active_host = None
         self.slot_player = data["slot_player"]
         self._slot_bank_base = data["slot_bank_base"]
         self._slot_bank_length = data["slot_bank_length"]
