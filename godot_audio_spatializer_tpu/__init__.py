@@ -62,12 +62,17 @@ from .models.effects import (  # noqa: F401
     AudioEffectDistortion,
     AudioEffectFilter,
     AudioEffectPanner,
+    AudioEffectPhaser,
+    AudioEffectPitchShift,
     AudioEffectStereoEnhance,
     BusEffectChorus,
     BusEffectCompressor,
     BusEffectEQ,
     BusEffectFilter,
+    BusEffectHardLimiter,
     BusEffectLimiter,
+    BusEffectPhaser,
+    BusEffectPitchShift,
     BusEffectRecord,
     BusEffectReverb,
     BusEffectSpectrumAnalyzer,

@@ -664,3 +664,351 @@ class BusEffectRecord:
         if total >= self._cap:
             return _np.concatenate([ring[pos:], ring[:pos]], axis=0)
         return ring[:total]
+
+
+# ------------------------------------------------------------ phaser / shift
+
+
+def _affine_scan_axis(a, b, y0, axis):
+    """y = a·y_prev + b along `axis` via associative_scan; y0 folds into
+    the first element.  a, b share shape; y0 has that shape minus `axis`."""
+    a = jnp.moveaxis(a, axis, 0)
+    b = jnp.moveaxis(b, axis, 0)
+    b = b.at[0].add(a[0] * y0)
+
+    def op(p, q):
+        a1, b1 = p
+        a2, b2 = q
+        return a1 * a2, a2 * b1 + b2
+
+    _, y = jax.lax.associative_scan(op, (a, b))
+    return jnp.moveaxis(y, 0, axis)
+
+
+def _phaser_block(state, x, *, mix_rate, range_min_hz, range_max_hz,
+                  rate_hz, feedback, depth, stages=6):
+    """Time-varying 6-stage allpass phaser on x [..., F, 2].
+
+    Each first-order allpass y=−a·u+z⁻, z=a·z⁻+(1−a²)·u runs as an affine
+    associative scan over frames (coefficient a follows the LFO per frame).
+    The global feedback tap uses the previous block's output frames (a
+    one-block delay instead of Godot's one-sample loop — the sweeping
+    notch/resonance character is preserved; L0 effects here are
+    capability-equivalent, not bit-parity, like the FDN reverb)."""
+    F = x.shape[-2]
+    lead = x.shape[:-2]
+    t = jnp.arange(F, dtype=jnp.float32)
+    ph = state["phase"][..., None] + (2.0 * math.pi * rate_hz / mix_rate) * t
+    dmin = range_min_hz / (mix_rate * 0.5)
+    dmax = range_max_hz / (mix_rate * 0.5)
+    d = dmin + (dmax - dmin) * (jnp.sin(ph) + 1.0) * 0.5  # [..., F]
+    a = (1.0 - d) / (1.0 + d)
+    a2e = a[..., :, None]  # broadcast over ears → [..., F, 2]
+
+    u = x + feedback * state["fb"]
+    z = state["z"]  # [..., stages, 2]
+    new_z = []
+    for i in range(stages):
+        zi0 = z[..., i, :]
+        zseq = _affine_scan_axis(
+            jnp.broadcast_to(a2e, u.shape),
+            (1.0 - a2e * a2e) * u,
+            zi0,
+            axis=-2,
+        )
+        z_del = jnp.concatenate([zi0[..., None, :], zseq[..., :-1, :]], axis=-2)
+        u = z_del - a2e * u
+        new_z.append(zseq[..., -1, :])
+    y = x + depth * u
+    return (
+        {
+            "z": jnp.stack(new_z, axis=-2),
+            "fb": u,
+            "phase": jnp.mod(
+                state["phase"] + 2.0 * math.pi * rate_hz / mix_rate * F,
+                2.0 * math.pi,
+            ),
+        },
+        y,
+    )
+
+
+class BusEffectPhaser:
+    """Phaser bus effect (Godot AudioEffectPhaser role): LFO-swept 6-stage
+    allpass cascade with feedback, vectorized over the bus's channels."""
+
+    def __init__(self, range_min_hz: float = 440.0,
+                 range_max_hz: float = 1600.0, rate_hz: float = 0.5,
+                 feedback: float = 0.7, depth: float = 1.0):
+        self.range_min_hz = float(range_min_hz)
+        self.range_max_hz = float(range_max_hz)
+        self.rate_hz = float(rate_hz)
+        self.feedback = float(feedback)
+        self.depth = float(depth)
+        self._mix_rate = 44100.0
+        self._block = 512
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+        self._block = block_size
+
+    def init_state(self):
+        return {
+            "z": jnp.zeros((4, 6, 2), jnp.float32),
+            "fb": jnp.zeros((4, self._block, 2), jnp.float32),
+            "phase": jnp.zeros((4,), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        return _phaser_block(
+            state, buf, mix_rate=self._mix_rate,
+            range_min_hz=self.range_min_hz, range_max_hz=self.range_max_hz,
+            rate_hz=self.rate_hz, feedback=self.feedback, depth=self.depth,
+        )
+
+
+class AudioEffectPhaser:
+    """Per-source batched phaser (source-effect variant of
+    BusEffectPhaser for AudioSpatializerEffect chains)."""
+
+    def __init__(self, range_min_hz: float = 440.0,
+                 range_max_hz: float = 1600.0, rate_hz: float = 0.5,
+                 feedback: float = 0.7, depth: float = 1.0,
+                 block_size: int = 512):
+        self.range_min_hz = float(range_min_hz)
+        self.range_max_hz = float(range_max_hz)
+        self.rate_hz = float(rate_hz)
+        self.feedback = float(feedback)
+        self.depth = float(depth)
+        self.block_size = int(block_size)
+
+    def init_state(self, n: int):
+        return {
+            "z": jnp.zeros((n, 6, 2), jnp.float32),
+            "fb": jnp.zeros((n, self.block_size, 2), jnp.float32),
+            "phase": jnp.zeros((n,), jnp.float32),
+        }
+
+    def process(self, state, x, ctx: EffectCtx):
+        if state["fb"].shape[1] != x.shape[1]:  # block-size mismatch guard
+            state = dict(state, fb=jnp.zeros_like(x))
+        return _phaser_block(
+            state, x, mix_rate=ctx.mix_rate,
+            range_min_hz=self.range_min_hz, range_max_hz=self.range_max_hz,
+            rate_hz=self.rate_hz, feedback=self.feedback, depth=self.depth,
+        )
+
+
+class BusEffectHardLimiter:
+    """Lookahead brickwall limiter (Godot AudioEffectHardLimiter role).
+
+    The signal is delayed by the lookahead window; gain is the inverse of
+    the sliding-window peak over that window (computed with log-step
+    shifted maxima), smoothed with a max-decay release — the output peak
+    never exceeds the ceiling."""
+
+    def __init__(self, ceiling_db: float = -0.3, pre_gain_db: float = 0.0,
+                 release_s: float = 0.1, lookahead_frames: int = 128):
+        self.ceiling_db = float(ceiling_db)
+        self.pre_gain_db = float(pre_gain_db)
+        self.release_s = float(release_s)
+        # power of two so the log-step sliding max covers it exactly
+        self.lookahead_frames = int(lookahead_frames)
+        assert self.lookahead_frames & (self.lookahead_frames - 1) == 0
+        self._mix_rate = 44100.0
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._mix_rate = mix_rate
+        assert block_size >= self.lookahead_frames, (
+            "hard limiter lookahead must fit in one block"
+        )
+
+    def init_state(self):
+        La = self.lookahead_frames
+        return {
+            "delay": jnp.zeros((4, La, 2), jnp.float32),  # delayed signal
+            "tailpk": jnp.zeros((La,), jnp.float32),  # prev block's tail peaks
+            "red": jnp.ones((), jnp.float32),  # smoothed gain-reduction env
+        }
+
+    def process(self, state, buf):
+        F = buf.shape[1]
+        La = self.lookahead_frames
+        pre = db_to_linear(jnp.float32(self.pre_gain_db))
+        ceil = db_to_linear(jnp.float32(self.ceiling_db))
+        x = buf * pre
+
+        # per-frame peak across channels/ears, prepended with the previous
+        # block's tail so the window for the delayed frames is complete
+        pk = jnp.abs(x).max(axis=(0, 2))  # [F]
+        seq = jnp.concatenate([state["tailpk"], pk])  # [La + F]
+        # sliding max over the NEXT La frames (lookahead): log-step shifts
+        m = seq
+        k = 1
+        while k < La:
+            m = jnp.maximum(m, jnp.roll(m, -k))
+            k *= 2
+        win_pk = m[:F]  # peak over [f, f+La) for the delayed stream
+        red = jnp.maximum(win_pk / ceil, 1.0)
+        rel = math.exp(-1.0 / max(self.release_s * self._mix_rate, 1.0))
+        red = _max_decay_scan(red, jnp.float32(rel), state["red"])
+        gain = 1.0 / red  # [F]
+
+        delayed = jnp.concatenate([state["delay"], x[:, : F - La]], axis=1)
+        y = delayed * gain[None, :, None]
+        return (
+            {
+                "delay": x[:, F - La :],
+                "tailpk": pk[F - La :],
+                "red": red[-1],
+            },
+            y,
+        )
+
+
+def _pitch_remap(K: int, ratio: float):
+    import numpy as _np
+
+    R = _np.zeros((K, K), _np.float32)
+    for k in range(K):
+        j = int(round(k * ratio))
+        if 0 <= j < K:
+            R[j, k] += 1.0
+    return jnp.asarray(R)
+
+
+def _pitch_shift_block(state, x, *, ratio, window, hop, remap):
+    """smb-style phase-vocoder pitch shift on x [..., F, 2].
+
+    Per hop: Hann-windowed rfft → true-bin-frequency estimate from the
+    phase delta → bin remap through the static one-hot matrix `remap`
+    (k → round(k·ratio); magnitudes accumulate, frequencies combine
+    magnitude-weighted — the scatter becomes an MXU matmul) → phase
+    re-accumulation → irfft → windowed overlap-add.  Latency = window−hop.
+    Complex values never leave jit (axon cannot transfer complex64)."""
+    F = x.shape[-2]
+    W = window
+    H = hop
+    K = W // 2 + 1
+    lead = x.shape[:-2]
+    import numpy as _np
+
+    win_np = (0.5 - 0.5 * _np.cos(2.0 * _np.pi * _np.arange(W) / W)).astype(
+        _np.float32
+    )
+    win = jnp.asarray(win_np)
+    expct = 2.0 * math.pi * H / W
+    kbin = jnp.arange(K, dtype=jnp.float32)
+    # exact overlap-add norm for the chosen W/H (numpy: static under jit)
+    norm = float((win_np * win_np).sum() / H)
+
+    inbuf = state["in"]        # [..., W, 2]
+    outacc = state["out"]      # [..., W + F, 2] overlap-add accumulator
+    last_ph = state["last_ph"]  # [..., K, 2]
+    sum_ph = state["sum_ph"]    # [..., K, 2]
+
+    for h in range(F // H):
+        seg = x[..., h * H : (h + 1) * H, :]
+        inbuf = jnp.concatenate([inbuf[..., H:, :], seg], axis=-2)
+        frame = inbuf * win[:, None]  # [..., W, 2]
+        spec = jnp.fft.rfft(frame, axis=-2)  # [..., K, 2] complex
+        mag = jnp.abs(spec).astype(jnp.float32)
+        phase = jnp.arctan2(spec.imag, spec.real).astype(jnp.float32)
+        delta = phase - last_ph - expct * kbin[:, None]
+        last_ph = phase
+        delta = delta - 2.0 * math.pi * jnp.round(delta / (2.0 * math.pi))
+        true_bin = kbin[:, None] + delta * (W / (2.0 * math.pi * H))
+        # remap k → round(k·ratio): magnitudes add, frequency is the
+        # magnitude-weighted source frequency × ratio
+        mw = jnp.einsum("jk,...ke->...je", remap, mag)
+        fw = jnp.einsum("jk,...ke->...je", remap, mag * true_bin)
+        syn_freq = jnp.where(mw > 1e-12, fw / jnp.maximum(mw, 1e-12), 0.0) * ratio
+        sum_ph = sum_ph + expct * syn_freq
+        spec_out = mw * (jnp.cos(sum_ph) + 1j * jnp.sin(sum_ph))
+        grain = jnp.fft.irfft(spec_out, n=W, axis=-2).astype(jnp.float32)
+        grain = grain * win[:, None] / norm
+        pos = h * H  # python int → static slice
+        outacc = outacc.at[..., pos : pos + W, :].add(grain)
+
+    y = outacc[..., :F, :]
+    # slide the accumulator forward by F, zero-filling the tail
+    outacc = jnp.concatenate(
+        [outacc[..., F:, :], jnp.zeros(lead + (F, 2), jnp.float32)], axis=-2
+    )
+    return (
+        {"in": inbuf, "out": outacc, "last_ph": last_ph, "sum_ph": sum_ph},
+        y,
+    )
+
+
+class BusEffectPitchShift:
+    """Phase-vocoder pitch shifter (Godot AudioEffectPitchShift role).
+
+    `pitch_scale` > 1 shifts up.  Window/hop follow the block size
+    (W = 4·hop, hop ≤ 256 dividing the block); latency W − hop frames."""
+
+    def __init__(self, pitch_scale: float = 1.0, max_hop: int = 256):
+        self.pitch_scale = float(pitch_scale)
+        self.max_hop = int(max_hop)
+        self._block = 512
+        self._window, self._hop = self._geometry(self._block)
+        self._remap = _pitch_remap(self._window // 2 + 1, self.pitch_scale)
+
+    def _geometry(self, block_size: int):
+        hop = min(self.max_hop, block_size)
+        while block_size % hop:
+            hop //= 2
+        return 4 * hop, hop
+
+    def reset(self, channel_count: int, block_size: int, mix_rate: float):
+        self._window, self._hop = self._geometry(block_size)
+        self._block = block_size
+        self._remap = _pitch_remap(self._window // 2 + 1, self.pitch_scale)
+
+    def init_state(self):
+        W, F = self._window, self._block
+        K = W // 2 + 1
+        return {
+            "in": jnp.zeros((4, W, 2), jnp.float32),
+            "out": jnp.zeros((4, W + F, 2), jnp.float32),
+            "last_ph": jnp.zeros((4, K, 2), jnp.float32),
+            "sum_ph": jnp.zeros((4, K, 2), jnp.float32),
+        }
+
+    def process(self, state, buf):
+        return _pitch_shift_block(
+            state, buf, ratio=self.pitch_scale,
+            window=self._window, hop=self._hop, remap=self._remap,
+        )
+
+
+class AudioEffectPitchShift:
+    """Per-source batched phase-vocoder pitch shifter (source-effect
+    variant for AudioSpatializerEffect chains)."""
+
+    def __init__(self, pitch_scale: float = 1.0, block_size: int = 512,
+                 max_hop: int = 256):
+        self.pitch_scale = float(pitch_scale)
+        self.block_size = int(block_size)
+        hop = min(int(max_hop), self.block_size)
+        while self.block_size % hop:
+            hop //= 2
+        self._hop = hop
+        self._window = 4 * hop
+        self._remap = _pitch_remap(self._window // 2 + 1, self.pitch_scale)
+
+    def init_state(self, n: int):
+        W, F = self._window, self.block_size
+        K = W // 2 + 1
+        return {
+            "in": jnp.zeros((n, W, 2), jnp.float32),
+            "out": jnp.zeros((n, W + F, 2), jnp.float32),
+            "last_ph": jnp.zeros((n, K, 2), jnp.float32),
+            "sum_ph": jnp.zeros((n, K, 2), jnp.float32),
+        }
+
+    def process(self, state, x, ctx: EffectCtx):
+        return _pitch_shift_block(
+            state, x, ratio=self.pitch_scale,
+            window=self._window, hop=self._hop, remap=self._remap,
+        )

@@ -65,7 +65,15 @@ def chain_key(effects: Sequence) -> Tuple:
     return tuple(
         (
             type(e).__name__,
-            tuple(sorted((k, repr(v)) for k, v in vars(e).items())),
+            tuple(
+                sorted(
+                    (k, repr(v))
+                    for k, v in vars(e).items()
+                    # private attrs are derived caches (e.g. precomputed
+                    # remap matrices) — identity follows the public config
+                    if not k.startswith("_")
+                )
+            ),
         )
         for e in effects
     )
