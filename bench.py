@@ -58,10 +58,12 @@ def _time(fn, *args, **kw):
 
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               chain=(), use_chain=False, label="", unit_pitch_aligned=False,
-              physics_every=1, max_pitch=2.0):
+              physics_every=1, max_pitch=2.0, bank_dtype=np.float32,
+              scan_unroll=1):
     args = build_bench_scene(
         n, BLOCKS, frame_count, mix_rate,
         chain_effects=chain, use_chain=use_chain, doppler=doppler,
+        bank_dtype=bank_dtype,
     )
     kwargs = dict(
         speaker_mode=speaker_mode, mix_rate=mix_rate, frame_count=frame_count,
@@ -69,7 +71,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         unit_pitch_aligned=unit_pitch_aligned, physics_every=physics_every,
         # variable-pitch path: the Pallas one-hot-matmul resampler
         resample_gather="xla" if unit_pitch_aligned else "kernel",
-        max_pitch=max_pitch,
+        max_pitch=max_pitch, scan_unroll=scan_unroll,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = BLOCKS * frame_count / mix_rate / secs
@@ -186,8 +188,12 @@ def main():
         # pitch ≤ 343/(343−80) = 1.305 < 1.4; a tighter static max_pitch
         # shrinks the resample window (R=8 rows instead of 10) without
         # ever clamping a legitimate pitch
+        # scan_unroll=2: XLA overlaps block k's mix kernel with block
+        # k+1's window gather (−0.6 ms/block measured); the unit-pitch
+        # configs measured best at unroll=1
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512, doppler=True,
-                  label="north_star_4096src_doppler", max_pitch=1.4)
+                  label="north_star_4096src_doppler", max_pitch=1.4,
+                  scan_unroll=2)
     )
 
     # config 1: 1 mono source → stereo pan + inverse distance, 44.1 kHz
@@ -201,7 +207,7 @@ def main():
     # config 2: 64 moving sources → 5.1, doppler + gain ramps
     results.append(
         bench_mix(64, SpeakerMode.SURROUND_51, 44100.0, 512,
-                  label="c2_64src_5.1_doppler", max_pitch=1.4)
+                  label="c2_64src_5.1_doppler", max_pitch=1.4, scan_unroll=2)
     )
     # config 3: per-source lowpass occlusion chain
     results.append(

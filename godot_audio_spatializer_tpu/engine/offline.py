@@ -61,7 +61,7 @@ def engine_step(
     sends: Tuple[int, ...] = (-1,),
     bus_volumes_db: Tuple[float, ...] = (0.0,),
     chain: Tuple = (),
-    max_pitch: float = 2.0,
+    max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
 ):
@@ -140,6 +140,7 @@ def engine_step(
         "unit_pitch_aligned",
         "physics_every",
         "resample_gather",
+        "scan_unroll",
     ),
 )
 def render_trajectory(
@@ -162,10 +163,11 @@ def render_trajectory(
     bus_volumes_db: Tuple[float, ...] = (0.0,),
     collect_master: bool = True,
     chain: Tuple = (),
-    max_pitch: float = 2.0,
+    max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     physics_every: int = 1,
     resample_gather: str = "xla",
+    scan_unroll: int = 1,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -272,7 +274,11 @@ def render_trajectory(
         o = jnp.stack(outs) if collect_master else acc
         return state, o
 
-    state, outs = jax.lax.scan(tick_step, mix_state, (res, dense_g))
+    # unrolling the block scan amortizes the per-XLA-op dispatch overhead
+    # (~7.5 µs/op on the bench device) across several blocks per iteration
+    state, outs = jax.lax.scan(
+        tick_step, mix_state, (res, dense_g), unroll=scan_unroll
+    )
     if collect_master:
         outs = outs.reshape((K,) + outs.shape[2:])
     return state, out[-1], outs

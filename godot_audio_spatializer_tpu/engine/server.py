@@ -318,7 +318,7 @@ class AudioEngine:
         biquad_method: Optional[str] = None,
         physics_rate: float = 60.0,
         source_effects: Sequence = (),
-        max_pitch: float = 2.0,
+        max_pitch: float = 8.0,
         stage_a_override: Optional[object] = None,
     ):
         self.mix_rate = float(mix_rate)
@@ -1169,7 +1169,7 @@ def _render_jit(
     bus_volumes_db,
     effects,
     chain,
-    max_pitch=2.0,
+    max_pitch=8.0,
     resample_gather="xla",
 ):
     new_state, bus_in, peaks = mix_block(

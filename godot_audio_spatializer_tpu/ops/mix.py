@@ -145,7 +145,7 @@ def mix_block(
     mix_channel_enabled: bool = False,
     biquad_method: str = "scan",
     chain: tuple = (),
-    max_pitch: float = 2.0,
+    max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:

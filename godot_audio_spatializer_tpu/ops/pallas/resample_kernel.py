@@ -46,11 +46,21 @@ from ..resample import FP_BITS, FP_MASK, INT16_SCALE, ROW, window_rows
 
 import os
 
-S = int(os.environ.get("GAS_RS_S", "16"))  # sources per grid step
+# env-overridable defaults (resolved at call time; probes pass explicit
+# values so one process can A/B variants — the tunnel's sync floor drifts
+# between sessions, making cross-process timing comparisons meaningless)
+S = int(os.environ.get("GAS_RS_S", "32"))  # sources per grid step
 FCHUNK = int(os.environ.get("GAS_RS_FCHUNK", "128"))  # output frames per in-kernel chunk
+# selection-dot precision: "split2" (two single-pass DEFAULT dots on a bf16
+# hi/lo split of the window — the one-hot rhs is exact in bf16, the split
+# drops only lo-truncation bits ≈ 2^-18 relative ≈ −105 dBFS measured, and
+# it beats HIGHEST by the multi-pass expansion), "highest" (exact f32),
+# "splitcat"/"default" (measured losers, kept for A/B)
+PRECISION = os.environ.get("GAS_RS_PRECISION", "split2")
 
 
-def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: int):
+def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int,
+                     r2: int, s_blk: int, fchunk: int, precision: str):
     """p_ref [S,8] i32: off, cfrac, pint, pfrac, lim, loop.
     win_ref [S, 2R, 128] f32 (index r·2+ch).
     y_ref [2, F/128, S, 128].  mixed_ref [S, 1] i32.
@@ -71,6 +81,7 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
     lim = p_ref[:, 4]
     loopf = p_ref[:, 5]
 
+    S, FCHUNK, PRECISION = s_blk, fchunk, precision
     win = win_ref[...]  # [S, 2R, 128] — matmul lhs, used in layout as-is
     if win.dtype == jnp.int16:
         win = win.astype(jnp.float32) * INT16_SCALE
@@ -86,6 +97,18 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
     )
     win1 = jnp.where(lane == ROW - 1, nxt0, shifted)
     lhs = jnp.concatenate([win, win1], axis=1)  # [S, 2·r2, 128]
+    if PRECISION in ("split2", "splitcat"):
+        # hoisted bf16 hi/lo split (one per window, NOT per chunk): two
+        # single-pass DEFAULT dots replace HIGHEST's multi-pass expansion.
+        # hi is exactly bf16-representable (DEFAULT's operand truncation is
+        # an identity on it); the dropped bits of lo truncate at ~2^-18
+        # relative ≈ −108 dBFS, far inside the −80 dBFS budget.
+        lhs_hi = lhs.astype(jnp.bfloat16).astype(jnp.float32)
+        lhs_lo = lhs - lhs_hi
+        if PRECISION == "splitcat":
+            # hi/lo as extra lhs ROWS: one DEFAULT dot instead of two
+            # (per-dot dispatch overhead dominates the row cost here)
+            lhs_cat = jnp.concatenate([lhs_hi, lhs_lo], axis=1)
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (S, ROW, FCHUNK), 1)
     iota_rr = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * r2, FCHUNK), 1)
@@ -106,11 +129,33 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
         # HIGHEST keeps the selected f32 samples exact (one nonzero per
         # column, so no accumulation error either).
         a0 = ((rel & (ROW - 1))[:, None, :] == iota_c).astype(jnp.float32)
-        g = jax.lax.dot_general(
-            lhs, a0, dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [S, 2·r2, FCHUNK]: rows < r2 = tap0, rows ≥ r2 = tap1
+        if PRECISION == "splitcat":
+            # explicit DEFAULT: the package pins jax_default_matmul_precision
+            # to "highest", which would silently re-expand this into a
+            # multi-pass dot
+            g2 = jax.lax.dot_general(
+                lhs_cat, a0, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [S, 2·(2·r2), FCHUNK]
+            g = g2[:, : 2 * r2] + g2[:, 2 * r2 :]
+        elif PRECISION == "split2":
+            g = jax.lax.dot_general(
+                lhs_hi, a0, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) + jax.lax.dot_general(
+                lhs_lo, a0, dn, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        else:
+            g = jax.lax.dot_general(
+                lhs, a0, dn,
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if PRECISION == "default"
+                    else jax.lax.Precision.HIGHEST
+                ),
+            )  # [S, 2·r2, FCHUNK]: rows < r2 = tap0, rows ≥ r2 = tap1
         row0x2 = (rel >> 7) * 2
         for ch in (0, 1):
             r_idx = (row0x2 + ch)[:, None, :]
@@ -124,28 +169,39 @@ def _resample_kernel(p_ref, win_ref, y_ref, mixed_ref, *, frame_count: int, r2: 
 
 
 @functools.partial(
-    jax.jit, static_argnames=("frame_count", "num_rows", "interpret")
+    jax.jit,
+    static_argnames=(
+        "frame_count", "num_rows", "interpret", "s_blk", "fchunk", "precision",
+    ),
 )
-def _resample_tiles(params, win, *, frame_count: int, num_rows: int, interpret: bool):
+def _resample_tiles(params, win, *, frame_count: int, num_rows: int,
+                    interpret: bool, s_blk: int = None, fchunk: int = None,
+                    precision: str = None):
+    s_blk = S if s_blk is None else s_blk
+    fchunk = FCHUNK if fchunk is None else fchunk
+    precision = PRECISION if precision is None else precision
     n = params.shape[0]
     r2 = 2 * num_rows
-    nf = frame_count // FCHUNK
-    kern = functools.partial(_resample_kernel, frame_count=frame_count, r2=r2)
+    nf = frame_count // fchunk
+    kern = functools.partial(
+        _resample_kernel, frame_count=frame_count, r2=r2,
+        s_blk=s_blk, fchunk=fchunk, precision=precision,
+    )
     y, mixed = pl.pallas_call(
         kern,
-        grid=(n // S,),
+        grid=(n // s_blk,),
         in_specs=[
-            pl.BlockSpec((S, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, r2, ROW), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_blk, 8), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_blk, r2, ROW), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
-                (2, nf, S, FCHUNK), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
+                (2, nf, s_blk, fchunk), lambda t: (0, 0, t, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((S, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_blk, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2, nf, n, FCHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((2, nf, n, fchunk), jnp.float32),
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
@@ -165,6 +221,9 @@ def resample_block_kernel(
     max_pitch: float,
     *,
     interpret: bool = False,
+    s_blk: int = None,
+    fchunk: int = None,
+    precision: str = None,
 ):
     """Kernel-path block read: returns (frames [N, 2, F], mixed [N]).
 
@@ -172,7 +231,8 @@ def resample_block_kernel(
     values match to MXU f32 lerp rounding.  Requires F % 128 == 0.
     """
     F = frame_count
-    assert F % FCHUNK == 0, "kernel resampler needs frame_count % 128 == 0"
+    assert F % (FCHUNK if fchunk is None else fchunk) == 0, (
+        "kernel resampler needs frame_count % 128 == 0")
     N = base.shape[0]
     R = window_rows(F, max_pitch)
     num_rows = bank_t.shape[0]
@@ -196,12 +256,13 @@ def resample_block_kernel(
         axis=1,
     )  # [N, 8] i32
 
-    pad = (-N) % S
+    pad = (-N) % (S if s_blk is None else s_blk)
     if pad:
         params = jnp.pad(params, ((0, pad), (0, 0)))
         win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
     y, mixed = _resample_tiles(
-        params, win, frame_count=F, num_rows=R, interpret=interpret
+        params, win, frame_count=F, num_rows=R, interpret=interpret,
+        s_blk=s_blk, fchunk=fchunk, precision=precision,
     )
     # [2, F/128, Np, 128] → [N, 2, F]
     frames = y.transpose(2, 0, 1, 3).reshape(-1, 2, F)[:N]

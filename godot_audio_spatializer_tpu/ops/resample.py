@@ -138,7 +138,7 @@ def resample_block(
     pitch_fp,  # [N] i32
     frame_count: int,
     *,
-    max_pitch: float = 2.0,
+    max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     gather_method: str = "xla",
     loop_begin=None,  # [N] i32 loop-region start (None = 0)

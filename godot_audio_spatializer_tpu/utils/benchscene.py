@@ -26,6 +26,7 @@ def build_bench_scene(
     seed: int = 0,
     chain_effects=(),
     use_chain: bool = False,
+    bank_dtype=np.float32,
 ):
     """→ (mix_state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank)."""
     rng = np.random.default_rng(seed)
@@ -40,11 +41,14 @@ def build_bench_scene(
         ((rng.standard_normal((clip_len, 2)) * 0.1).astype(np.float32), True)
         for _ in range(num_clips)
     ]
-    # f32 bank: int16 (supported, see ops/resample.build_bank) halves the
-    # row-gather bytes but its device-side dequant pass costs MORE than the
-    # saved gather bytes on the bench device (measured: north star 0.95 →
-    # 1.08 ms/block) — the gather is row-overhead-bound, not byte-bound
-    bank_data, bases = build_bank(clips, frame_count, max_pitch=2.0)
+    # bank_dtype=np.int16 stores PCM16 samples — halves bank memory and
+    # row-gather bytes.  Round-3 same-session A/B at the e2e operating
+    # point: north star 0.682 → 0.673, doppler 1.216 → 1.249 ms/block — a
+    # WASH for speed (dequant fuses into the consumers; the gather is
+    # already at its roofline), so the bench keeps f32 and int16 remains a
+    # memory-bound-scene option.
+    bank_data, bases = build_bank(clips, frame_count, max_pitch=2.0,
+                                  dtype=bank_dtype)
     base = np.asarray(bases, np.int32)[np.arange(n) % num_clips]
     bank = SampleBank(
         data=jnp.asarray(bank_data),
