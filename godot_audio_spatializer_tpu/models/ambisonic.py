@@ -193,7 +193,7 @@ def ambisonic_engine_step(
     jax.jit,
     static_argnames=(
         "order", "taps", "frame_count", "collect", "unit_pitch_aligned",
-        "resample_gather",
+        "resample_gather", "scan_unroll",
     ),
 )
 def render_ambisonic_trajectory(
@@ -211,6 +211,7 @@ def render_ambisonic_trajectory(
     collect: bool = True,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    scan_unroll: int = 1,
 ):
     def geom(pos, vel):
         scene = scene0.replace(source_pos=pos, source_vel=vel)
@@ -229,5 +230,6 @@ def render_ambisonic_trajectory(
         )
         return st, (out if collect else jnp.sum(out * out))
 
-    state, outs = jax.lax.scan(step, state, (weights_g, gain_g, pitch_g))
+    state, outs = jax.lax.scan(step, state, (weights_g, gain_g, pitch_g),
+                               unroll=scan_unroll)
     return state, outs

@@ -202,12 +202,22 @@ class BusEffectReverb:
     PRIMES = (1433, 1601, 1867, 2053, 2251, 2399, 2689, 2857)
 
     def __init__(self, room_size: float = 0.8, damping: float = 0.5,
-                 wet: float = 0.5, dry: float = 1.0, spread_seconds: float = 0.05):
+                 wet: float = 0.5, dry: float = 1.0, spread_seconds: float = 0.05,
+                 predelay_msec: float = 0.0, predelay_feedback: float = 0.4,
+                 hipass: float = 0.0):
+        """Parameter surface mirrors Godot AudioEffectReverb: room_size,
+        damping, wet, dry, plus predelay_msec/predelay_feedback (input echo
+        buffer ahead of the FDN; Godot defaults 150 ms / 0.4 — default 0
+        here keeps the plain-FDN behavior unless asked for) and hipass
+        (0..1, one-pole highpass on the wet signal)."""
         self.room_size = float(room_size)
         self.damping = float(damping)
         self.wet = float(wet)
         self.dry = float(dry)
         self.spread_seconds = float(spread_seconds)
+        self.predelay_msec = float(predelay_msec)
+        self.predelay_feedback = float(predelay_feedback)
+        self.hipass = float(hipass)
         self._delays = None
         self._mix_rate = 44100.0
 
@@ -218,14 +228,25 @@ class BusEffectReverb:
             int(max(block_size + 1, round(p * scale))) for p in self.PRIMES
         )
         self._max_delay = max(self._delays)
+        self._predelay = (
+            int(max(block_size + 1, round(self.predelay_msec * 1e-3 * mix_rate)))
+            if self.predelay_msec > 0.0
+            else 0
+        )
 
     def init_state(self):
         L = len(self.PRIMES)
-        return {
+        st = {
             "lines": jnp.zeros((L, 4, self._max_delay, 2), jnp.float32),
             "pos": jnp.zeros((), jnp.int32),
             "lp": jnp.zeros((L, 4, 2), jnp.float32),  # damping one-pole state
         }
+        if self._predelay:
+            st["pre"] = jnp.zeros((4, self._predelay, 2), jnp.float32)
+            st["ppos"] = jnp.zeros((), jnp.int32)
+        if self.hipass > 0.0:
+            st["hp"] = jnp.zeros((4, 2, 2), jnp.float32)  # (prev_in, prev_out)
+        return st
 
     def process(self, state, buf):
         # buf [4,F,2]
@@ -236,6 +257,21 @@ class BusEffectReverb:
         lines = state["lines"]
         pos = state["pos"]
         lp = state["lp"]
+        out_state = dict(state)
+
+        # pre-delay echo buffer ahead of the FDN (AudioEffectReverb
+        # predelay_msec/predelay_feedback)
+        fdn_in = buf
+        if self._predelay:
+            P = self._predelay
+            ppos = state["ppos"]
+            f_idx = jnp.arange(F, dtype=jnp.int32)
+            delayed = state["pre"][:, (ppos + f_idx - P) % P]  # [4,F,2]
+            out_state["pre"] = state["pre"].at[:, (ppos + f_idx) % P].set(
+                buf + self.predelay_feedback * delayed
+            )
+            out_state["ppos"] = (ppos + F) % P
+            fdn_in = delayed
 
         # read taps: line l delayed by delays[l]
         delays = jnp.asarray(self._delays, jnp.int32)  # [L]
@@ -255,13 +291,30 @@ class BusEffectReverb:
         lp_new, damped = jax.lax.scan(damp_scan, lp, jnp.moveaxis(mixed, 2, 0))
         damped = jnp.moveaxis(damped, 0, 2)
 
-        write = buf[None] + g * damped  # [L,4,F,2]
+        write = fdn_in[None] + g * damped  # [L,4,F,2]
         write_idx = (pos + jnp.arange(F, dtype=jnp.int32)) % D
         lines = lines.at[:, :, write_idx].set(write)
 
         wet_sig = taps.sum(axis=0) / math.sqrt(L)
+        # one-pole highpass on the wet signal (AudioEffectReverb hipass):
+        # hipass ∈ [0,1] maps to fc = hipass²·8 kHz
+        if self.hipass > 0.0:
+            fc = (self.hipass ** 2) * 8000.0
+            a = 1.0 / (1.0 + 2.0 * math.pi * fc / self._mix_rate)
+
+            def hp_scan(carry, x):
+                y = a * (carry[..., 1] + x - carry[..., 0])
+                return jnp.stack([x, y], axis=-1), y
+
+            hp_new, wet_hp = jax.lax.scan(
+                hp_scan, state["hp"], jnp.moveaxis(wet_sig, 1, 0)
+            )
+            wet_sig = jnp.moveaxis(wet_hp, 0, 1)
+            out_state["hp"] = hp_new
+
         y = self.dry * buf + self.wet * wet_sig
-        return {"lines": lines, "pos": (pos + F) % D, "lp": lp_new}, y
+        out_state.update(lines=lines, pos=(pos + F) % D, lp=lp_new)
+        return out_state, y
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +507,10 @@ class BusEffectEQ:
     BANDS6 = (32.0, 100.0, 320.0, 1000.0, 3200.0, 10000.0)
     BANDS10 = (31.25, 62.5, 125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0,
                8000.0, 16000.0)
+    # Godot AudioEffectEQ21 band centers
+    BANDS21 = (22.0, 32.0, 44.0, 63.0, 90.0, 125.0, 175.0, 250.0, 350.0,
+               500.0, 700.0, 1000.0, 1400.0, 2000.0, 2800.0, 4000.0, 5600.0,
+               8000.0, 11000.0, 16000.0, 22000.0)
 
     def __init__(self, band_hz=BANDS6, gains_db=None, bandwidth_octaves: float = 1.0):
         self.band_hz = tuple(float(b) for b in band_hz)
@@ -471,8 +528,13 @@ class BusEffectEQ:
 
     def init_state(self):
         nb = len(self.band_hz)
+        # start from the IDENTITY biquad (b0=1): the first block then ramps
+        # identity → target.  Ramping from the zero filter passes through
+        # ill-behaved intermediate (a1, a2) pairs — measured 14× transient
+        # blow-up on a 21-band cascade before this fix
+        ident = jnp.zeros((nb, 4, 2, 5), jnp.float32).at[..., 0].set(1.0)
         return {
-            "coeffs": jnp.zeros((nb, 4, 2, 5), jnp.float32),
+            "coeffs": ident,
             "hist": jnp.zeros((nb, 4, 2, 4), jnp.float32),
         }
 

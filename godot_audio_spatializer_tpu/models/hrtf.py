@@ -279,7 +279,7 @@ def hrtf_engine_step(
     jax.jit,
     static_argnames=(
         "frame_count", "taps", "db_index_fn", "unit_pitch_aligned",
-        "resample_gather",
+        "resample_gather", "scan_unroll",
     ),
 )
 def render_hrtf_trajectory(
@@ -297,6 +297,7 @@ def render_hrtf_trajectory(
     taps: int,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    scan_unroll: int = 1,
 ):
     """K binaural blocks with moving sources and a rotating head.
 
@@ -325,5 +326,6 @@ def render_hrtf_trajectory(
         )
         return st, out
 
-    state, outs = jax.lax.scan(step, state, (idx_g, gain_g, pitch_g))
+    state, outs = jax.lax.scan(step, state, (idx_g, gain_g, pitch_g),
+                               unroll=scan_unroll)
     return state, outs  # outs [K,F,2]

@@ -164,3 +164,47 @@ def test_pitch_shift_in_engine_chain():
     sig = np.concatenate([o[0, :, 0] for o in out[6:]])
     got = _dominant_freq(sig, rate)
     assert abs(got - 660.0) < 25.0, got
+
+
+def test_reverb_predelay_delays_wet_onset():
+    """predelay_msec shifts the wet signal's arrival by ~that delay
+    (AudioEffectReverb predelay buffer ahead of the FDN)."""
+    from godot_audio_spatializer_tpu.models.effects import BusEffectReverb
+
+    burst = np.zeros((10 * F, 2), np.float32)
+    burst[:32] = 1.0
+
+    def wet_onset(predelay_ms):
+        eff = BusEffectReverb(wet=1.0, dry=0.0, predelay_msec=predelay_ms)
+        out, _ = _run_bus(eff, burst)
+        nz = np.nonzero(np.abs(out[:, 0]) > 1e-6)[0]
+        return int(nz[0]) if len(nz) else len(out)
+
+    base = wet_onset(0.0)
+    delayed = wet_onset(20.0)
+    assert delayed >= base + int(0.015 * RATE), (base, delayed)
+
+
+def test_reverb_hipass_kills_dc_in_wet():
+    """hipass one-poles DC out of the wet path."""
+    from godot_audio_spatializer_tpu.models.effects import BusEffectReverb
+
+    dc = np.full((8 * F, 2), 0.5, np.float32)
+    out_lo, _ = _run_bus(BusEffectReverb(wet=1.0, dry=0.0, hipass=0.0), dc)
+    out_hi, _ = _run_bus(BusEffectReverb(wet=1.0, dry=0.0, hipass=0.8), dc)
+    tail_lo = np.abs(out_lo[-F:, 0]).mean()
+    tail_hi = np.abs(out_hi[-F:, 0]).mean()
+    assert tail_hi < 0.05 * tail_lo, (tail_lo, tail_hi)
+
+
+def test_eq21_preset_runs():
+    from godot_audio_spatializer_tpu.models.effects import BusEffectEQ
+
+    gains = [0.0] * 21
+    gains[10] = -12.0
+    eff = BusEffectEQ(band_hz=BusEffectEQ.BANDS21, gains_db=gains)
+    sig = _sine(700.0, 4)
+    out, _ = _run_bus(eff, sig)
+    inp = np.sqrt((sig[2 * F :, 0] ** 2).mean())
+    o = np.sqrt((out[2 * F :, 0] ** 2).mean())
+    assert o < 0.6 * inp, (inp, o)  # 700 Hz band cut by 12 dB
