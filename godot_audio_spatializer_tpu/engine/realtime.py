@@ -77,7 +77,12 @@ class RealtimeRunner:
         if pacer is not None:
             self.stats.max_lateness_ms = pacer.max_lateness_ms
 
-    def run(self, num_blocks: int, realtime: bool = True) -> RealtimeStats:
+    def run(self, num_blocks: int, realtime: bool = True,
+            pipelined: bool = False) -> RealtimeStats:
+        """`pipelined=True` drives the double-buffered engine step
+        (AudioEngine.step_pipelined): the device computes block k while the
+        host paces block k-1 into the ring — one block of priming silence,
+        and the device round trip leaves the pacing-critical path."""
         eng = self.engine
         blocks_per_tick = max(
             1, int(round(eng.mix_rate / eng.block_size / eng.physics_rate))
@@ -92,7 +97,7 @@ class RealtimeRunner:
             if blocks_per_tick == 1:
                 # physics tick every block → fused single-dispatch step
                 # (3 device round trips → 1; see AudioEngine.step)
-                master = eng.step()
+                master = eng.step_pipelined() if pipelined else eng.step()
             else:
                 if b % blocks_per_tick == 0:
                     eng.physics_step()

@@ -787,6 +787,39 @@ class AudioEngine:
         round trips per block, which dominates realtime latency (the bench
         tunnel's sync floor is ~23 ms/call; real hardware ~10 µs).
         Falls back to the split path for custom Stage A overrides."""
+        pend = self._step_dispatch(dt)
+        if pend is None:  # custom Stage A / empty engine: split path
+            self.physics_step(dt)
+            return self.render_block()
+        self._pending_step = None  # sync mode consumes its own dispatch
+        return self._fetch_packed(*pend)
+
+    def step_pipelined(self, dt: Optional[float] = None) -> np.ndarray:
+        """Double-buffered `step`: dispatches THIS tick's block and returns
+        the PREVIOUS tick's audio (zeros on the first call).
+
+        The device computes block k while the host runs game logic for
+        block k+1 — the standard realtime double-buffer, worth one block of
+        output latency.  Finished-signal GC lags one extra tick (the active
+        flags ride the fetched packet).  Mixing `step()` and
+        `step_pipelined()` calls is safe; a pending block is dropped when a
+        synchronous `step()` intervenes."""
+        prev = getattr(self, "_pending_step", None)
+        pend = self._step_dispatch(dt)
+        if pend is None:  # split-path fallback is inherently synchronous
+            self.physics_step(dt)
+            return self.render_block()
+        self._pending_step = pend
+        if prev is None:
+            return np.zeros(
+                (self.channel_count, self.block_size, 2), np.float32
+            )
+        return self._fetch_packed(*prev)
+
+    def _step_dispatch(self, dt: Optional[float]):
+        """Run one fused engine tick asynchronously.  Returns
+        (master_shape, packed_device_array) or None when the fused path
+        does not apply (custom Stage A, no players)."""
         from ..models.custom import AudioSpatializerCustom
 
         has_custom = self.stage_a_override is not None or any(
@@ -794,8 +827,7 @@ class AudioEngine:
             for pl in self.players
         )
         if has_custom or not self.players:
-            self.physics_step(dt)
-            return self.render_block()
+            return None
         if dt is None:
             dt = 1.0 / self.physics_rate
 
@@ -878,14 +910,17 @@ class AudioEngine:
         self._block_params = None  # consumed by the fused dispatch
         self._bus_fx_states = new_fx
         self._last_peaks = peaks
+        return master.shape, packed
+
+    def _fetch_packed(self, master_shape, packed) -> np.ndarray:
         # single device→host transfer: master block + active flags (the
-        # flags feed the NEXT tick's finished-GC — one tick of lag, as in
+        # flags feed a LATER tick's finished-GC — one tick of lag, as in
         # the reference, which flags on the audio thread and signals on the
         # next physics tick)
         arr = np.asarray(packed)
-        msz = int(np.prod(master.shape))
+        msz = int(np.prod(master_shape))
         self._active_host = arr[msz:] > 0.5
-        return arr[:msz].reshape(master.shape)
+        return arr[:msz].reshape(master_shape)
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1

@@ -157,3 +157,38 @@ def test_fused_step_matches_split_path():
     fused = run(True)
     assert np.array_equal(split, fused)
     assert np.abs(split).max() > 1e-3
+
+
+def test_step_pipelined_is_one_block_delayed_step():
+    """step_pipelined() returns exactly the sync step() stream delayed by
+    one block (double-buffered dispatch; zeros first)."""
+    import numpy as np
+    from godot_audio_spatializer_tpu import (
+        AudioEngine, AudioSpatializer3D, AudioStreamPlayerSpatial,
+        AudioStreamSample,
+    )
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+
+    rng = np.random.default_rng(11)
+    clip = (rng.standard_normal(6000) * 0.4).astype(np.float32)
+
+    def build():
+        eng = AudioEngine(mix_rate=44100.0, block_size=256, max_sources=4)
+        eng.add_listener(ListenerDesc())
+        p = AudioStreamPlayerSpatial(
+            eng, stream=AudioStreamSample(clip, loop=True),
+            spatializer=AudioSpatializer3D(),
+        )
+        p.set_position([1.0, 0.0, -2.0])
+        p.play()
+        return eng, p
+
+    eng_s, p_s = build()
+    sync = [eng_s.step() for _ in range(5)]
+
+    eng_p, p_p = build()
+    piped = [eng_p.step_pipelined() for _ in range(6)]
+
+    assert np.abs(piped[0]).max() == 0.0
+    for k in range(5):
+        np.testing.assert_array_equal(piped[k + 1], sync[k])
