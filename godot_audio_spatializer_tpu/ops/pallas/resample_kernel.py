@@ -231,11 +231,29 @@ def resample_block_kernel(
     values match to MXU f32 lerp rounding.  Requires F % 128 == 0.
     """
     F = frame_count
-    assert F % (FCHUNK if fchunk is None else fchunk) == 0, (
-        "kernel resampler needs frame_count % 128 == 0")
     N = base.shape[0]
     R = window_rows(F, max_pitch)
     num_rows = bank_t.shape[0]
+
+    # knob resolution: explicit arg > GAS_RS_* env > autotune cache >
+    # built-in default (utils/autotune.py sweeps and persists per
+    # device/shape)
+    if s_blk is None or fchunk is None or precision is None:
+        try:
+            from ...utils.autotune import lookup
+
+            tuned = lookup(F, R)
+        except Exception:
+            tuned = None
+        if tuned:
+            if s_blk is None and "GAS_RS_S" not in os.environ:
+                s_blk = int(tuned["s_blk"])
+            if fchunk is None and "GAS_RS_FCHUNK" not in os.environ:
+                fchunk = int(tuned["fchunk"])
+            if precision is None and "GAS_RS_PRECISION" not in os.environ:
+                precision = str(tuned["precision"])
+    assert F % (FCHUNK if fchunk is None else fchunk) == 0, (
+        "kernel resampler needs frame_count % 128 == 0")
 
     start_al = (cursor_idx >> 7) << 7
     rows = ((base + start_al) >> 7)[:, None] + jnp.arange(R, dtype=jnp.int32)

@@ -62,11 +62,12 @@ def test_metrics():
     assert float(np.asarray(m["source_peaks"]).max()) > 0
 
 
-@pytest.mark.parametrize("script", ["examples/demo.py", "examples/custom_spatializer.py", "examples/production_mix.py"])
+@pytest.mark.parametrize("script", ["examples/demo.py", "examples/custom_spatializer.py", "examples/production_mix.py", "examples/offline_bake.py"])
 def test_examples_run(script, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["DEMO_SECONDS"] = "0.35"
+    env["BAKE_SECONDS"] = "0.35"
     r = subprocess.run(
         [sys.executable, script, str(tmp_path)],
         capture_output=True, timeout=420, env=env,
