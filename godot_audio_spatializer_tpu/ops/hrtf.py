@@ -93,13 +93,25 @@ def render_hrtf_block(
     frame_count: int,
     taps: int,
     active=None,  # [N] bool
+    per_source: bool = False,
 ):
     """One binaural block with gain ramp and HRIR crossfade.
 
     Gain ramps prev→cur across the block (the engine-wide per-block ramp
     discipline).  When hrir_idx changed since the last block, the block is
     rendered through both HRIRs and crossfaded — clickless head rotation.
-    Returns (binaural_sum [F, 2], new_state, per_source [N, F, 2])."""
+    Returns (binaural_sum [F, 2], new_state, per_source [N, F, 2] or None).
+
+    Default path sums the sources IN THE FREQUENCY DOMAIN: convolution is
+    linear and the crossfade ramp is block-global, so
+
+        Σ_n [(1−t)·y_prev_n + t·y_cur_n  if changed_n else  y_cur_n]
+      = irfft(Σ_n X_n·Hcur_n) + (1−t)·irfft(Σ_changed X_n·(Hprev_n−Hcur_n))
+
+    — TWO inverse FFTs total instead of 2N (the 2N irffts and their
+    [N,2,M] intermediates dominated this path's HBM traffic; measured
+    0.81 → see PERF.md).  `per_source=True` selects the old per-source
+    path (returns each source's binaural block — debug/analysis only)."""
     N, F = x.shape
     t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
     g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
@@ -112,22 +124,36 @@ def render_hrtf_block(
     # family's is_just_started history reset)
     changed = (state.hrir_idx != hrir_idx) & (state.prev_gain > 0)
 
-    # one shared forward FFT; two spectra multiplies when crossfading
+    # one shared forward FFT per source (each has a distinct signal)
     M = fft_size_for(frame_count, taps)
     seg = jnp.concatenate([state.tail, xg], axis=1)
     X = jnp.fft.rfft(seg, n=M, axis=1)
-    y_cur = jnp.fft.irfft(X[:, None, :] * cur_fft, n=M, axis=2)[
-        :, :, taps - 1 : taps - 1 + F
-    ]
-    y_prev = jnp.fft.irfft(X[:, None, :] * prev_fft, n=M, axis=2)[
-        :, :, taps - 1 : taps - 1 + F
-    ]
-    xf = t[None, None, :]
-    y = jnp.where(changed[:, None, None], y_prev * (1.0 - xf) + y_cur * xf, y_cur)
-    y = jnp.moveaxis(y, 1, 2)  # [N, F, 2]
+
+    sl = slice(taps - 1, taps - 1 + F)
+    if per_source:
+        y_cur = jnp.fft.irfft(X[:, None, :] * cur_fft, n=M, axis=2)[:, :, sl]
+        y_prev = jnp.fft.irfft(X[:, None, :] * prev_fft, n=M, axis=2)[:, :, sl]
+        xf = t[None, None, :]
+        y = jnp.where(
+            changed[:, None, None], y_prev * (1.0 - xf) + y_cur * xf, y_cur
+        )
+        y = jnp.moveaxis(y, 1, 2)  # [N, F, 2]
+        if active is not None:
+            y = jnp.where(active[:, None, None], y, 0.0)
+        out = y.sum(axis=0)  # [F, 2]
+    else:
+        Xm = X if active is None else jnp.where(active[:, None], X, 0.0)
+        dH = jnp.where(changed[:, None, None], prev_fft - cur_fft, 0.0)
+        # explicit multiply+reduce (NOT einsum: a complex contraction over
+        # n with an odd 513-point batch axis lowers badly on TPU)
+        Ya = (Xm[:, None, :] * cur_fft).sum(axis=0)
+        Yb = (Xm[:, None, :] * dH).sum(axis=0)
+        ya = jnp.fft.irfft(Ya, n=M, axis=1)[:, sl]  # [2, F]
+        yb = jnp.fft.irfft(Yb, n=M, axis=1)[:, sl]
+        out = (ya + (1.0 - t)[None, :] * yb).T  # [F, 2]
+        y = None
 
     if active is not None:
-        y = jnp.where(active[:, None, None], y, 0.0)
         new_tail = jnp.where(active[:, None], seg[:, -(taps - 1) :], state.tail)
         new_prev_gain = jnp.where(active, gain, state.prev_gain)
         new_idx = jnp.where(active, hrir_idx, state.hrir_idx)
@@ -136,5 +162,4 @@ def render_hrtf_block(
         new_prev_gain = gain
         new_idx = hrir_idx
 
-    out = y.sum(axis=0)  # [F, 2]
     return out, HrtfState(tail=new_tail, hrir_idx=new_idx, prev_gain=new_prev_gain), y

@@ -179,3 +179,38 @@ def test_hrtf_single_source_matches_numpy_reference():
     x = mono * gains
     ref = np.stack([np.convolve(x, h[0])[: blocks * F], np.convolve(x, h[1])[: blocks * F]], 1)
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_freq_domain_sum_matches_per_source_path():
+    """The frequency-domain source sum (2 irffts) equals the per-source
+    path (2N irffts) up to float reassociation, crossfades included."""
+    import numpy as np
+    import jax.numpy as jnp
+    from godot_audio_spatializer_tpu.ops.hrtf import (
+        HrtfState, render_hrtf_block,
+    )
+    from godot_audio_spatializer_tpu.models.hrtf import HrtfDatabase
+
+    rng = np.random.default_rng(4)
+    N, F, taps = 24, 256, 32
+    db = HrtfDatabase.synthetic_kemar(48000.0, taps=taps, n_az=12, n_el=5)
+    db_fft = db.spectra(F)
+    x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
+    st = HrtfState(
+        tail=jnp.asarray(rng.standard_normal((N, taps - 1)).astype(np.float32)),
+        hrir_idx=jnp.asarray(rng.integers(0, 50, N).astype(np.int32)),
+        prev_gain=jnp.asarray(
+            np.where(rng.random(N) < 0.2, 0.0, rng.random(N)).astype(np.float32)
+        ),
+    )
+    idx = jnp.asarray(rng.integers(0, 50, N).astype(np.int32))  # many changed
+    gain = jnp.asarray(rng.random(N).astype(np.float32))
+    active = jnp.asarray(rng.random(N) < 0.9)
+
+    outs = {}
+    for ps in (True, False):
+        out, nst, _ = render_hrtf_block(
+            x, st, idx, gain, db_fft, F, taps, active=active, per_source=ps
+        )
+        outs[ps] = np.asarray(out)
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)
