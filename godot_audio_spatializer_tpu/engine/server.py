@@ -56,6 +56,12 @@ class Bus:
     send: Optional[str] = "Master"
     volume_db: float = 0.0
     effects: List = field(default_factory=list)  # BusEffect instances
+    # Godot AudioServer bus toggles (set_bus_mute/solo/bypass_effects,
+    # set_bus_effect_enabled)
+    mute: bool = False
+    solo: bool = False
+    bypass_effects: bool = False
+    fx_enabled: List = field(default_factory=list)  # parallels `effects`
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -238,6 +244,7 @@ _tick_update = functools.partial(jax.jit, static_argnames=("num_buses",))(
         "effects",
         "chain",
         "max_pitch",
+        "bus_flags",
     ),
 )
 def _step_jit(
@@ -273,6 +280,7 @@ def _step_jit(
     effects,
     chain,
     max_pitch,
+    bus_flags=None,
 ):
     """One fused physics tick + audio block: Stage A, slot/param
     bookkeeping, Stage B mix and the bus-graph reduction in a SINGLE
@@ -295,7 +303,8 @@ def _step_jit(
         resample_gather=resample_gather,
     )
     master, new_fx = bus_graph_reduce(
-        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count
+        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count,
+        bus_flags,
     )
     # master + active flags packed into ONE flat array so the host fetches
     # a single transfer per step (the tunnel pays a ~23 ms round trip per
@@ -433,7 +442,34 @@ class AudioEngine:
         bus = self.buses[self.bus_index(bus_name)]
         effect.reset(self.channel_count, self.block_size, self.mix_rate)
         bus.effects.append(effect)
+        bus.fx_enabled.append(True)
         self._bus_fx_states = None  # rebuild lazily
+
+    # -- AudioServer bus toggles (Godot set_bus_mute/solo/bypass_effects/
+    #    set_bus_effect_enabled/set_bus_volume_db).  Static per compile:
+    #    flipping one re-specializes the jitted block (rare, editor-rate) --
+    def set_bus_mute(self, bus_name: str, mute: bool) -> None:
+        self.buses[self.bus_index(bus_name)].mute = bool(mute)
+
+    def set_bus_solo(self, bus_name: str, solo: bool) -> None:
+        self.buses[self.bus_index(bus_name)].solo = bool(solo)
+
+    def set_bus_bypass_effects(self, bus_name: str, bypass: bool) -> None:
+        self.buses[self.bus_index(bus_name)].bypass_effects = bool(bypass)
+
+    def set_bus_effect_enabled(self, bus_name: str, index: int, enabled: bool) -> None:
+        self.buses[self.bus_index(bus_name)].fx_enabled[index] = bool(enabled)
+
+    def set_bus_volume_db(self, bus_name: str, volume_db: float) -> None:
+        self.buses[self.bus_index(bus_name)].volume_db = float(volume_db)
+
+    def _bus_flags(self):
+        return (
+            tuple(b.mute for b in self.buses),
+            tuple(b.solo for b in self.buses),
+            tuple(b.bypass_effects for b in self.buses),
+            tuple(tuple(b.fx_enabled) for b in self.buses),
+        )
 
     def get_bus_effect_state(self, bus_name: str, index: int):
         """Current device state of a bus effect (e.g. the spectrum
@@ -904,6 +940,7 @@ class AudioEngine:
             effects=effects,
             chain=tuple(self._chain_groups),
             max_pitch=self.max_pitch,
+            bus_flags=self._bus_flags(),
         )
         self.mix_state = new_state
         self._was_out = new_was_out
@@ -1039,6 +1076,7 @@ class AudioEngine:
             effects=effects,
             chain=tuple(self._chain_groups),
             max_pitch=self.max_pitch,
+            bus_flags=self._bus_flags(),
         )
         self._bus_fx_states = fx_states
         return new_state, master, peaks
@@ -1153,20 +1191,40 @@ def _stage_a_jit(scene, params, was_out, *, speaker_mode, global_panning_strengt
     )
 
 
-def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states, channel_count):
+def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states,
+                     channel_count, bus_flags=None):
     """Apply per-bus effect chains, faders, and send reduction → master.
 
     bus_in: [B,4,F,2].  Processing order newest→Master so sends flow
     downstream (L0 AudioServer behavior, README.md:96-100).
+    `bus_flags` = (mutes, solos, bypasses, fx_enabled) static tuples — the
+    AudioServer bus toggles; None = everything audible/enabled.
     Returns (master [C,F,2], new_fx_states)."""
     B = bus_in.shape[0]
+    mutes, solos, bypasses, fx_enabled = bus_flags or ((), (), (), ())
+    any_solo = any(solos)
     bufs = [bus_in[b] for b in range(B)]
     new_states = [list(s) for s in fx_states]
     for b in list(range(B - 1, 0, -1)) + [0]:
         buf = bufs[b]
+        bypassed = b < len(bypasses) and bypasses[b]
         for i, eff in enumerate(effects[b]):
+            if bypassed or (
+                b < len(fx_enabled)
+                and i < len(fx_enabled[b])
+                and not fx_enabled[b][i]
+            ):
+                new_states[b][i] = fx_states[b][i]  # disabled: state frozen
+                continue
             new_states[b][i], buf = eff.process(fx_states[b][i], buf)
         buf = buf * db_to_linear(bus_volumes_db[b])
+        # mute, and solo-elsewhere, silence this bus's contribution
+        # (Master stays audible unless itself muted — Godot semantics)
+        audible = not (b < len(mutes) and mutes[b]) and (
+            not any_solo or b == 0 or (b < len(solos) and solos[b])
+        )
+        if not audible:
+            buf = buf * 0.0
         bufs[b] = buf
         if b != 0 and sends[b] >= 0:
             bufs[sends[b]] = bufs[sends[b]] + buf
@@ -1187,6 +1245,7 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states, channel_
         "effects",
         "chain",
         "max_pitch",
+        "bus_flags",
     ),
 )
 def _render_jit(
@@ -1206,6 +1265,7 @@ def _render_jit(
     chain,
     max_pitch=8.0,
     resample_gather="xla",
+    bus_flags=None,
 ):
     new_state, bus_in, peaks = mix_block(
         state,
@@ -1221,6 +1281,7 @@ def _render_jit(
         resample_gather=resample_gather,
     )
     master, new_fx = bus_graph_reduce(
-        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count
+        bus_in, sends, bus_volumes_db, effects, fx_states, channel_count,
+        bus_flags,
     )
     return new_state, master, peaks, new_fx

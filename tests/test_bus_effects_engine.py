@@ -67,3 +67,63 @@ def test_bus_filter_and_fader():
     lo = spec[(freqs > 50) & (freqs < 400)].mean()
     hi = spec[(freqs > 4000) & (freqs < 10000)].mean()
     assert lo > 8 * hi, f"lowpass bus effect not engaged (lo {lo}, hi {hi})"
+
+
+def test_bus_toggles_mute_solo_bypass_effect_enable():
+    """AudioServer bus toggles: mute silences, solo silences the others,
+    bypass/effect-disable skip processing (state frozen), volume_db setter
+    scales — all at the engine surface."""
+    import jax.numpy as jnp
+
+    def build():
+        eng = AudioEngine(mix_rate=48000.0, block_size=256, max_sources=4)
+        eng.add_listener(ListenerDesc())
+        eng.add_bus("Aux")
+        rng = np.random.default_rng(2)
+        clip = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+        p = AudioStreamPlayerSpatial(
+            eng, stream=AudioStreamSample(clip, loop=True),
+            spatializer=AudioSpatializer3D(), bus="Aux",
+        )
+        p.set_position([1.0, 0.0, -2.0])
+        p.play()
+        eng.physics_step()
+        return eng
+
+    eng = build()
+    base = eng.render_block()
+    assert np.abs(base).max() > 1e-4
+
+    eng = build()
+    eng.set_bus_mute("Aux", True)
+    assert np.abs(eng.render_block()).max() == 0.0
+
+    eng = build()
+    eng.add_bus("Unused")
+    eng.set_bus_solo("Unused", True)  # solo elsewhere silences Aux
+    assert np.abs(eng.render_block()).max() == 0.0
+    eng.set_bus_solo("Aux", True)  # soloing Aux restores it
+    assert np.abs(eng.render_block()).max() > 1e-4
+
+    # heavy lowpass changes output; bypass or disable restores the dry path
+    eng_fx = build()
+    eng_fx.add_bus_effect("Aux", BusEffectFilter(cutoff_hz=200.0))
+    wet = eng_fx.render_block()
+    eng_dry = build()
+    dry = eng_dry.render_block()
+    assert np.abs(wet - dry).max() > 1e-3
+
+    eng_byp = build()
+    eng_byp.add_bus_effect("Aux", BusEffectFilter(cutoff_hz=200.0))
+    eng_byp.set_bus_bypass_effects("Aux", True)
+    np.testing.assert_array_equal(eng_byp.render_block(), dry)
+
+    eng_dis = build()
+    eng_dis.add_bus_effect("Aux", BusEffectFilter(cutoff_hz=200.0))
+    eng_dis.set_bus_effect_enabled("Aux", 0, False)
+    np.testing.assert_array_equal(eng_dis.render_block(), dry)
+
+    eng_vol = build()
+    eng_vol.set_bus_volume_db("Aux", -6.0206)
+    half = eng_vol.render_block()
+    np.testing.assert_allclose(half, base * 0.5, atol=1e-6)
