@@ -63,9 +63,10 @@ def _time(fn, *args, **kw):
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               chain=(), use_chain=False, label="", unit_pitch_aligned=False,
               physics_every=1, max_pitch=2.0, bank_dtype=np.float32,
-              scan_unroll=1):
+              scan_unroll=1, blocks=None):
+    blocks = blocks or BLOCKS
     args = build_bench_scene(
-        n, BLOCKS, frame_count, mix_rate,
+        n, blocks, frame_count, mix_rate,
         chain_effects=chain, use_chain=use_chain, doppler=doppler,
         bank_dtype=bank_dtype,
     )
@@ -78,9 +79,9 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         max_pitch=max_pitch, scan_unroll=scan_unroll,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
-    rtf = BLOCKS * frame_count / mix_rate / secs
+    rtf = blocks * frame_count / mix_rate / secs
     return {"config": label, "sources": n, "rtf": round(rtf, 2),
-            "block_ms": round(secs / BLOCKS * 1e3, 4)}
+            "block_ms": round(secs / blocks * 1e3, 4)}
 
 
 def bench_streaming(n_sources):
@@ -214,6 +215,16 @@ def main():
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512, doppler=True,
                   label="north_star_4096src_doppler", max_pitch=1.4,
                   scan_unroll=2)
+    )
+
+    # scale demonstration: 4× the north-star source count (64 ch-pairs of
+    # batched Stage A + Stage B per block); smaller scan bounds the
+    # vmapped Stage-A prepass memory at ~0.6 GB
+    results.append(
+        bench_mix(16384, SpeakerMode.SURROUND_71, 48000.0, 512,
+                  doppler=False, unit_pitch_aligned=True,
+                  label="scale_16384src_7.1_48k",
+                  blocks=16 if QUICK else 192)
     )
 
     # config 1: 1 mono source → stereo pan + inverse distance, 44.1 kHz

@@ -127,3 +127,21 @@ def test_bus_toggles_mute_solo_bypass_effect_enable():
     eng_vol.set_bus_volume_db("Aux", -6.0206)
     half = eng_vol.render_block()
     np.testing.assert_allclose(half, base * 0.5, atol=1e-6)
+
+
+def test_bus_mute_through_fused_step():
+    """The static bus flags also reach the fused single-dispatch step."""
+    rng = np.random.default_rng(3)
+    clip = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+    eng = AudioEngine(mix_rate=48000.0, block_size=256, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    eng.add_bus("Aux")
+    p = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=True),
+        spatializer=AudioSpatializer3D(), bus="Aux",
+    )
+    p.set_position([1.0, 0.0, -2.0])
+    p.play()
+    assert np.abs(eng.step()).max() > 1e-4
+    eng.set_bus_mute("Aux", True)
+    assert np.abs(eng.step()).max() == 0.0
