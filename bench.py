@@ -254,7 +254,10 @@ def main():
     # config 5: 4096 sources, ambisonic order-3 encode + binaural decode
     results.append(bench_ambisonic(4096, 48000.0, 512))
 
-    with open("bench_details.json", "w") as f:
+    # --quick is a smoke mode: keep it from clobbering the recorded
+    # full-run artifact
+    out_path = "bench_details_quick.json" if QUICK else "bench_details.json"
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
 
     print(
