@@ -53,6 +53,13 @@ class AudioStreamPlayerSpatial:
         self.autoplay = autoplay
         self.max_polyphony = max_polyphony
         self.stream_paused = False
+        # host-side proxy lifetime model (reference AudioSpatializerInstance
+        # spatial_playbacks): created on first voice, torn down only during
+        # an UNPAUSED mix with an empty playback list — so paused proxies
+        # outlive their voices and later plays ride their pause state
+        self._proxies_alive = False
+        self._proxy_paused = False
+        self._zombie_slots = []  # stopped-under-pause lanes (see engine)
         # playback bookkeeping
         self.slots: List[int] = []  # engine slot ids, oldest first
         self._pending_plays: List[float] = []

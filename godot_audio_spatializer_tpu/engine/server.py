@@ -96,6 +96,8 @@ def _tick_update_impl(
     chain_group,  # [N] i32 (-1 = built-in highshelf path)
     slot_pitch_mul,  # [N] f32 — stream-rate ratio × per-voice random pitch
     slot_gain,  # [N] f32 — per-voice gain (AudioStreamRandomizer volume)
+    slot_zombie,  # [N] bool — stopped-under-pause lanes still carrying
+    #               their (frozen) proxy volume-ramp state
     num_buses: int,
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
@@ -145,8 +147,10 @@ def _tick_update_impl(
     P = result.mix_volumes.shape[0]
     sp = jnp.maximum(slot_player_sib, 0)
     # proxies persist through a same-tick stop until the next mix's GC,
-    # so the sibling scan uses the pre-stop slot map
-    alive = state.active & (slot_player_sib >= 0)
+    # so the sibling scan uses the pre-stop slot map; zombie lanes
+    # (stopped while the proxies were paused — never mixed, never GC'd)
+    # still carry the proxies' frozen ramp state and seed new voices
+    alive = (state.active | slot_zombie) & (slot_player_sib >= 0)
     n_lanes = slot_player.shape[0]
     prev_flat = state.srv_prev.reshape(n_lanes, -1)
     # the sibling pool must see this tick's target as the PRE-stop owner
@@ -263,6 +267,7 @@ def _step_jit(
     chain_group,
     slot_pitch_mul,
     slot_gain,
+    slot_zombie,
     bank,
     fx_states,
     *,
@@ -292,7 +297,7 @@ def _step_jit(
     new_state, bp = _tick_update_impl(
         result, state, slot_player, slot_player_sib, play_mask, play_cursor,
         stop_mask, mix_channel_mode, threshold_db, paused, chain_group,
-        slot_pitch_mul, slot_gain, num_buses=num_buses,
+        slot_pitch_mul, slot_gain, slot_zombie, num_buses=num_buses,
     )
     new_state, bus_in, peaks = mix_block(
         new_state, bp, bank,
@@ -396,6 +401,9 @@ class AudioEngine:
         # proxy-level pause state (reference set_playback_paused applies to
         # the proxies alive at call time; fresh proxies start unpaused)
         self._slot_paused = np.zeros(n, bool)
+        # stopped-under-pause lanes kept allocated so their frozen server
+        # ramp (the paused proxies' state) survives for future voices
+        self._slot_zombie = np.zeros(n, bool)
 
         # sample bank (host mirror + lazy device copy); seed row keeps
         # base offsets 128-aligned from the start
@@ -590,11 +598,19 @@ class AudioEngine:
 
     def apply_player_pause(self, player, paused: bool) -> None:
         """set_playback_paused semantics: pause/unpause the player's live
-        proxies (slots) right now; later playbacks start unpaused unless
-        they join live paused siblings (reference audio_spatializer.cpp:
-        115-122 + proxy lifecycle)."""
+        proxies (slots) right now (reference audio_spatializer.cpp:115-122).
+
+        Paused proxies are never mixed, and proxy teardown only happens
+        inside a mix (_manage_playback_state, cpp:473-492) — so once a
+        player's proxies are paused they OUTLIVE their voices: every later
+        play() rides them and starts paused, until unpause (found by the
+        120-block randomized fuzz: play-after-stop-while-paused audibly
+        diverged from golden).  Pausing a player with no proxies is a
+        no-op — fresh proxies start unpaused."""
         for s in player.slots:
             self._slot_paused[s] = paused
+        if player._proxies_alive:
+            player._proxy_paused = bool(paused)
 
     # ------------------------------------------------------------ stage A prep
     def _player_params(self) -> SourceParams:
@@ -688,19 +704,46 @@ class AudioEngine:
             if pl._pending_stop:
                 for s in pl.slots:
                     stop_mask[s] = True
-                    self._release_slot(s)
+                    if pl._proxy_paused:
+                        # paused proxies are never mixed → the stopped
+                        # node is never GC'd (reference cpp:473-492): the
+                        # lane lingers as a zombie carrying the proxies'
+                        # frozen volume-ramp state
+                        self._slot_zombie[s] = True
+                        pl._zombie_slots.append(s)
+                    else:
+                        self._release_slot(s)
                 pl.slots.clear()
                 pl._pending_stop = False
             for from_pos in pl._pending_plays:
-                if not self._free_slots:
+                # allocation order: reuse one of this player's own zombie
+                # lanes (it already carries the right proxy-ramp state),
+                # else the free pool, else reclaim any zombie lane (they
+                # are expendable — only their frozen ramp-start fidelity
+                # is lost), else drop the play
+                s = None
+                if pl._zombie_slots:
+                    s = pl._zombie_slots.pop(0)
+                    self._slot_zombie[s] = False
+                elif self._free_slots:
+                    s = self._free_slots.pop()
+                else:
+                    for opl in self.players:
+                        if opl._zombie_slots:
+                            s = opl._zombie_slots.pop(0)
+                            self._slot_zombie[s] = False
+                            break
+                if s is None:
                     break  # slot pool exhausted
-                s = self._free_slots.pop()
                 self.slot_player[s] = pi
-                # new voices ride the player's existing proxies, inheriting
-                # their pause state; fresh proxies start unpaused
-                self._slot_paused[s] = bool(
-                    pl.slots and self._slot_paused[pl.slots[0]]
-                )
+                # new voices ride the player's proxies, inheriting their
+                # pause state — including proxies whose voices were all
+                # stopped while paused (see apply_player_pause); fresh
+                # proxies start unpaused
+                if not pl._proxies_alive:
+                    pl._proxies_alive = True
+                    pl._proxy_paused = False
+                self._slot_paused[s] = pl._proxy_paused
                 # a randomizer resolves to (stream, pitch, gain) per voice
                 stream = pl.stream
                 voice_pitch, voice_gain = 1.0, 1.0
@@ -744,7 +787,11 @@ class AudioEngine:
                 s = pl.slots.pop(0)
                 stop_mask[s] = True
                 play_mask[s] = False
-                self._release_slot(s)
+                if pl._proxy_paused:
+                    self._slot_zombie[s] = True
+                    pl._zombie_slots.append(s)
+                else:
+                    self._release_slot(s)
 
         return slot_player_sib, play_mask, play_cursor, stop_mask
 
@@ -811,6 +858,7 @@ class AudioEngine:
             jnp.asarray(self._slot_chain_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
+            jnp.asarray(self._slot_zombie),
             num_buses=self.num_buses,
         )
 
@@ -924,6 +972,7 @@ class AudioEngine:
             jnp.asarray(self._slot_chain_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
+            jnp.asarray(self._slot_zombie),
             bank,
             self._bus_effect_states(),
             num_buses=self.num_buses,
@@ -947,6 +996,7 @@ class AudioEngine:
         self._block_params = None  # consumed by the fused dispatch
         self._bus_fx_states = new_fx
         self._last_peaks = peaks
+        self._post_mix_proxy_gc()
         return master.shape, packed
 
     def _fetch_packed(self, master_shape, packed) -> np.ndarray:
@@ -958,6 +1008,24 @@ class AudioEngine:
         msz = int(np.prod(master_shape))
         self._active_host = arr[msz:] > 0.5
         return arr[:msz].reshape(master_shape)
+
+    def _post_mix_proxy_gc(self) -> None:
+        """End-of-mix proxy lifecycle (reference _manage_playback_state,
+        audio_spatializer.cpp:473-492, which runs at the end of every
+        UNPAUSED mix): dead zombie lanes are GC'd, and a player whose
+        playback list is empty loses its proxies.  Paused players are
+        skipped — their proxies are never mixed, so nothing GCs.  Called
+        after render_block and after the fused step dispatch."""
+        for pl in self.players:
+            if pl._proxy_paused:
+                continue
+            if pl._zombie_slots:
+                for zs in pl._zombie_slots:
+                    self._slot_zombie[zs] = False
+                    self._release_slot(zs)
+                pl._zombie_slots.clear()
+            if pl._proxies_alive and not pl.slots:
+                pl._proxies_alive = False
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1
@@ -1051,6 +1119,7 @@ class AudioEngine:
         new_state, master, peaks = self._render(self.mix_state, self._block_params)
         self.mix_state = new_state
         self._last_peaks = peaks  # device array; get_metrics() syncs lazily
+        self._post_mix_proxy_gc()
         return np.asarray(master)
 
     def _render(self, state: MixState, bp: BlockParams):

@@ -21,7 +21,10 @@ from godot_audio_spatializer_tpu.golden import reference as g
 MIX_RATE = 44100.0
 F = 512
 DB80 = 1e-4
-N_BLOCKS = 24
+# long enough to hit the proxy-pause lifetime cases (play-after-stop under
+# pause diverged at block 31/64 in the round-3 fuzz that found them; a
+# 120-block 5-seed sweep runs clean)
+N_BLOCKS = 80
 
 
 class GoldenPlayerSim:
