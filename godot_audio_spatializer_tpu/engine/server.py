@@ -689,7 +689,8 @@ class AudioEngine:
     def _process_slot_events(self):
         """Apply pending play/stop/polyphony events to the slot pool.
 
-        → (slot_player_sib, play_mask, play_cursor, stop_mask) host arrays
+        → (slot_player_sib, slot_zombie_sib, play_mask, play_cursor,
+        stop_mask) host arrays
         (the sibling snapshot is taken BEFORE this tick's stop releases —
         see _tick_update_impl's docstring)."""
         n = self.max_sources
@@ -697,6 +698,10 @@ class AudioEngine:
         # alive for new voices started in the same tick (teardown happens
         # during the next mix, reference audio_spatializer.cpp:484-491)
         slot_player_sib = self.slot_player.copy()
+        # zombie snapshot too: a play that REUSES a zombie lane clears its
+        # flag, but the sibling scan must still see the lane's frozen
+        # proxy-ramp state for THIS tick's seeding
+        slot_zombie_sib = self._slot_zombie.copy()
         play_mask = np.zeros(n, bool)
         play_cursor = np.zeros(n, np.int32)
         stop_mask = np.zeros(n, bool)
@@ -793,7 +798,7 @@ class AudioEngine:
                 else:
                     self._release_slot(s)
 
-        return slot_player_sib, play_mask, play_cursor, stop_mask
+        return slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask
 
     # ------------------------------------------------------------ physics tick
     def physics_step(self, dt: Optional[float] = None) -> None:
@@ -838,7 +843,7 @@ class AudioEngine:
         self._was_out = result.was_out_of_range
 
         # -- play/stop events --
-        slot_player_sib, play_mask, play_cursor, stop_mask = (
+        slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask = (
             self._process_slot_events()
         )
 
@@ -858,7 +863,7 @@ class AudioEngine:
             jnp.asarray(self._slot_chain_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
-            jnp.asarray(self._slot_zombie),
+            jnp.asarray(slot_zombie_sib),
             num_buses=self.num_buses,
         )
 
@@ -945,7 +950,7 @@ class AudioEngine:
         if was_out is None or was_out.shape[0] != len(self.players):
             was_out = jnp.zeros(len(self.players), bool)
 
-        slot_player_sib, play_mask, play_cursor, stop_mask = (
+        slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask = (
             self._process_slot_events()
         )
         paused = self._slot_paused.copy()
@@ -972,7 +977,7 @@ class AudioEngine:
             jnp.asarray(self._slot_chain_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
-            jnp.asarray(self._slot_zombie),
+            jnp.asarray(slot_zombie_sib),
             bank,
             self._bus_effect_states(),
             num_buses=self.num_buses,
