@@ -145,7 +145,12 @@ class SpeakerPlacementConfiguration:
         # *unnormalized* listener-local position (cpp:391), matching the
         # reference behavior exactly.
         d = self.directions @ np.asarray(source_direction, np.float64)
-        initial_gain = 0.5 * np.power(1.0 + d, tightness) / self.effective_count
+        # 1+d can go negative (|source_direction| > 1 behind a speaker) and
+        # std::pow(negative, non-integer) is NaN in the C++ reference too
+        # (audio_spatializer_3d.cpp:926-938 applies no clamp) — numpy computes
+        # the same NaN, so suppress only the RuntimeWarning, not the value.
+        with np.errstate(invalid="ignore"):
+            initial_gain = 0.5 * np.power(1.0 + d, tightness) / self.effective_count
         sq = initial_gain * initial_gain
         total = sq.sum()
         return np.sqrt(sq / total)

@@ -211,3 +211,36 @@ def test_out_of_range_hysteresis_carry():
         scene, params, np.asarray(res1.was_out_of_range), SpeakerMode.STEREO
     )
     assert not np.any(np.asarray(res2.update_parameters))  # hysteresis kicks in
+
+
+def test_spcap_behind_head_nan_parity():
+    """Behind-the-head unnormalized direction with non-integer tightness.
+
+    The reference applies no clamp before std::pow (audio_spatializer_3d.cpp:
+    926-938): 1+dot < 0 with a fractional exponent is NaN in C++ and must be
+    the same NaN here — in the golden oracle AND on device — with no
+    RuntimeWarning escaping the oracle.
+    """
+    import warnings
+
+    from godot_audio_spatializer_tpu.ops import pan as dev_pan
+
+    # |dir| = 4 pointing behind → dot with the front speakers < -1.
+    source_dir = np.array([0.0, 0.0, 4.0], np.float64)
+    tightness = 1.5  # panning_strength = 0.75 → non-integer exponent
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        spcap = g.SpeakerPlacementConfiguration(7)
+        golden_v = spcap.calculate(source_dir, tightness)
+
+    dev_v = np.asarray(
+        dev_pan.spcap_volumes(
+            source_dir.astype(np.float32), np.float32(tightness), 7
+        )
+    )
+    assert np.isnan(golden_v).any()  # the quirk is reachable
+    np.testing.assert_array_equal(np.isnan(golden_v), np.isnan(dev_v))
+    m = ~np.isnan(golden_v)
+    if m.any():
+        np.testing.assert_allclose(dev_v[m], golden_v[m], rtol=2e-4, atol=1e-6)
