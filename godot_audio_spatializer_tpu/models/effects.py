@@ -54,6 +54,7 @@ class AudioEffectFilter:
         gain_binding: Optional[str] = None,
         cutoff_binding: Optional[str] = None,
         bypass_below_gain: bool = False,
+        precision: str = "default",
     ):
         self.mode = FilterMode(mode)
         self.cutoff_hz = float(cutoff_hz)
@@ -62,6 +63,12 @@ class AudioEffectFilter:
         self.gain_binding = gain_binding
         self.cutoff_binding = cutoff_binding
         self.bypass_below_gain = bypass_below_gain
+        if precision not in ("default", "high"):
+            raise ValueError(f"precision must be 'default' or 'high', got {precision!r}")
+        # "high": compensated double-float state recurrence (scan_df) —
+        # keeps extreme near-pole filters (|pole|→1) inside the −80 dBFS
+        # budget; the reference's AudioFilterSW MAC runs in C++ double.
+        self.precision = precision
 
     def init_state(self, n: int):
         return {
@@ -85,7 +92,33 @@ class AudioEffectFilter:
     def process(self, state, x, ctx: EffectCtx):
         n = x.shape[0]
         gain, cutoff = self._resolve(ctx, n)
-        target = filter_coeffs(self.mode, ctx.mix_rate, cutoff, gain, self.resonance)
+        coeffs_lo = None
+        if (self.precision == "high"
+                and not (self.gain_binding or self.cutoff_binding)):
+            # static parameters: f64-evaluated coefficients as an f32
+            # (hi, lo) pair — recovers the pole position f32 quantizes away
+            from ..ops.filters import filter_coeffs_hilo
+
+            hi, lo = filter_coeffs_hilo(
+                self.mode, ctx.mix_rate, self.cutoff_hz, self.gain,
+                self.resonance,
+            )
+            target = jnp.broadcast_to(jnp.asarray(hi), (n, 5))
+            coeffs_lo = jnp.broadcast_to(jnp.asarray(lo), (n, 2, 5))
+        elif (self.precision == "high"
+              and self.mode in (FilterMode.LOWPASS, FilterMode.HIGHSHELF)):
+            # dynamic bindings: double-float evaluation ON DEVICE
+            from ..ops.filters import filter_coeffs_df
+
+            hi, lo = filter_coeffs_df(self.mode, ctx.mix_rate, cutoff, gain,
+                                      self.resonance)
+            target = hi
+            coeffs_lo = jnp.broadcast_to(lo[:, None, :], (n, 2, 5))
+        else:
+            # precision="high" with a bound non-LOWPASS/HIGHSHELF mode
+            # still gets the df MAC, but f32 coefficients
+            target = filter_coeffs(self.mode, ctx.mix_rate, cutoff, gain,
+                                   self.resonance)
         if self.bypass_below_gain:
             apply = gain >= HIGHSHELF_GAIN_EPSILON
         else:
@@ -97,6 +130,8 @@ class AudioEffectFilter:
             jnp.broadcast_to(target[:, None, :], (n, 2, 5)),
             state["hist"],
             jnp.broadcast_to(apply[:, None], (n, 2)),
+            method="scan_df" if self.precision == "high" else None,
+            coeffs_lo=coeffs_lo,
         )
         return (
             {"coeffs": coeffs[:, 0], "hist": hist},
