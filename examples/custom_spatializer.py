@@ -42,7 +42,7 @@ from godot_audio_spatializer_tpu.engine.offline import (
     default_slot_config,
     engine_step,
 )
-from godot_audio_spatializer_tpu.ops.geometry import SpatializeResult
+from godot_audio_spatializer_tpu.ops.geometry import SpatializeResult, empty_bus_routing
 from godot_audio_spatializer_tpu.ops.mix import SampleBank, make_mix_state
 from godot_audio_spatializer_tpu.ops.resample import build_bank
 from godot_audio_spatializer_tpu.constants import SpeakerMode
@@ -69,10 +69,8 @@ def retro_spatialization(scene, params, was_out, speaker_mode, gps=1.0):
     mv = jnp.zeros((n, MAX_CHANNELS_PER_BUS, 2))
     mv = mv.at[:, 0, 0].set(left * gain)
     mv = mv.at[:, 0, 1].set(right * gain)
-    bus_index = jnp.stack([jnp.zeros(n, jnp.int32),
-                           jnp.full(n, -1, jnp.int32)], axis=1)
-    bus_volumes = jnp.stack([mv, jnp.zeros_like(mv)], axis=1)
-    return SpatializeResult(
+    bus_index, bus_volumes = empty_bus_routing(n)
+    res = SpatializeResult(
         mix_volumes=mv,
         pitch_scale=params.pitch_scale,
         linear_attenuation=jnp.zeros(n),  # < 0.001 → distance filter bypassed
@@ -82,6 +80,8 @@ def retro_spatialization(scene, params, was_out, speaker_mode, gps=1.0):
         update_parameters=jnp.ones(n, bool),
         was_out_of_range=jnp.zeros(n, bool),
     )
+    # route every source to bus 0 (SpatializerParameters::add_bus_volume)
+    return res.add_bus_volume(0, jnp.zeros(n, jnp.int32), mv)
 
 
 def main():

@@ -40,7 +40,12 @@ class ListenerDesc:
 
 @dataclass
 class AreaDesc:
-    """Axis-aligned Area3D for bus override / reverb routing."""
+    """Area3D for bus override / reverb routing.
+
+    shape: "box" (oriented when `basis` is set — columns are the local
+    axes, orthonormalized at pack time) or "sphere"
+    (radius = half_extents[0]).  Mirrors the physics shapes the reference
+    queries by point (audio_spatializer_3d.cpp:208-245)."""
 
     center: np.ndarray
     half_extents: np.ndarray
@@ -49,6 +54,8 @@ class AreaDesc:
     reverb_bus: Optional[str] = None
     reverb_amount: float = 0.0
     reverb_uniformity: float = 0.0
+    shape: str = "box"
+    basis: Optional[np.ndarray] = None  # [3,3] local axes as columns
 
 
 def pack_listeners(listeners: Sequence[ListenerDesc], pad_to: Optional[int] = None):
@@ -87,6 +94,8 @@ def pack_areas(
         A = max(A, pad_to)
     center = np.zeros((A, 3), np.float32)
     half = np.zeros((A, 3), np.float32)
+    shape = np.zeros((A,), np.int32)
+    rot = np.tile(np.eye(3, dtype=np.float32), (A, 1, 1))
     mask = np.zeros((A,), np.int32)
     override_bus = np.full((A,), -1, np.int32)
     reverb_bus = np.full((A,), -1, np.int32)
@@ -96,6 +105,15 @@ def pack_areas(
     for i, a in enumerate(areas):
         center[i] = np.asarray(a.center, np.float32)
         half[i] = np.asarray(a.half_extents, np.float32)
+        if getattr(a, "shape", "box") == "sphere":
+            shape[i] = 1
+        elif getattr(a, "shape", "box") != "box":
+            raise ValueError(f"unknown area shape {a.shape!r}")
+        if getattr(a, "basis", None) is not None:
+            # world→local = basisᵀ for orthonormal columns
+            rot[i] = orthonormalize_basis(np.asarray(a.basis, np.float64)).T.astype(
+                np.float32
+            )
         mask[i] = a.mask
         if a.override_bus is not None:
             override_bus[i] = bus_name_to_index[a.override_bus]
@@ -107,6 +125,8 @@ def pack_areas(
     return dict(
         area_center=center,
         area_half=half,
+        area_shape=shape,
+        area_rot=rot,
         area_mask=mask,
         area_override_bus=override_bus,
         area_reverb_bus=reverb_bus,

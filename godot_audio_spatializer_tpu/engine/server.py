@@ -94,6 +94,7 @@ def _tick_update_impl(
     threshold_db,  # [N] f32
     paused,  # [N] bool
     chain_group,  # [N] i32 (-1 = built-in highshelf path)
+    mc_group,  # [N] i32 (-1 = built-in mode-B path; custom _mix_channel)
     slot_pitch_mul,  # [N] f32 — stream-rate ratio × per-voice random pitch
     slot_gain,  # [N] f32 — per-voice gain (AudioStreamRandomizer volume)
     slot_zombie,  # [N] bool — stopped-under-pause lanes still carrying
@@ -199,8 +200,10 @@ def _tick_update_impl(
         return jnp.where(pm.reshape(shape), jnp.zeros_like(leaf), leaf)
 
     new_chain_state = jax.tree.map(_reset_lane, state.chain_state)
+    new_mc_state = jax.tree.map(_reset_lane, state.mc_state)
     new_state = MixState(
         chain_state=new_chain_state,
+        mc_state=new_mc_state,
         cursor_idx=jnp.where(pm, play_cursor, state.cursor_idx),
         cursor_frac=jnp.where(pm, 0, state.cursor_frac),
         active=active | pm,
@@ -222,6 +225,7 @@ def _tick_update_impl(
         threshold_db=threshold_db,
         paused=paused,
         chain_group=chain_group,
+        mc_group=mc_group,
     )
     return new_state, block_params
 
@@ -249,6 +253,7 @@ _tick_update = functools.partial(jax.jit, static_argnames=("num_buses",))(
         "chain",
         "max_pitch",
         "bus_flags",
+        "mc_chain",
     ),
 )
 def _step_jit(
@@ -265,6 +270,7 @@ def _step_jit(
     threshold_db,
     paused,
     chain_group,
+    mc_group,
     slot_pitch_mul,
     slot_gain,
     slot_zombie,
@@ -286,6 +292,7 @@ def _step_jit(
     chain,
     max_pitch,
     bus_flags=None,
+    mc_chain=(),
 ):
     """One fused physics tick + audio block: Stage A, slot/param
     bookkeeping, Stage B mix and the bus-graph reduction in a SINGLE
@@ -297,14 +304,16 @@ def _step_jit(
     new_state, bp = _tick_update_impl(
         result, state, slot_player, slot_player_sib, play_mask, play_cursor,
         stop_mask, mix_channel_mode, threshold_db, paused, chain_group,
-        slot_pitch_mul, slot_gain, slot_zombie, num_buses=num_buses,
+        mc_group, slot_pitch_mul, slot_gain, slot_zombie,
+        num_buses=num_buses,
     )
     new_state, bus_in, peaks = mix_block(
         new_state, bp, bank,
         mix_rate=mix_rate, frame_count=frame_count,
         channel_count=channel_count,
         mix_channel_enabled=mix_channel_enabled,
-        biquad_method=biquad_method, chain=chain, max_pitch=max_pitch,
+        biquad_method=biquad_method, chain=chain, mc_chain=mc_chain,
+        max_pitch=max_pitch,
         resample_gather=resample_gather,
     )
     master, new_fx = bus_graph_reduce(
@@ -390,6 +399,8 @@ class AudioEngine:
         self._slot_threshold_db = np.full(n, PLAYBACK_DISABLE_THRESHOLD_DB, np.float32)
         self._slot_mode = np.zeros(n, bool)
         self._slot_chain_group = np.full(n, -1, np.int32)
+        self._slot_mc_group = np.full(n, -1, np.int32)
+        self._mc_groups: List = []
         # stream-rate ratio × per-voice random pitch (AudioStreamPlayback
         # resamples stream_rate → mix_rate at L0 in the reference engine)
         self._slot_pitch_mul = np.ones(n, np.float32)
@@ -774,14 +785,32 @@ class AudioEngine:
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
                 )
+                from ..models.custom import AudioSpatializerCustom
                 from ..models.spatializer_effect import AudioSpatializerEffect
 
                 if isinstance(pl.spatializer_base, AudioSpatializerEffect):
                     self._slot_chain_group[s] = self._ensure_chain_group(
                         pl.spatializer_base.audio_effects
                     )
+                elif (isinstance(pl.spatializer_base, AudioSpatializerCustom)
+                      and pl.spatializer_base.frame_processor is not None):
+                    # batched _process_frames override rides the chain
+                    # machinery: one single-stage group per distinct
+                    # processor config; its init_state pytree is the
+                    # per-playback custom state, zeroed on play()
+                    self._slot_chain_group[s] = self._ensure_chain_group(
+                        (pl.spatializer_base.frame_processor,)
+                    )
                 else:
                     self._slot_chain_group[s] = -1
+                if (isinstance(pl.spatializer_base, AudioSpatializerCustom)
+                        and pl.spatializer_base.mix_channel_processor
+                        is not None):
+                    self._slot_mc_group[s] = self._ensure_mc_group(
+                        pl.spatializer_base.mix_channel_processor
+                    )
+                else:
+                    self._slot_mc_group[s] = -1
                 play_mask[s] = True
                 # cursors live in STREAM sample units
                 play_cursor[s] = int(from_pos * stream_rate)
@@ -861,6 +890,7 @@ class AudioEngine:
             jnp.asarray(self._slot_threshold_db),
             jnp.asarray(paused),
             jnp.asarray(self._slot_chain_group),
+            jnp.asarray(self._slot_mc_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
             jnp.asarray(slot_zombie_sib),
@@ -975,6 +1005,7 @@ class AudioEngine:
             jnp.asarray(self._slot_threshold_db),
             jnp.asarray(paused),
             jnp.asarray(self._slot_chain_group),
+            jnp.asarray(self._slot_mc_group),
             jnp.asarray(self._slot_pitch_mul),
             jnp.asarray(self._slot_gain),
             jnp.asarray(slot_zombie_sib),
@@ -993,6 +1024,7 @@ class AudioEngine:
             bus_volumes_db=vols,
             effects=effects,
             chain=tuple(self._chain_groups),
+            mc_chain=tuple(self._mc_groups),
             max_pitch=self.max_pitch,
             bus_flags=self._bus_flags(),
         )
@@ -1061,42 +1093,104 @@ class AudioEngine:
         )
         return len(self._chain_groups) - 1
 
+    def _ensure_mc_group(self, proc) -> int:
+        """Register a custom batched _mix_channel processor (one group per
+        distinct processor object); its init_state pytree joins
+        MixState.mc_state and is zeroed on play() like fresh playback
+        data."""
+        for gi, existing in enumerate(self._mc_groups):
+            if existing is proc:
+                return gi
+        self._mc_groups.append(proc)
+        self.mix_state = self.mix_state.replace(
+            mc_state=self.mix_state.mc_state
+            + (proc.init_state(self.max_sources),)
+        )
+        return len(self._mc_groups) - 1
+
     def _stage_a(self, scene, params, was_out) -> SpatializeResult:
+        """Stage A with heterogeneous custom spatializers.
+
+        Players carrying DIFFERENT custom `calculate_spatialization`
+        programs auto-group (the reference instantiates per-player
+        spatializer instances freely, audio_spatializer.h:103-113): each
+        distinct program runs over the full batch and each player's lanes
+        select its own program's result by mask — the same pattern
+        `_ensure_chain_group` uses for effect chains.  Players without a
+        custom resource use `stage_a_override` when set, else the
+        built-in AudioSpatializer3D geometry."""
         from ..models.custom import AudioSpatializerCustom
 
-        fn = self.stage_a_override
-        for pl in self.players:
+        default_fn = self.stage_a_override  # None → built-in geometry
+        fns = []  # distinct custom fns, discovery order
+        group = np.full(len(self.players), -1, np.int64)
+        for i, pl in enumerate(self.players):
             if isinstance(pl.spatializer_base, AudioSpatializerCustom):
                 custom = pl.spatializer_base.calculate_spatialization
-                if fn is None:
-                    fn = custom
-                    self.stage_a_override = fn
-                elif fn is not custom:
-                    raise ValueError(
-                        "all custom spatializers in one engine must share a "
-                        "single batched stage-A function (the engine batches "
-                        "every player into one Stage A dispatch)"
-                    )
-        if fn is not None:
-            cached = getattr(self, "_stage_a_custom_jit", None)
-            if cached is None or cached[0] is not fn:
-                cached = (
-                    fn,
-                    jax.jit(
-                        fn,
-                        static_argnames=("speaker_mode", "global_panning_strength"),
-                    ),
-                )
-                self._stage_a_custom_jit = cached
-            return cached[1](
+                for gi, f in enumerate(fns):
+                    if f is custom:
+                        group[i] = gi
+                        break
+                else:
+                    fns.append(custom)
+                    group[i] = len(fns) - 1
+
+        if not fns and default_fn is None:
+            return _stage_a_jit(
                 scene, params, was_out,
                 speaker_mode=self.speaker_mode,
                 global_panning_strength=self.global_panning_strength,
             )
-        return _stage_a_jit(
-            scene,
-            params,
-            was_out,
+
+        needs_builtin = bool((group < 0).any()) or not self.players
+        key = (tuple(id(f) for f in fns), id(default_fn), needs_builtin)
+        cached = getattr(self, "_stage_a_custom_jit", None)
+        if cached is None or cached[0] != key:
+            fns_c = tuple(fns)
+            dfn = default_fn
+
+            def combined(scene, params, was_out, group_arr, *, speaker_mode,
+                         global_panning_strength):
+                if needs_builtin:
+                    base_fn = dfn if dfn is not None else calculate_spatialization
+                    res = base_fn(
+                        scene, params, was_out,
+                        speaker_mode=speaker_mode,
+                        global_panning_strength=global_panning_strength,
+                    )
+                else:
+                    res = fns_c[0](
+                        scene, params, was_out,
+                        speaker_mode=speaker_mode,
+                        global_panning_strength=global_panning_strength,
+                    )
+                for gi, f in enumerate(fns_c):
+                    if not needs_builtin and gi == 0:
+                        continue
+                    r_g = f(
+                        scene, params, was_out,
+                        speaker_mode=speaker_mode,
+                        global_panning_strength=global_panning_strength,
+                    )
+                    sel = group_arr == gi  # [N] bool
+
+                    def pick(a, b):
+                        m = sel.reshape(sel.shape + (1,) * (a.ndim - 1))
+                        return jnp.where(m, a, b)
+
+                    res = jax.tree.map(pick, r_g, res)
+                return res
+
+            cached = (
+                key,
+                jax.jit(
+                    combined,
+                    static_argnames=("speaker_mode", "global_panning_strength"),
+                ),
+            )
+            self._stage_a_custom_jit = cached
+        return cached[1](
+            scene, params, was_out, jnp.asarray(group),
             speaker_mode=self.speaker_mode,
             global_panning_strength=self.global_panning_strength,
         )
@@ -1149,6 +1243,7 @@ class AudioEngine:
             bus_volumes_db=vols,
             effects=effects,
             chain=tuple(self._chain_groups),
+            mc_chain=tuple(self._mc_groups),
             max_pitch=self.max_pitch,
             bus_flags=self._bus_flags(),
         )
@@ -1208,6 +1303,7 @@ class AudioEngine:
         arrays["slot_bank_loop"] = self._slot_bank_loop
         arrays["slot_mode"] = self._slot_mode
         arrays["slot_chain_group"] = self._slot_chain_group
+        arrays["slot_mc_group"] = self._slot_mc_group
         arrays["slot_pitch_mul"] = self._slot_pitch_mul
         arrays["slot_gain"] = self._slot_gain
         arrays["slot_stream_rate"] = self._slot_stream_rate
@@ -1229,6 +1325,8 @@ class AudioEngine:
         self._slot_bank_length = data["slot_bank_length"]
         self._slot_bank_loop = data["slot_bank_loop"]
         self._slot_mode = data["slot_mode"]
+        if "slot_mc_group" in data:
+            self._slot_mc_group = data["slot_mc_group"]
         if "slot_chain_group" in data:
             self._slot_chain_group = data["slot_chain_group"]
         else:  # pre-multi-group checkpoints stored a bool mask
@@ -1320,6 +1418,7 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states,
         "chain",
         "max_pitch",
         "bus_flags",
+        "mc_chain",
     ),
 )
 def _render_jit(
@@ -1340,6 +1439,7 @@ def _render_jit(
     max_pitch=8.0,
     resample_gather="xla",
     bus_flags=None,
+    mc_chain=(),
 ):
     new_state, bus_in, peaks = mix_block(
         state,
@@ -1351,6 +1451,7 @@ def _render_jit(
         mix_channel_enabled=mix_channel_enabled,
         biquad_method=biquad_method,
         chain=chain,
+        mc_chain=mc_chain,
         max_pitch=max_pitch,
         resample_gather=resample_gather,
     )

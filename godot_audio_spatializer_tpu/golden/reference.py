@@ -379,10 +379,14 @@ class Listener:
 
 @dataclass
 class AreaBox:
-    """Axis-aligned Area3D stand-in for reverb / bus-override routing.
+    """Area3D stand-in for reverb / bus-override routing: oriented box or
+    sphere (shape="sphere", radius = half_extents[0]).
 
     Models the physics point query at reference audio_spatializer_3d.cpp:208-245
-    (first matching area wins, collision-mask filtered).
+    (first matching area wins, collision-mask filtered) and
+    PhysicsDirectSpaceState3D::get_closest_point_to_object_volume for the
+    reverb listener position (cpp:350-353).  `basis` columns are the box's
+    local axes (orthonormal); None = axis-aligned.
     """
 
     center: np.ndarray
@@ -392,14 +396,37 @@ class AreaBox:
     reverb_bus: Optional[str] = None  # is_using_reverb_bus when set
     reverb_amount: float = 0.0
     reverb_uniformity: float = 0.0
+    shape: str = "box"  # "box" | "sphere"
+    basis: Optional[np.ndarray] = None  # [3,3] local axes as columns
+
+    def _to_local(self, point: np.ndarray) -> np.ndarray:
+        rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
+        if self.basis is None:
+            return rel
+        return np.asarray(self.basis, np.float64).T @ rel
 
     def contains(self, point: np.ndarray) -> bool:
-        return bool(np.all(np.abs(point - self.center) <= self.half_extents))
+        if self.shape == "sphere":
+            rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
+            return bool(rel @ rel <= float(self.half_extents[0]) ** 2)
+        return bool(np.all(np.abs(self._to_local(point)) <= self.half_extents))
 
     def closest_point(self, point: np.ndarray) -> np.ndarray:
-        # PhysicsDirectSpaceState3D::get_closest_point_to_object_volume for a box.
-        return np.clip(
-            point, self.center - self.half_extents, self.center + self.half_extents
+        if self.shape == "sphere":
+            rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
+            d = math.sqrt(float(rel @ rel))
+            r = float(self.half_extents[0])
+            if d <= r or d == 0.0:
+                return np.asarray(point, np.float64)
+            return np.asarray(self.center, np.float64) + rel * (r / d)
+        local = self._to_local(point)
+        clamped = np.clip(local, -np.asarray(self.half_extents, np.float64),
+                          np.asarray(self.half_extents, np.float64))
+        if self.basis is None:
+            return np.asarray(self.center, np.float64) + clamped
+        return (
+            np.asarray(self.center, np.float64)
+            + np.asarray(self.basis, np.float64) @ clamped
         )
 
 

@@ -1,18 +1,30 @@
-"""Custom spatializer resources — the object-tier extension hook.
+"""Custom spatializer resources — the object-tier extension hooks.
 
 The reference's extension story is per-instance virtual overrides
-(`_calculate_spatialization` et al., audio_spatializer.h:103-113, proven
-by the GDScript example).  The TPU-native contract is the same cut point
-but *batched*: a custom spatializer supplies one array program computing
-SpatializeResult lanes for every source using it.
+(audio_spatializer.h:103-113: `_calculate_spatialization`,
+`_process_frames`, `_mix_channel`, `_instantiate_playback_data`, proven
+by the GDScript example).  The TPU-native contract keeps the same cut
+points but *batched*:
 
-Because the engine batches all players into one Stage A dispatch, an
-engine hosts ONE custom stage-A function (`AudioEngine(stage_a_override=…)`
-or implied by the first AudioSpatializerCustom attached); per-source
-behavior differences are expressed inside that batched function via
-SourceParams / SceneState lanes.  ops-tier composition (bring your own
-pipeline around mix_block) remains fully open — see
-examples/custom_spatializer.py.
+  * `calculate_spatialization` — Stage A: one array program computing
+    SpatializeResult lanes.  Players carrying DIFFERENT custom functions
+    auto-group: the engine runs each distinct program over the full batch
+    and selects each player's lanes by mask (same pattern the effect
+    chains use).
+  * `frame_processor` — Stage B `_process_frames`: an effect-protocol
+    object (`init_state(n) → pytree`, `process(state, x [N,F,2], ctx) →
+    (state, y)`) replacing the built-in distance filter on this
+    spatializer's lanes.  Its `init_state` is the
+    `_instantiate_playback_data` analogue (reference
+    spatializer_parameters.h:69-71): any per-playback temporal state
+    (filter memories, envelopes, …) lives in the returned pytree, carried
+    across blocks and zeroed on play() like fresh playback data.
+  * `mix_channel_processor` — Stage B `_mix_channel`: same protocol with
+    x [N,C,F,2] (per proxy channel, volume-ramped), for
+    mix_channel_mode spatializers.
+
+ops-tier composition (bring your own pipeline around mix_block) remains
+fully open — see examples/custom_spatializer.py.
 """
 
 from __future__ import annotations
@@ -38,6 +50,12 @@ class AudioSpatializerCustom:
     calculate_spatialization: Callable
     geometry: AudioSpatializer3D = field(default_factory=AudioSpatializer3D)
     mix_channel_mode: bool = False
+    # batched _process_frames override (effect protocol: init_state/process);
+    # its init_state pytree is the per-playback custom state
+    # (_instantiate_playback_data, reference spatializer_parameters.h:69-71)
+    frame_processor: Optional[object] = None
+    # batched _mix_channel override for mix_channel_mode spatializers
+    mix_channel_processor: Optional[object] = None
 
     def __getattr__(self, name):
         geometry = object.__getattribute__(self, "geometry")

@@ -21,6 +21,8 @@ from flax import struct
 from ..constants import (
     DOPPLER_PITCH_MAX,
     DOPPLER_PITCH_MIN,
+    MAX_BUSES_PER_PLAYBACK,
+    MAX_CHANNELS_PER_BUS,
     SpeakerMode,
 )
 from ..utils.dsp import db_to_linear, safe_normalize
@@ -75,9 +77,11 @@ class SceneState:
     listener_origin: jnp.ndarray  # [L,3]
     listener_vel: jnp.ndarray  # [L,3]
     listener_active: jnp.ndarray  # [L] bool
-    # areas (AABB stand-ins for Area3D, first match wins)
+    # areas (Area3D shapes: oriented box or sphere, first match wins)
     area_center: jnp.ndarray  # [A,3]
-    area_half: jnp.ndarray  # [A,3]
+    area_half: jnp.ndarray  # [A,3] box half-extents; sphere radius in [.,0]
+    area_shape: jnp.ndarray  # [A] int32: 0 = box, 1 = sphere
+    area_rot: jnp.ndarray  # [A,3,3] world→local rotation (basisᵀ); identity = AA
     area_mask: jnp.ndarray  # [A] int32
     area_override_bus: jnp.ndarray  # [A] int32, -1 = none
     area_reverb_bus: jnp.ndarray  # [A] int32, -1 = none
@@ -95,20 +99,51 @@ class SpatializeResult:
     pitch_scale: jnp.ndarray  # [N]
     linear_attenuation: jnp.ndarray  # [N]
     attenuation_filter_cutoff_hz: jnp.ndarray  # [N]
-    # bus routing: slot 0 = main (override or player bus), slot 1 = reverb
-    bus_index: jnp.ndarray  # [N,2] int32, -1 = unused
-    bus_volumes: jnp.ndarray  # [N,2,4,2]
+    # bus routing, MAX_BUSES_PER_PLAYBACK (=6) open slots per source
+    # (reference audio_spatializer.h:50; SpatializerParameters::
+    # add_bus_volume is open-ended up to that cap,
+    # spatializer_parameters.cpp:69-85).  The 3D spatializer fills slot 0
+    # (main: override or player bus) and slot 1 (reverb send); custom
+    # spatializers may fill any subset via `add_bus_volume`.
+    bus_index: jnp.ndarray  # [N,S] int32, -1 = unused (S = 6)
+    bus_volumes: jnp.ndarray  # [N,S,4,2]
     update_parameters: jnp.ndarray  # [N] bool
     was_out_of_range: jnp.ndarray  # [N] bool — carry to next tick
+
+    def add_bus_volume(self, slot: int, bus_index, volumes) -> "SpatializeResult":
+        """Functional mirror of SpatializerParameters::add_bus_volume
+        (reference spatializer_parameters.cpp:69-85): route every source
+        to `bus_index` ([N] int32, -1 = unused) with per-bus volumes
+        ([N,4,2]) in the given slot (< MAX_BUSES_PER_PLAYBACK)."""
+        return self.replace(
+            bus_index=self.bus_index.at[:, slot].set(bus_index),
+            bus_volumes=self.bus_volumes.at[:, slot].set(volumes),
+        )
+
+
+def empty_bus_routing(n: int):
+    """All-unused bus routing lanes for building a SpatializeResult:
+    ([N,S] index = -1, [N,S,4,2] zero volumes), S = MAX_BUSES_PER_PLAYBACK.
+    Fill slots with `SpatializeResult.add_bus_volume`."""
+    return (
+        jnp.full((n, MAX_BUSES_PER_PLAYBACK), -1, jnp.int32),
+        jnp.zeros(
+            (n, MAX_BUSES_PER_PLAYBACK, MAX_CHANNELS_PER_BUS, 2), jnp.float32
+        ),
+    )
 
 
 def _select_area(scene: SceneState, params: SourceParams):
     """_get_overriding_area (reference audio_spatializer_3d.cpp:208-245):
     first active area containing the source point, mask-matched, that
-    overrides the bus or provides reverb."""
-    # [N,A] containment
-    d = jnp.abs(scene.source_pos[:, None, :] - scene.area_center[None, :, :])
-    contains = jnp.all(d <= scene.area_half[None, :, :], axis=-1)
+    overrides the bus or provides reverb.  Shapes: oriented box (world→
+    local rotation, per-axis extent test) or sphere (radius test)."""
+    rel = scene.source_pos[:, None, :] - scene.area_center[None, :, :]  # [N,A,3]
+    local = jnp.einsum("aij,naj->nai", scene.area_rot, rel)
+    box_in = jnp.all(jnp.abs(local) <= scene.area_half[None, :, :], axis=-1)
+    r2 = scene.area_half[None, :, 0] ** 2
+    sph_in = jnp.sum(rel * rel, axis=-1) <= r2
+    contains = jnp.where(scene.area_shape[None, :] == 1, sph_in, box_in)  # [N,A]
     mask_match = (scene.area_mask[None, :] & params.area_mask[:, None]) != 0
     relevant = (scene.area_override_bus >= 0) | (scene.area_reverb_bus >= 0)
     found = contains & mask_match & relevant[None, :] & scene.area_active[None, :]
@@ -144,10 +179,22 @@ def calculate_spatialization(
     local_pos = jnp.einsum("lij,nli->nlj", scene.listener_rot, diff)
     dist = jnp.linalg.norm(local_pos, axis=-1)  # [N,L]
 
-    # ---- listener_area_pos (closest point on area box, cpp:350-353) ----
-    lo = a_center - a_half
-    hi = a_center + a_half
-    closest = jnp.clip(scene.listener_origin[None, :, :], lo[:, None, :], hi[:, None, :])
+    # ---- listener_area_pos (closest point on area shape, cpp:350-353) ----
+    a_shape = scene.area_shape[area_idx]  # [N]
+    a_rot = scene.area_rot[area_idx]  # [N,3,3] world→local
+    rel_l = scene.listener_origin[None, :, :] - a_center[:, None, :]  # [N,L,3]
+    # oriented box: clamp in the local frame, rotate back
+    local_l = jnp.einsum("nij,nlj->nli", a_rot, rel_l)
+    clamped = jnp.clip(local_l, -a_half[:, None, :], a_half[:, None, :])
+    box_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, clamped)
+    # sphere: pull onto the surface when outside
+    d_l = jnp.linalg.norm(rel_l, axis=-1)  # [N,L]
+    radius = a_half[:, None, 0]
+    scale = jnp.where(
+        (d_l > radius) & (d_l > 0), radius / jnp.where(d_l > 0, d_l, 1.0), 1.0
+    )
+    sph_cp = a_center[:, None, :] + rel_l * scale[..., None]
+    closest = jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp)
     # full (non-orthonormalized) affine inverse of the listener transform
     lap_diff = closest - scene.listener_origin[None, :, :]
     listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)
@@ -280,14 +327,30 @@ def calculate_spatialization(
     main_bus = jnp.where(
         has_area & (a_override_bus >= 0), a_override_bus, params.bus_index
     )
-    bus_index = jnp.stack(
+    # slots 0/1 = main/reverb; slots 2..5 open for custom routing
+    # (MAX_BUSES_PER_PLAYBACK contract, reference audio_spatializer.h:50)
+    S = MAX_BUSES_PER_PLAYBACK
+    empty_idx = jnp.full((N, S - 2), -1, jnp.int32)
+    bus_index = jnp.concatenate(
         [
-            jnp.where(has_any, main_bus, -1),
-            jnp.where(has_any & use_reverb, a_reverb_bus, -1),
+            jnp.stack(
+                [
+                    jnp.where(has_any, main_bus, -1),
+                    jnp.where(has_any & use_reverb, a_reverb_bus, -1),
+                ],
+                axis=1,
+            ),
+            empty_idx,
         ],
         axis=1,
-    )  # [N,2]
-    bus_volumes = jnp.stack([output_volume, reverb_volume], axis=1)  # [N,2,4,2]
+    )  # [N,S]
+    bus_volumes = jnp.concatenate(
+        [
+            jnp.stack([output_volume, reverb_volume], axis=1),
+            jnp.zeros((N, S - 2) + output_volume.shape[1:], output_volume.dtype),
+        ],
+        axis=1,
+    )  # [N,S,4,2]
 
     # ---- update flag + hysteresis (cpp:466-471) ----
     skip = (~has_any) & was_out_of_range

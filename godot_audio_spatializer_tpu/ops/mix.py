@@ -73,6 +73,9 @@ class MixState:
     # reference audio_spatializer_effect.cpp:79-88): tuple of per-effect
     # pytrees, every leaf with leading N.  Empty tuple = no chain.
     chain_state: tuple = ()
+    # custom _mix_channel override state (one pytree per processor group;
+    # reference audio_spatializer.h:103-113).  Empty tuple = none.
+    mc_state: tuple = ()
 
 
 def make_mix_state(
@@ -120,6 +123,9 @@ class BlockParams:
     # resampled frames like the reference's playback-level wrapper, so
     # sibling voices keep identical proxy volumes.  None = all ones.
     voice_gain: Optional[jnp.ndarray] = None  # [N] f32
+    # per-source custom _mix_channel group (-1 = built-in mode-B path;
+    # g ≥ 0 selects the g-th processor in mix_block's mc_chain)
+    mc_group: Optional[jnp.ndarray] = None  # [N] i32
 
 
 def _end_fade_factor(mixed, frame_count: int):
@@ -145,6 +151,7 @@ def mix_block(
     mix_channel_enabled: bool = False,
     biquad_method: str = "scan",
     chain: tuple = (),
+    mc_chain: tuple = (),
     max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
@@ -191,8 +198,13 @@ def mix_block(
     else:
         chain_group = jnp.full(N, -1, jnp.int32)
     use_chain = chain_group >= 0
+    if mc_chain and params.mc_group is not None:
+        mc_group = params.mc_group
+    else:
+        mc_group = jnp.full(N, -1, jnp.int32)
+    use_mc = mc_group >= 0
     gain = params.linear_attenuation
-    apply_f = (gain >= HIGHSHELF_GAIN_EPSILON) & ~use_chain
+    apply_f = (gain >= HIGHSHELF_GAIN_EPSILON) & ~use_chain & ~use_mc
     target = highshelf_coeffs(mix_rate, params.attenuation_filter_cutoff_hz, gain)
 
     t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))  # [F] ramp
@@ -326,6 +338,32 @@ def mix_block(
             method=biquad_method,
         )
         sigB = jnp.moveaxis(yB, 3, 2)  # [N,C,F,2]
+        # ---- 4b'. custom _mix_channel overrides (audio_spatializer.h:
+        # 103-113): each processor receives the RAW combined frames plus
+        # the per-channel volume ramp (the reference hands _mix_channel
+        # the raw buffer; volumes come from params) and produces the
+        # full per-channel output for its lanes ----
+        if mc_chain:
+            from .effect_chain import EffectCtx as _Ctx
+
+            mctx = _Ctx(
+                mix_rate=mix_rate,
+                frame_count=F,
+                linear_attenuation=params.linear_attenuation,
+                attenuation_filter_cutoff_hz=params.attenuation_filter_cutoff_hz,
+                mix_volumes=params.mix_volumes,
+            )
+            new_mc = []
+            for gidx, proc in enumerate(mc_chain):
+                nst_g, sig_g = proc.process(
+                    state.mc_state[gidx], combined, vol, mctx
+                )
+                sel = mc_group == gidx
+                sigB = jnp.where(sel[:, None, None, None], sig_g, sigB)
+                new_mc.append(nst_g)
+            new_mc_state = tuple(new_mc)
+        else:
+            new_mc_state = state.mc_state
         peakB = jnp.abs(sigB).max(axis=(1, 2, 3))
         mode_b = params.mix_channel_mode
         peak = jnp.where(mode_b, peakB, peakA)
@@ -351,6 +389,7 @@ def mix_block(
                 sigB_m, ((0, 0), (0, MAX_CHANNELS_PER_BUS - C), (0, 0), (0, 0))
             )
     else:
+        new_mc_state = state.mc_state
         peak = peakA
         new_prev = state.prev_mix_volumes.at[:, 0].set(prevA_new)
         new_fstate = state.filter_state.at[:, 0].set(nstA)
@@ -402,6 +441,7 @@ def mix_block(
         filter_coeffs=new_coeffs,
         filter_state=new_fstate,
         chain_state=new_chain_state,
+        mc_state=new_mc_state,
         # ramp completed → hold at target (frozen while paused/inactive)
         srv_prev=jnp.where(
             active0[:, None, None, None], state.srv_target, state.srv_prev

@@ -60,6 +60,8 @@ def shard_scene(mesh: Mesh, scene: SceneState) -> SceneState:
         listener_active=jax.device_put(scene.listener_active, r),
         area_center=jax.device_put(scene.area_center, r),
         area_half=jax.device_put(scene.area_half, r),
+        area_shape=jax.device_put(scene.area_shape, r),
+        area_rot=jax.device_put(scene.area_rot, r),
         area_mask=jax.device_put(scene.area_mask, r),
         area_override_bus=jax.device_put(scene.area_override_bus, r),
         area_reverb_bus=jax.device_put(scene.area_reverb_bus, r),

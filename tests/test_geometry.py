@@ -38,11 +38,23 @@ def _random_scene(rng, n_sources, n_listeners, n_areas, speaker_mode, with_doppl
             reverb = "Reverb"
         amount = float(rng.uniform(0, 1))
         uniformity = float(rng.uniform(0, 1)) if rng.random() < 0.7 else 0.0
+        # mix of shapes: axis-aligned box, rotated box, sphere
+        roll = rng.random()
+        shape, basis = "box", None
+        if roll < 0.33:
+            shape = "sphere"
+        elif roll < 0.66:
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            basis = q
         areas_g.append(
-            g.AreaBox(center, half, 1, override, reverb, amount, uniformity)
+            g.AreaBox(center, half, 1, override, reverb, amount, uniformity,
+                      shape=shape, basis=basis)
         )
         areas_d.append(
-            sc.AreaDesc(center, half, 1, override, reverb, amount, uniformity)
+            sc.AreaDesc(center, half, 1, override, reverb, amount, uniformity,
+                        shape=shape, basis=basis)
         )
 
     configs = []
@@ -183,7 +195,7 @@ def test_geometry_parity(speaker_mode, with_doppler):
         for name, vol in gp.bus_volumes.items():
             golden_buses[bus_idx[name]] = vol
         got_buses = {}
-        for s in range(2):
+        for s in range(res.bus_index.shape[1]):
             b = int(res.bus_index[i, s])
             if b >= 0:
                 got_buses[b] = res.bus_volumes[i, s]
