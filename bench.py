@@ -10,6 +10,7 @@ Usage: python bench.py [--quick]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -119,8 +120,36 @@ def bench_streaming(n_sources):
         eng.step()
     ms = (time.perf_counter() - t0) / reps * 1e3
     rtf = 512 / 48000.0 / (ms * 1e-3)
+
+    # Floor-subtracted MARGINAL device cost of a streaming step: the raw
+    # number is dominated by the tunnel's per-call sync floor (23-60 ms,
+    # drifts between sessions — PERF.md measurement discipline §3), which
+    # does not exist on directly-attached hardware.  The floor is measured
+    # IN-PROCESS as a trivial jitted dispatch returning a packed array of
+    # the same size as step()'s fetch, fetched the same way — the marginal
+    # is the device compute + transfer the step actually adds, i.e. the
+    # realtime-budget number for real deployments (must be < 10.67 ms for
+    # 512 @ 48 kHz).
+    pack_len = int(np.prod(eng._last_master_shape)) if hasattr(
+        eng, "_last_master_shape") else 512 * 2 * eng.channel_count
+    dummy = jnp.zeros(pack_len + eng.max_sources, jnp.float32)
+
+    @jax.jit
+    def _trivial(x):
+        return x + 1.0
+
+    for _ in range(3):
+        np.asarray(_trivial(dummy))  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(_trivial(dummy))
+    floor_ms = (time.perf_counter() - t0) / reps * 1e3
+    marginal = max(ms - floor_ms, 0.0)
     out = [{"config": f"streaming_step_{n_sources}src", "sources": n_sources,
-            "rtf": round(rtf, 2), "block_ms": round(ms, 4)}]
+            "rtf": round(rtf, 2), "block_ms": round(ms, 4),
+            "sync_floor_ms": round(floor_ms, 4),
+            "marginal_ms": round(marginal, 4),
+            "marginal_realtime": bool(marginal < 512 / 48000.0 * 1e3)}]
     # double-buffered variant: device computes block k while the host does
     # block k+1's work.  On real hardware this removes device compute from
     # the pacing-critical path; on the tunnel it is ~neutral (dispatch
@@ -144,7 +173,18 @@ def bench_hrtf(n, mix_rate, frame_count, taps=128):
     (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
         build_bench_scene(n, BLOCKS, frame_count, mix_rate, doppler=False)
     )
-    db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
+    # BASELINE config 4 names the 128-tap KEMAR HRIR set.  Measured data
+    # can't ship in this zero-egress environment, so the bench uses the
+    # parametric KEMAR-style set UNLESS GAS_KEMAR_SOFA points at a
+    # measured SOFA file (e.g. the MIT KEMAR dump) — same taps/layout,
+    # identical compute, loaded via HrtfDatabase.from_sofa.
+    sofa = os.environ.get("GAS_KEMAR_SOFA")
+    if sofa:
+        db = HrtfDatabase.from_sofa(sofa, taps=taps)
+        measured = True
+    else:
+        db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
+        measured = False
     st = make_hrtf_render_state(n, taps)
     rots = jnp.asarray(
         np.stack([np.eye(3, dtype=np.float32)] * BLOCKS)
@@ -159,7 +199,8 @@ def bench_hrtf(n, mix_rate, frame_count, taps=128):
     )
     rtf = BLOCKS * frame_count / mix_rate / secs
     return {"config": "hrtf_binaural_128tap", "sources": n, "rtf": round(rtf, 2),
-            "block_ms": round(secs / BLOCKS * 1e3, 4)}
+            "block_ms": round(secs / BLOCKS * 1e3, 4),
+            "hrir_set": "measured_sofa" if measured else "synthetic_kemar"}
 
 
 def bench_ambisonic(n, mix_rate, frame_count, taps=128):

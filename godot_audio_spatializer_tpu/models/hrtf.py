@@ -56,6 +56,64 @@ class HrtfDatabase:
         )
 
     @staticmethod
+    def from_sofa(path: str, taps: int = 128, n_az: int = 72, n_el: int = 14,
+                  el_range=(-math.pi / 4, math.pi / 2)) -> "HrtfDatabase":
+        """Load a MEASURED HRIR set from a SOFA file (e.g. the MIT KEMAR
+        dump) — SOFA is an HDF5 container, read via h5py.
+
+        SOFA convention: SourcePosition = (azimuth°, elevation°, r) with
+        azimuth counter-clockwise from front (90° = left); this database
+        uses radians with +azimuth = right, so az_here = −az_sofa.  The
+        measured (usually irregular) direction set is resampled onto the
+        renderer's regular az × el grid by great-circle nearest neighbor,
+        and IRs longer than `taps` are onset-aligned then truncated with a
+        half-Hann tail fade (128 taps keep ≈99% of KEMAR's energy).
+        """
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            ir = np.asarray(f["Data.IR"], np.float64)  # [M, 2, N]
+            sr = float(np.asarray(f["Data.SamplingRate"]).ravel()[0])
+            pos = np.asarray(f["SourcePosition"], np.float64)  # [M, 3]
+        az_m = -np.deg2rad(pos[:, 0])  # SOFA CCW → +right
+        az_m = np.mod(az_m + np.pi, 2 * np.pi) - np.pi
+        el_m = np.deg2rad(pos[:, 1])
+
+        # onset alignment: keep a common lead-in before the earliest
+        # significant arrival across the whole set
+        energy = np.abs(ir).max(axis=(0, 1))
+        thresh = energy.max() * 1e-3
+        onset = max(int(np.argmax(energy > thresh)) - 4, 0)
+        seg = ir[:, :, onset:]
+        if seg.shape[-1] > taps:
+            seg = seg[:, :, :taps].copy()
+            fade = min(16, taps // 4)
+            seg[:, :, -fade:] *= 0.5 + 0.5 * np.cos(
+                np.pi * (np.arange(fade) + 1) / fade
+            )
+        elif seg.shape[-1] < taps:
+            seg = np.pad(seg, ((0, 0), (0, 0), (0, taps - seg.shape[-1])))
+
+        azimuths = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+        elevations = np.linspace(el_range[0], el_range[1], n_el)
+        ga, ge = np.meshgrid(azimuths, elevations)  # [n_el, n_az]
+        # great-circle distance grid-cell → measurement
+        cosd = (
+            np.sin(ge.ravel())[:, None] * np.sin(el_m)[None, :]
+            + np.cos(ge.ravel())[:, None] * np.cos(el_m)[None, :]
+            * np.cos(ga.ravel()[:, None] - az_m[None, :])
+        )
+        # tie-break by azimuth proximity (at the poles every measurement
+        # on the ring is equidistant; keep the az-faithful one)
+        cosd = cosd + 1e-9 * np.cos(ga.ravel()[:, None] - az_m[None, :])
+        nearest = np.argmax(cosd, axis=1)  # [n_el*n_az]
+        hrirs = seg[nearest].reshape(n_el, n_az, 2, taps).astype(np.float32)
+        norm = np.sqrt((hrirs**2).sum(axis=-1)).max()
+        if norm > 0:
+            hrirs = hrirs / norm
+        return HrtfDatabase(hrirs, azimuths, elevations, sr)
+
+    @staticmethod
     def synthetic_kemar(
         sample_rate: float = 48000.0,
         taps: int = 128,
