@@ -20,3 +20,12 @@ def honor_jax_platforms_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plats)
+
+
+def force_cpu() -> None:
+    """Pin this process to the CPU backend (must run before first backend
+    use; sitecustomize's jax_platforms config otherwise selects axon)."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -75,3 +75,35 @@ def test_examples_run(script, tmp_path):
     )
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert any(f.endswith(".wav") for f in os.listdir(tmp_path))
+
+
+def test_bake_cli(tmp_path):
+    """gas-bake CLI: JSON scene → WAV via the offline renderer."""
+    import json
+    import copy
+
+    from godot_audio_spatializer_tpu import cli
+
+    scene = copy.deepcopy(cli.EXAMPLE_SCENE)
+    scene["seconds"] = 1.0
+    out = str(tmp_path / "bake.wav")
+    summary = cli.bake(scene, out, verbose=False)
+    assert summary["channels"] == 2
+    assert summary["sources"] == 2
+    assert 0.9 < summary["seconds"] <= 1.0
+    assert summary["peak"] > 0.05  # scene produced signal
+
+    from godot_audio_spatializer_tpu.utils.wav import read_wav
+
+    frames, rate = read_wav(out)
+    assert rate == 48000
+    assert frames.shape[0] == summary["blocks"] * 512
+
+    # --example prints valid JSON matching the baked schema
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cli.main(["--example"]) == 0
+    assert json.loads(buf.getvalue())["sources"]
