@@ -66,10 +66,14 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               physics_every=1, max_pitch=2.0, bank_dtype=np.float32,
               scan_unroll=1, blocks=None):
     blocks = blocks or BLOCKS
+    # wide-row gather (round 4): aligned unit-pitch scenes read ONE
+    # [frame_count,2] row per source per block instead of F/128 rows —
+    # the device's row gather is row-count-bound (~40% cheaper e2e).
+    row_align = frame_count if unit_pitch_aligned else 128
     args = build_bench_scene(
         n, blocks, frame_count, mix_rate,
         chain_effects=chain, use_chain=use_chain, doppler=doppler,
-        bank_dtype=bank_dtype,
+        bank_dtype=bank_dtype, row_align=row_align,
     )
     kwargs = dict(
         speaker_mode=speaker_mode, mix_rate=mix_rate, frame_count=frame_count,
@@ -78,6 +82,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         # variable-pitch path: the Pallas one-hot-matmul resampler
         resample_gather="xla" if unit_pitch_aligned else "kernel",
         max_pitch=max_pitch, scan_unroll=scan_unroll,
+        unit_row_width=row_align if unit_pitch_aligned else 128,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = blocks * frame_count / mix_rate / secs
@@ -230,9 +235,12 @@ def main():
     # Default reference config: doppler_tracking=DISABLED (pitch 1), so the
     # aligned unit-pitch fast path applies; motion still drives pan,
     # attenuation, and the distance filter every block.
+    # scan_unroll=2 on the wide-row path: overlaps block k's mix kernel
+    # with block k+1's gather (0.545 → 0.518 ms/block same-session;
+    # narrow-row unroll was a wash — the wide gather leaves slack)
     headline = bench_mix(
         4096, SpeakerMode.SURROUND_71, 48000.0, 512,
-        doppler=False, unit_pitch_aligned=True,
+        doppler=False, unit_pitch_aligned=True, scan_unroll=2,
         label="north_star_4096src_7.1_48k",
     )
     results.append(headline)
@@ -241,7 +249,7 @@ def main():
     results.append(
         bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512,
                   doppler=False, unit_pitch_aligned=True, physics_every=2,
-                  label="north_star_4096src_physics47Hz")
+                  scan_unroll=2, label="north_star_4096src_physics47Hz")
     )
     # doppler variant of the north star (general resample path)
     results.append(
@@ -263,7 +271,7 @@ def main():
     # vmapped Stage-A prepass memory at ~0.6 GB
     results.append(
         bench_mix(16384, SpeakerMode.SURROUND_71, 48000.0, 512,
-                  doppler=False, unit_pitch_aligned=True,
+                  doppler=False, unit_pitch_aligned=True, scan_unroll=2,
                   label="scale_16384src_7.1_48k",
                   blocks=16 if QUICK else 192)
     )

@@ -64,6 +64,7 @@ def engine_step(
     max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    unit_row_width: int = 128,
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
@@ -115,6 +116,7 @@ def engine_step(
         max_pitch=max_pitch,
         unit_pitch_aligned=unit_pitch_aligned,
         resample_gather=resample_gather,
+        unit_row_width=unit_row_width,
     )
     empty = tuple(() for _ in sends)
     master, _ = bus_graph_reduce(
@@ -141,6 +143,7 @@ def engine_step(
         "physics_every",
         "resample_gather",
         "scan_unroll",
+        "unit_row_width",
     ),
 )
 def render_trajectory(
@@ -168,6 +171,7 @@ def render_trajectory(
     physics_every: int = 1,
     resample_gather: str = "xla",
     scan_unroll: int = 1,
+    unit_row_width: int = 128,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -262,6 +266,7 @@ def render_trajectory(
                 biquad_method=biquad_method, chain=chain,
                 max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
                 resample_gather=resample_gather,
+                unit_row_width=unit_row_width,
             )
             empty = tuple(() for _ in sends)
             master, _ = bus_graph_reduce(

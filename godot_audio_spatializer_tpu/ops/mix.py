@@ -79,8 +79,12 @@ class MixState:
 
 
 def make_mix_state(
-    n: int, num_buses: int, filter_channels: int = 1, chain_effects=()
+    n: int, num_buses: int, filter_channels: int = 1, chain_effects=(),
+    sample_dtype=jnp.float32,
 ) -> MixState:
+    """`sample_dtype=jnp.int16` opts the lookahead carry into the 16-bit
+    PCM intermediate path (requires an int16 bank + the fused mode-A
+    pipeline; see mix_block)."""
     from .effect_chain import chains_init_state
 
     return MixState(
@@ -89,7 +93,7 @@ def make_mix_state(
         cursor_frac=jnp.zeros(n, jnp.int32),
         active=jnp.zeros(n, bool),
         has_frames=jnp.zeros(n, bool),
-        lookahead=jnp.zeros((n, LOOKAHEAD_BUFFER_SIZE, 2), jnp.float32),
+        lookahead=jnp.zeros((n, LOOKAHEAD_BUFFER_SIZE, 2), sample_dtype),
         prev_mix_volumes=jnp.zeros((n, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
         filter_coeffs=jnp.zeros((n, 5), jnp.float32),
         filter_state=jnp.zeros((n, filter_channels, 2, 4), jnp.float32),
@@ -155,6 +159,7 @@ def mix_block(
     max_pitch: float = 8.0,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    unit_row_width: int = 128,
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
 
@@ -174,12 +179,30 @@ def mix_block(
     active0 = state.active & ~params.paused
     has0 = state.has_frames
 
+    # 16-bit PCM intermediate path: int16 bank rows flow straight into the
+    # fused kernel (which dequants in-register) — halves the gather write +
+    # kernel read traffic.  Opted in by building MixState with
+    # sample_dtype=int16; only the fused mode-A pipeline supports it.
+    x16 = state.lookahead.dtype == jnp.int16
+    if x16:
+        assert bank.data.dtype == jnp.int16, "int16 path needs an int16 bank"
+        assert (
+            biquad_method == "pallas"
+            and not mix_channel_enabled
+            and not chain
+            and not mc_chain
+            and params.voice_gain is None
+            and unit_pitch_aligned
+            and os.environ.get("GAS_FUSED_BUS") != "1"
+        ), "int16 PCM intermediates require the fused mode-A unit-pitch path"
+
     # ---- 1. resample gather (L0 AudioStreamPlayback::mix) ----
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
         max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
         gather_method=resample_gather, loop_begin=bank.loop_begin,
+        dequant=not x16, row_width=unit_row_width,
     )
     if params.voice_gain is not None:
         frames = frames * params.voice_gain[:, None, None]
@@ -381,24 +404,15 @@ def mix_block(
             state.filter_state.at[:, 0].set(nstA),
         )
         new_coeffs = jnp.where(mode_b[:, None], ncB[:, 0, 0], ncA[:, 0])
-        sigA_m = jnp.where((active0 & ~mode_b)[:, None, None], sigA, 0.0)
-        sigB_m = jnp.where((active0 & mode_b)[:, None, None, None], sigB, 0.0)
-        if C < MAX_CHANNELS_PER_BUS:
-            # unused channel pairs carry no proxies — zero contributions
-            sigB_m = jnp.pad(
-                sigB_m, ((0, 0), (0, MAX_CHANNELS_PER_BUS - C), (0, 0), (0, 0))
-            )
+        sigA_m = sigA  # mode/active masks fold into the bus weights below
+        sigB_m = sigB
     else:
         new_mc_state = state.mc_state
         peak = peakA
         new_prev = state.prev_mix_volumes.at[:, 0].set(prevA_new)
         new_fstate = state.filter_state.at[:, 0].set(nstA)
         new_coeffs = ncA[:, 0]
-        sigA_m = (
-            jnp.where(active0[:, None, None], sigA, 0.0)
-            if sigA is not None
-            else None
-        )
+        sigA_m = sigA  # inactive lanes are masked via the bus weights
         sigB_m = None
 
     # freeze state on inactive lanes
@@ -419,17 +433,37 @@ def mix_block(
     if bus_fused is not None:
         bus = bus_fused  # already contracted in-kernel
     else:
-        v0 = state.srv_prev
-        v1 = state.srv_target
+        # per-source active/mode masks are folded into the (tiny) bus
+        # weight lanes — masking the [N,F,2] signal itself would cost a
+        # full extra HBM pass that XLA cannot fuse into the dot.  The fold
+        # is bit-exact: the masks are 0/1.
+        if mix_channel_enabled:
+            maskA = active0 & ~params.mix_channel_mode
+            maskB = active0 & params.mix_channel_mode
+        else:
+            maskA = active0
+        mA = maskA.astype(jnp.float32)[:, None, None, None]
+        v0 = state.srv_prev * mA
+        v1 = state.srv_target * mA
         busA0 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v0, preferred_element_type=jnp.float32)
         busA1 = jnp.einsum("nfe,nbce->bcfe", sigA_m, v1, preferred_element_type=jnp.float32)
         one_t = (1.0 - t)[None, None, :, None]
         t_e = t[None, None, :, None]
         bus = busA0 * one_t + busA1 * t_e
         if mix_channel_enabled:
-            busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0, preferred_element_type=jnp.float32)
-            busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1, preferred_element_type=jnp.float32)
-            bus = bus + busB0 * one_t + busB1 * t_e
+            mB = maskB.astype(jnp.float32)[:, None, None, None]
+            v0b = (state.srv_prev * mB)[:, :, :C]
+            v1b = (state.srv_target * mB)[:, :, :C]
+            busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0b, preferred_element_type=jnp.float32)
+            busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1b, preferred_element_type=jnp.float32)
+            busB = busB0 * one_t + busB1 * t_e  # [B, C, F, 2]
+            if C < MAX_CHANNELS_PER_BUS:
+                # unused channel pairs carry no proxies — zero contributions
+                busB = jnp.pad(
+                    busB,
+                    ((0, 0), (0, MAX_CHANNELS_PER_BUS - C), (0, 0), (0, 0)),
+                )
+            bus = bus + busB
 
     new_state = MixState(
         cursor_idx=new_cursor_idx,

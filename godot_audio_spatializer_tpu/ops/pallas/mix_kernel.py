@@ -34,6 +34,10 @@ from .biquad_kernel import _from_tiles, _to_tiles
 
 LA = LOOKAHEAD_BUFFER_SIZE
 ROWLANES = 128
+# int16 PCM intermediate dequant scale (ops/resample.py INT16_SCALE): the
+# scale folds into the per-lane signal mask, so the only per-step cost of
+# the 16-bit input path is the int16->f32 convert
+_I16_SCALE = 1.0 / 32767.0
 
 
 def _mix_loop_and_state(
@@ -43,7 +47,11 @@ def _mix_loop_and_state(
     """The delay-line + end-fade + coefficient-ramped biquad loop shared by
     the y-output and bus-fused kernels; `store(f, yo)` receives each output
     frame.  `fade=False` is the all-full fast body (the SMEM flag
-    guarantees every active lane mixed F frames, so factor ≡ zmask)."""
+    guarantees every active lane mixed F frames, so factor ≡ zmask).
+
+    x/lookahead refs may be int16 (the 16-bit PCM intermediate path): the
+    dequant scale folds into the signal mask, the only added work is the
+    int16→f32 convert on the read."""
     b0 = c0_ref[0, 0]
     b1 = c0_ref[0, 1]
     b2 = c0_ref[0, 2]
@@ -56,7 +64,9 @@ def _mix_loop_and_state(
     i4 = inc_ref[0, 4]
     la_f = jnp.float32(LA)
     apply_b = apply_m > 0.0
-    zm_over_la = zmask * (1.0 / la_f)
+    scale = _I16_SCALE if x_ref.dtype == jnp.int16 else 1.0
+    zms = zmask * scale  # signal mask with the dequant scale folded in
+    zm_over_la = zms * (1.0 / la_f)
 
     def make_step(read):
         def step(f, carry):
@@ -68,12 +78,12 @@ def _mix_loop_and_state(
                 fadec = jnp.where(in_fade, fadec * FADEOUT_BASE, fadec)
                 factor = jnp.where(
                     k < 0.0,
-                    zmask,
+                    zms,
                     jnp.where(in_fade, fadec * (la_f - k) * zm_over_la, 0.0),
                 )
-                xt = read(f) * factor
+                xt = read(f).astype(jnp.float32) * factor
             else:
-                xt = read(f) * zmask
+                xt = read(f).astype(jnp.float32) * zms
 
             # coefficients evaluated affinely (c0 + (f+1)·incr): f32
             # accumulation drifts ~F ulps/block — audible near-pole filters
@@ -160,8 +170,9 @@ def _mix_a_kernel(
         run(True)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_count",))
-def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
+@functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
+def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int,
+                 interpret: bool = False):
     T = x.shape[0]
     F = frame_count
     spec = lambda k: pl.BlockSpec(
@@ -171,12 +182,13 @@ def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int):
     return pl.pallas_call(
         _mix_a_kernel,
         grid=(T,),
+        interpret=interpret,
         in_specs=[ffspec, spec(F), spec(LA), spec(5), spec(5), spec(4),
                   spec(1), spec(1), spec(1)],
         out_specs=[spec(F), spec(LA), spec(4), spec(5), spec(1)],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
-            jax.ShapeDtypeStruct(la.shape, jnp.float32),
+            jax.ShapeDtypeStruct(la.shape, la.dtype),
             jax.ShapeDtypeStruct(st.shape, jnp.float32),
             jax.ShapeDtypeStruct(c0.shape, jnp.float32),
             jax.ShapeDtypeStruct(mixed.shape, jnp.float32),
@@ -196,8 +208,9 @@ def _full_flags(mixed, signal_mask, frame_count, T):
 
 
 def fused_mode_a(
-    frames,  # [N, F, 2] resampled frames (pre-fade)
-    lookahead,  # [N, LA, 2]
+    frames,  # [N, F, 2] resampled frames (pre-fade; f32, or int16 PCM
+             # intermediates — the kernel dequants in-register)
+    lookahead,  # [N, LA, 2] (same dtype as frames)
     coeffs,  # [N, 5]
     target,  # [N, 5]
     state,  # [N, 2, 4] channel-0 filter histories (post just-started clear)
@@ -248,7 +261,8 @@ def fused_mode_a(
     ff = _full_flags(mix_lanes, sm_l, F, xt.shape[0])
 
     y, lao, sto, co, pk = _mix_a_tiles(
-        ff, xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F
+        ff, xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F,
+        interpret=jax.default_backend() == "cpu",
     )
 
     def unl(arr, k):  # [T,k,8,128] → [N,2,k]

@@ -58,12 +58,19 @@ def build_bank(
     frame_count: int,
     max_pitch: float,
     dtype=np.float32,
+    align: int = ROW,
 ) -> Tuple[np.ndarray, List[int]]:
     """Pack (data [S,2], loop) clips into a flat bank with aligned bases and
     margins.  Returns (bank [T,2] float32 or int16, base offsets).
 
     dtype=np.int16 stores quantized samples (×32767) — halves the row-gather
-    traffic on the hot paths; the read paths dequantize on device."""
+    traffic on the hot paths; the read paths dequantize on device.
+
+    `align` (multiple of 128) widens base alignment for the wide-row
+    unit-pitch gather (resample_block row_width): the bench device's row
+    gather is row-COUNT-bound, so reading one [frame_count, 2] row per
+    block instead of frame_count/128 rows cuts the gather ~40%."""
+    assert align % ROW == 0
     margin = margin_samples(frame_count, max_pitch)
     chunks = []
     bases = []
@@ -82,13 +89,13 @@ def build_bank(
         else:
             tail = np.tile(data[-1:], (margin, 1)) if s else np.zeros((margin, 2), np.float32)
         body = np.concatenate([data, tail], axis=0)
-        pad = (-body.shape[0]) % ROW
+        pad = (-body.shape[0]) % align
         if pad:
             body = np.concatenate([body, np.tile(body[-1:], (pad, 1))], axis=0)
         bases.append(pos)
         chunks.append(body)
         pos += body.shape[0]
-    bank = np.concatenate(chunks, axis=0) if chunks else np.zeros((ROW, 2), np.float32)
+    bank = np.concatenate(chunks, axis=0) if chunks else np.zeros((align, 2), np.float32)
     if np.dtype(dtype) == np.int16:
         bank = np.clip(np.round(bank * 32767.0), -32768, 32767).astype(np.int16)
     return bank, bases
@@ -142,6 +149,16 @@ def resample_block(
     unit_pitch_aligned: bool = False,
     gather_method: str = "xla",
     loop_begin=None,  # [N] i32 loop-region start (None = 0)
+    dequant: bool = True,  # False: int16 banks return int16 frames (the
+    # 16-bit PCM intermediate path — the fused mix kernel dequants
+    # in-register, halving the gather+kernel-input HBM traffic)
+    row_width: int = ROW,  # unit-pitch gather row width (multiple of 128
+    # dividing frame_count).  Wider rows issue fewer gather descriptors —
+    # the bench device's row gather is row-count-bound, so row_width ==
+    # frame_count reads ONE row per source per block (~40% cheaper).
+    # Requires (base + cursor) % row_width == 0 at every block: bank built
+    # with build_bank(align=row_width), aligned start cursors, and looping
+    # clip lengths that are multiples of row_width.
 ):
     """Read one block of F frames per source at fractional rate.
 
@@ -166,14 +183,20 @@ def resample_block(
     num_rows = bank_rows.shape[0]
 
     if unit_pitch_aligned:
-        nr = F // ROW
-        row0 = (base + cursor_idx) >> 7
+        W = row_width
+        assert W % ROW == 0 and F % W == 0, "row_width: 128-multiple dividing F"
+        wide = bank.reshape(-1, W, 2)
+        nwide = wide.shape[0]
+        nr = F // W
+        row0 = (base + cursor_idx) // W
         rows = row0[:, None] + jnp.arange(nr, dtype=jnp.int32)[None, :]
-        win = _dequant(jnp.take(bank_rows, jnp.clip(rows, 0, num_rows - 1), axis=0))
+        win = jnp.take(wide, jnp.clip(rows, 0, nwide - 1), axis=0)
+        if dequant:
+            win = _dequant(win)
         frames = win.reshape(N, F, 2)
         idx = cursor_idx[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
         valid = loop[:, None] | (idx <= length_e[:, None] - 1)
-        frames = jnp.where(valid[..., None], frames, 0.0)
+        frames = jnp.where(valid[..., None], frames, jnp.zeros((), frames.dtype))
         mixed = valid.sum(axis=1).astype(jnp.int32)
         new_idx, _ = _advance(
             cursor_idx, cursor_frac * 0, jnp.full_like(cursor_idx, FP_LEN),

@@ -27,16 +27,23 @@ def build_bench_scene(
     chain_effects=(),
     use_chain: bool = False,
     bank_dtype=np.float32,
+    row_align: int = 128,
+    int16_state: bool = False,
 ):
-    """→ (mix_state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank)."""
+    """→ (mix_state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank).
+
+    `row_align=frame_count` builds the bank/cursors/clip lengths aligned for
+    the wide-row unit-pitch gather (resample_block row_width=frame_count —
+    one gather row per source per block).  `int16_state=True` (with
+    bank_dtype=np.int16) opts into the 16-bit PCM intermediate path."""
     rng = np.random.default_rng(seed)
     n = n_sources
 
     # looping clips in one flat bank (aligned bases + loop margins; clip
-    # length a multiple of 128 so the aligned unit-pitch fast path holds)
+    # length a multiple of row_align so the aligned unit-pitch path holds)
     from ..ops.resample import ROW, build_bank
 
-    clip_len = int(clip_seconds * mix_rate) // ROW * ROW
+    clip_len = int(clip_seconds * mix_rate) // row_align * row_align
     clips = [
         ((rng.standard_normal((clip_len, 2)) * 0.1).astype(np.float32), True)
         for _ in range(num_clips)
@@ -45,10 +52,10 @@ def build_bench_scene(
     # row-gather bytes.  Round-3 same-session A/B at the e2e operating
     # point: north star 0.682 → 0.673, doppler 1.216 → 1.249 ms/block — a
     # WASH for speed (dequant fuses into the consumers; the gather is
-    # already at its roofline), so the bench keeps f32 and int16 remains a
-    # memory-bound-scene option.
+    # row-count-bound), so the bench keeps f32 for the f32-intermediate
+    # configs; int16 pays off only end-to-end (int16_state=True).
     bank_data, bases = build_bank(clips, frame_count, max_pitch=2.0,
-                                  dtype=bank_dtype)
+                                  dtype=bank_dtype, align=row_align)
     base = np.asarray(bases, np.int32)[np.arange(n) % num_clips]
     bank = SampleBank(
         data=jnp.asarray(bank_data),
@@ -57,8 +64,13 @@ def build_bench_scene(
         loop=jnp.ones(n, bool),
     )
 
-    state = make_mix_state(n, num_buses=1, filter_channels=1, chain_effects=chain_effects)
-    aligned_cursors = (rng.integers(0, clip_len // ROW, n) * ROW).astype(np.int32)
+    state = make_mix_state(
+        n, num_buses=1, filter_channels=1, chain_effects=chain_effects,
+        sample_dtype=jnp.int16 if int16_state else jnp.float32,
+    )
+    aligned_cursors = (
+        rng.integers(0, clip_len // row_align, n) * row_align
+    ).astype(np.int32)
     state = state.replace(
         active=jnp.ones(n, bool),
         has_frames=jnp.ones(n, bool),
