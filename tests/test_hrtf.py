@@ -216,6 +216,44 @@ def test_freq_domain_sum_matches_per_source_path():
     np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)
 
 
+def test_time_domain_conv_matches_fft_path():
+    """The time-domain MXU-contraction path (db_h = [D,2,taps] HRIRs) is
+    numerically equivalent to the frequency-domain source sum, crossfades,
+    active masking and carried tail included, across sequential blocks."""
+    import numpy as np
+    import jax.numpy as jnp
+    from godot_audio_spatializer_tpu.ops.hrtf import (
+        HrtfState, render_hrtf_block,
+    )
+    from godot_audio_spatializer_tpu.models.hrtf import HrtfDatabase
+
+    rng = np.random.default_rng(5)
+    N, F, taps = 24, 256, 32
+    db = HrtfDatabase.synthetic_kemar(48000.0, taps=taps, n_az=12, n_el=5)
+    db_fft = db.spectra(F)
+    db_time = db.impulse()
+    st_a = st_b = HrtfState(
+        tail=jnp.asarray(rng.standard_normal((N, taps - 1)).astype(np.float32)),
+        hrir_idx=jnp.asarray(rng.integers(0, 50, N).astype(np.int32)),
+        prev_gain=jnp.asarray(
+            np.where(rng.random(N) < 0.2, 0.0, rng.random(N)).astype(np.float32)
+        ),
+    )
+    gain = jnp.asarray(rng.random(N).astype(np.float32))
+    active = jnp.asarray(rng.random(N) < 0.9)
+    for _ in range(3):  # sequential blocks exercise the carried tail
+        x = jnp.asarray(rng.standard_normal((N, F)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 50, N).astype(np.int32))
+        out_a, st_a, _ = render_hrtf_block(
+            x, st_a, idx, gain, db_fft, F, taps, active=active)
+        out_b, st_b, _ = render_hrtf_block(
+            x, st_b, idx, gain, db_time, F, taps, active=active)
+        np.testing.assert_allclose(
+            np.asarray(out_a), np.asarray(out_b), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(st_a.tail), np.asarray(st_b.tail), atol=0)
+
+
 def test_sofa_loader_roundtrip(tmp_path):
     """Measured-set loader: write a SOFA (HDF5) fixture holding a known
     HRIR grid in the SOFA position convention (az° CCW, 90° = left), load
