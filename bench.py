@@ -218,6 +218,9 @@ def bench_ambisonic(n, mix_rate, frame_count, taps=128):
     db = HrtfDatabase.synthetic_kemar(mix_rate, taps=taps)
     dec = AmbisonicDecoder(db, order=3, n_virtual=32)
     st = make_ambisonic_state(n, 3, taps)
+    # FFT overlap-save decode: K=16 SH channels is too small a contraction
+    # for conv_sum_mxu to win (probe_amb_decode: fft 0.054 vs conv 0.081
+    # ms/block marginal — op count, not FLOPs, decides at this size).
     fft = dec.spectra(frame_count)
     secs = _time(
         lambda: render_ambisonic_trajectory(

@@ -45,6 +45,14 @@ class AmbisonicDecoder:
         hrirs = db.hrirs[idx]  # [V,2,taps]
         self.sh_filters = design_binaural_decoder(hrirs, dirs, order)  # [K,2,taps]
         self._fft_cache = {}
+        self._td = None
+
+    def filters(self):
+        """Time-domain SH filters [K, 2, taps] — the MXU conv decode path
+        (default; see ambisonic_mix_block)."""
+        if self._td is None:
+            self._td = jnp.asarray(self.sh_filters)
+        return self._td
 
     def spectra(self, frame_count: int):
         """float32 real/imag packed [K, 2, M/2+1, 2] (see HrtfDatabase.spectra)."""
@@ -123,7 +131,7 @@ def ambisonic_mix_block(
     gain,  # [N] f32
     pitch,  # [N] f32
     bank: SampleBank,
-    decoder_fft,
+    decoder_fft,  # [K,2,taps] time-domain (conv path) or [K,2,M/2+1(,2)] spectra
     *,
     taps: int,
     frame_count: int,
@@ -148,14 +156,27 @@ def ambisonic_mix_block(
 
     sh = ambisonic_encode_mix(mono, weights)  # [K,F]
 
-    # SH-domain binaural decode (overlap-save over K channels)
-    from ..ops.hrtf import as_complex
+    # SH-domain binaural decode.  Two equivalent paths, selected by the
+    # decoder operand's form (same discipline as render_hrtf_block):
+    #  * time-domain [K, 2, taps] filters -> ONE MXU contraction over the
+    #    K SH channels + shear-reshape diagonal sum (conv_sum_mxu) — no
+    #    FFTs, no complex intermediates;
+    #  * spectra [K, 2, M/2+1(, 2)] -> overlap-save over K channels.
+    from ..ops.hrtf import as_complex, conv_sum_mxu
 
-    M = fft_size_for(F, taps)
-    seg = jnp.concatenate([state.sh_tail, sh], axis=1)
-    X = jnp.fft.rfft(seg, n=M, axis=1)  # [K, M/2+1]
-    Y = (X[:, None, :] * as_complex(decoder_fft)).sum(axis=0)  # [2, M/2+1]
-    y = jnp.fft.irfft(Y, n=M, axis=1)[:, taps - 1 : taps - 1 + F]  # [2,F]
+    seg = jnp.concatenate([state.sh_tail, sh], axis=1)  # [K, T-1+F]
+    time_domain = (
+        not jnp.iscomplexobj(decoder_fft)
+        and decoder_fft.ndim == 3
+        and decoder_fft.shape[-1] == taps
+    )
+    if time_domain:
+        y = conv_sum_mxu(seg, decoder_fft, F, taps)  # [2, F]
+    else:
+        M = fft_size_for(F, taps)
+        X = jnp.fft.rfft(seg, n=M, axis=1)  # [K, M/2+1]
+        Y = (X[:, None, :] * as_complex(decoder_fft)).sum(axis=0)  # [2, M/2+1]
+        y = jnp.fft.irfft(Y, n=M, axis=1)[:, taps - 1 : taps - 1 + F]  # [2,F]
 
     new_state = AmbisonicState(
         cursor_idx=jnp.where(state.active, nidx, state.cursor_idx),

@@ -64,6 +64,33 @@ def direction_to_azel(local_pos):
     return az, el
 
 
+def conv_sum_mxu(seg, rhs_taps, frame_count: int, taps: int,
+                 precision=None):
+    """Summed multi-tap convolution as ONE MXU contraction + shear.
+
+    y[g, f] = Σ_n Σ_k seg[n, f+T−1−k] · rhs_taps[n, g, k]
+    for f in [0, frame_count);  seg [N, F+T−1], rhs_taps [N, G, T].
+
+    The contraction over n is a single dot_general (tap axis reversed
+    into the rhs columns); the tap shifts are then realized by a
+    shear-reshape: flat index k'·Fp + (f+k') = k'·(Fp+1) + f, so padding
+    each [T, Fp] row view by one column turns them into a plain column
+    sum.  HIGHEST precision by default — the sum over N needs f32
+    accuracy and the dot is small, so the multi-pass expansion is free
+    relative to the traffic it saves (PERF.md round 4)."""
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    n, fp = seg.shape
+    g_cols = rhs_taps.shape[1]
+    rhs = rhs_taps[..., ::-1].reshape(n, g_cols * taps)
+    c = jax.lax.dot_general(
+        seg, rhs, (((0,), (0,)), ((), ())), precision=precision,
+    )  # [fp, G·T]
+    a = c.reshape(fp, g_cols, taps).transpose(1, 2, 0)
+    flat = jnp.pad(a.reshape(g_cols, taps * fp), ((0, 0), (0, taps)))
+    return flat.reshape(g_cols, taps, fp + 1).sum(axis=1)[:, :frame_count]
+
+
 def overlap_save_convolve(
     x,  # [N, F] mono block
     tail,  # [N, T-1] carried input history
@@ -144,21 +171,7 @@ def render_hrtf_block(
         rhs = jnp.concatenate([hcur, dh], axis=1)  # [N, 4, T]
         if active is not None:
             rhs = jnp.where(active[:, None, None], rhs, 0.0)
-        rhs = rhs[..., ::-1].reshape(N, 4 * taps)  # reversed taps
-        fp = F + taps - 1
-        # y[f] = Σ_k' C[f+k', (c,k')]: MXU contraction over sources.
-        # HIGHEST precision — the sum over N sources needs f32 (single-
-        # pass bf16 is ~−54 dB); the dot is tiny (≤1 GFLOP) so the
-        # multi-pass expansion costs ~nothing against the saved traffic.
-        C = jax.lax.dot_general(
-            seg, rhs, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [fp, 4T]
-        A = C.reshape(fp, 4, taps).transpose(1, 2, 0).reshape(4, taps * fp)
-        # shear: flat index k'·fp + (f+k') = k'·(fp+1) + f, so padding one
-        # column per row turns the tap shifts into a plain column sum
-        flat = jnp.pad(A, ((0, 0), (0, taps)))
-        y4 = flat.reshape(4, taps, fp + 1).sum(axis=1)[:, :F]  # [4, F]
+        y4 = conv_sum_mxu(seg, rhs, F, taps)  # [4, F]
         out = (y4[:2] + (1.0 - t)[None, :] * y4[2:]).T  # [F, 2]
         y = None
         if active is not None:

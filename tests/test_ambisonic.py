@@ -158,6 +158,32 @@ def test_single_source_approximates_direct_hrtf():
     assert 0.25 < e_got / e_ref < 4.0, "broadband energy off by more than 6 dB"
 
 
+def test_conv_decode_matches_fft_decode():
+    """Time-domain MXU decode (dec.filters()) vs FFT overlap-save
+    (dec.spectra(F)) — same pipeline, equivalence within f32 budget."""
+    rng = np.random.default_rng(43)
+    n = 8
+    bank, db, dec = _setup(n, rng)
+    params = default_source_params(n)
+    pos = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    scene = build_scene_state(pos, [ListenerDesc()], [], {"Master": 0})
+    outs = {}
+    for name, decoder in (("fft", dec.spectra(F)), ("conv", dec.filters())):
+        state = make_ambisonic_state(n, 3, TAPS)
+        blocks = []
+        for _ in range(5):
+            state, out, _ = ambisonic_engine_step(
+                state, scene, params, bank, decoder,
+                order=3, taps=TAPS, frame_count=F,
+            )
+            blocks.append(np.asarray(out))
+        outs[name] = np.concatenate(blocks, axis=0)
+    err = outs["conv"] - outs["fft"]
+    peak = np.abs(outs["fft"]).max()
+    db_err = 20 * np.log10(np.abs(err).max() / peak + 1e-30)
+    assert db_err < -100, f"conv vs fft decode mismatch {db_err:.1f} dBFS"
+
+
 def test_trajectory_scan():
     rng = np.random.default_rng(42)
     n, k = 16, 4
