@@ -119,22 +119,19 @@ def bench_streaming(n_sources):
     for _ in range(3):
         eng.step()  # compile + warm
     reps = 8 if QUICK else 20
-    t0 = time.perf_counter()
-    for k in range(reps):
-        pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
-        eng.step()
-    ms = (time.perf_counter() - t0) / reps * 1e3
-    rtf = 512 / 48000.0 / (ms * 1e-3)
 
     # Floor-subtracted MARGINAL device cost of a streaming step: the raw
-    # number is dominated by the tunnel's per-call sync floor (23-60 ms,
-    # drifts between sessions — PERF.md measurement discipline §3), which
+    # number is dominated by the tunnel's per-call sync floor (23-100 ms,
+    # DRIFTS WITHIN a session — PERF.md measurement discipline §3), which
     # does not exist on directly-attached hardware.  The floor is measured
     # IN-PROCESS as a trivial jitted dispatch returning a packed array of
-    # the same size as step()'s fetch, fetched the same way — the marginal
-    # is the device compute + transfer the step actually adds, i.e. the
-    # realtime-budget number for real deployments (must be < 10.67 ms for
-    # 512 @ 48 kHz).
+    # the same size as step()'s fetch, fetched the same way.  Floor and
+    # step calls are INTERLEAVED and both reduced by MIN — a sequential
+    # mean-based pair read 38 ms of "marginal" that was pure intra-run
+    # floor drift (probe_step_floor.py: frozen re-dispatch of the step's
+    # own computation measures floor +4 ms).  The marginal is the device
+    # compute + transfer the step actually adds, i.e. the realtime-budget
+    # number for real deployments (must be < 10.67 ms for 512 @ 48 kHz).
     pack_len = int(np.prod(eng._last_master_shape)) if hasattr(
         eng, "_last_master_shape") else 512 * 2 * eng.channel_count
     dummy = jnp.zeros(pack_len + eng.max_sources, jnp.float32)
@@ -145,10 +142,18 @@ def bench_streaming(n_sources):
 
     for _ in range(3):
         np.asarray(_trivial(dummy))  # warm
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    step_ts, floor_ts = [], []
+    for k in range(reps):
+        t0 = time.perf_counter()
         np.asarray(_trivial(dummy))
-    floor_ms = (time.perf_counter() - t0) / reps * 1e3
+        floor_ts.append(time.perf_counter() - t0)
+        pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
+        t0 = time.perf_counter()
+        eng.step()
+        step_ts.append(time.perf_counter() - t0)
+    ms = min(step_ts) * 1e3
+    rtf = 512 / 48000.0 / (ms * 1e-3)
+    floor_ms = min(floor_ts) * 1e3
     marginal = max(ms - floor_ms, 0.0)
     out = [{"config": f"streaming_step_{n_sources}src", "sources": n_sources,
             "rtf": round(rtf, 2), "block_ms": round(ms, 4),
@@ -161,11 +166,13 @@ def bench_streaming(n_sources):
     # itself pays host round trips), measured same-session 80 vs 89 ms
     for _ in range(3):
         eng.step_pipelined()  # warm + prime
-    t0 = time.perf_counter()
+    pipe_ts = []
     for k in range(reps):
         pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
+        t0 = time.perf_counter()
         eng.step_pipelined()
-    ms = (time.perf_counter() - t0) / reps * 1e3
+        pipe_ts.append(time.perf_counter() - t0)
+    ms = min(pipe_ts) * 1e3
     rtf = 512 / 48000.0 / (ms * 1e-3)
     out.append({"config": f"streaming_step_pipelined_{n_sources}src",
                 "sources": n_sources,
