@@ -45,7 +45,9 @@ def _biquad_kernel(x_ref, c0_ref, inc_ref, st_ref, y_ref, sto_ref, co_ref):
     def step(f, carry):
         x1, x2, y1, y2 = carry
         # coefficients evaluated affinely (c0 + (f+1)·incr): f32 ACCUMULATION
-        # drifts ~F ulps/block and audibly detunes near-pole filters
+        # drifts ~F ulps/block and audibly detunes near-pole filters.
+        # (Incremental adds + chunked resync measured SLOWER — the wider
+        # fori carry outweighs the saved arithmetic; probe_mixloop_v2.)
         kf = jnp.float32(1) + f.astype(jnp.float32)
         xt = x_ref[0, f]
         y = (

@@ -38,6 +38,34 @@ def test_fused_mode_a_matches_scan():
     assert err < 1e-4 * max(np.abs(outs["scan"]).max(), 1.0)
 
 
+def test_fused_bus_matches_split_on_tpu(monkeypatch):
+    """GAS_FUSED_BUS=1 (in-kernel v3 fold-dot bus contraction) vs the split
+    kernel + XLA einsum path, on real Mosaic (the CPU suite only covers
+    interpret mode, which misses layout/precision hazards in the fold
+    dots)."""
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(256, 6, 512, 48000.0, doppler=False, seed=7)
+    args = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)) if hasattr(x, "shape") else x, args
+    )
+    outs = {}
+    for fused in (False, True):
+        monkeypatch.setenv("GAS_FUSED_BUS", "1" if fused else "0")
+        kw = dict(
+            speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
+            frame_count=512, collect_master=True, biquad_method="pallas",
+            unit_pitch_aligned=True,
+        )
+        _, _, master = render_trajectory(*args, **kw)
+        outs[fused] = np.asarray(master)
+    err = np.abs(outs[False] - outs[True]).max()
+    # 3-term bf16-split dot ≈ −108 dB; budget is −80 dBFS
+    assert err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
+
+
 def test_kernel_resampler_matches_xla_on_tpu():
     """Doppler north star: Pallas resampler vs XLA gather through the full
     offline engine on real TPU."""

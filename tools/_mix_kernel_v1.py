@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...constants import FADEOUT_BASE, LOOKAHEAD_BUFFER_SIZE
-from .biquad_kernel import _from_tiles, _to_tiles
+from godot_audio_spatializer_tpu.constants import FADEOUT_BASE, LOOKAHEAD_BUFFER_SIZE
+from godot_audio_spatializer_tpu.ops.pallas.biquad_kernel import _from_tiles, _to_tiles
 
 LA = LOOKAHEAD_BUFFER_SIZE
 ROWLANES = 128
@@ -41,43 +41,29 @@ _I16_SCALE = 1.0 / 32767.0
 
 
 def _mix_loop_and_state(
-    la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+    la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
     store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
 ):
     """The delay-line + end-fade + coefficient-ramped biquad loop shared by
     the y-output and bus-fused kernels; `store(f, yo)` receives each output
-    frame.  `fade=False` is the all-full fast body.
-
-    The loop is select-free: c0_ref/inc_ref arrive PRECONDITIONED by the
-    wrapper — bypass lanes carry the identity filter [1, 0, 0, 0, 0] with
-    zero increments, so y ≡ xt and the old per-step `where(apply, yf, xt)`
-    select disappears.  (Folding the signal mask into the b-coefficients
-    instead of the input was tried and is WRONG: a masked-signal lane with
-    nonzero carried x-history must still emit b1·x1 + b2·x2 on the first
-    frames — masking b drops those terms.)  The wrapper restores bypass
-    lanes' stored state and coefficients outside the kernel.
-
-    Coefficients are evaluated affinely (c0 + (f+1)·incr) per step: f32
-    ACCUMULATION drifts ~F ulps/block and audibly detunes near-pole
-    filters (round-2 regression), and the round-5 incremental-with-resync
-    variant (5 adds + chunked fori) measured SLOWER than affine eval —
-    the 11-element carry and chunk boundaries cost more than the 5 saved
-    arithmetic ops (probe_mixloop_v2: 0.667 vs 0.569 ms fast-flag).
+    frame.  `fade=False` is the all-full fast body (the SMEM flag
+    guarantees every active lane mixed F frames, so factor ≡ zmask).
 
     x/lookahead refs may be int16 (the 16-bit PCM intermediate path): the
-    only added work is the int16→f32 convert on the read (the dequant
-    scale folds into the signal mask)."""
-    c00 = c0_ref[0, 0]
-    c01 = c0_ref[0, 1]
-    c02 = c0_ref[0, 2]
-    c03 = c0_ref[0, 3]
-    c04 = c0_ref[0, 4]
+    dequant scale folds into the signal mask, the only added work is the
+    int16→f32 convert on the read."""
+    b0 = c0_ref[0, 0]
+    b1 = c0_ref[0, 1]
+    b2 = c0_ref[0, 2]
+    a1 = c0_ref[0, 3]
+    a2 = c0_ref[0, 4]
     i0 = inc_ref[0, 0]
     i1 = inc_ref[0, 1]
     i2 = inc_ref[0, 2]
     i3 = inc_ref[0, 3]
     i4 = inc_ref[0, 4]
     la_f = jnp.float32(LA)
+    apply_b = apply_m > 0.0
     scale = _I16_SCALE if x_ref.dtype == jnp.int16 else 1.0
     zms = zmask * scale  # signal mask with the dequant scale folded in
     zm_over_la = zms * (1.0 / la_f)
@@ -98,44 +84,44 @@ def _mix_loop_and_state(
                 xt = read(f).astype(jnp.float32) * factor
             else:
                 xt = read(f).astype(jnp.float32) * zms
+
+            # coefficients evaluated affinely (c0 + (f+1)·incr): f32
+            # accumulation drifts ~F ulps/block — audible near-pole filters
             kf = jnp.float32(1) + f.astype(jnp.float32)
             yf = (
-                (c00 + kf * i0) * xt
-                + (c01 + kf * i1) * x1
-                + (c02 + kf * i2) * x2
-                + (c03 + kf * i3) * y1
-                + (c04 + kf * i4) * y2
+                (b0 + kf * i0) * xt
+                + (b1 + kf * i1) * x1
+                + (b2 + kf * i2) * x2
+                + (a1 + kf * i3) * y1
+                + (a2 + kf * i4) * y2
             )
-            store(f, yf)
-            peak = jnp.maximum(peak, jnp.abs(yf))
+            yo = jnp.where(apply_b, yf, xt)
+            store(f, yo)
+            peak = jnp.maximum(peak, jnp.abs(yo))
             return (xt, x1, yf, y1, fadec, peak)
 
         return step
 
-    core = (
+    init = (
         st_ref[0, 0], st_ref[0, 1], st_ref[0, 2], st_ref[0, 3],
         jnp.ones_like(mixed), jnp.zeros_like(mixed),
     )
     # phase 1: delay-line head from the lookahead tail; phase 2: stream
-    core = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), core)
-    core = jax.lax.fori_loop(
-        LA, F, make_step(lambda f: x_ref[0, f - LA]), core
-    )
-    x1, x2, y1, y2, fadec, peak = core
+    carry = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), init)
+    carry = jax.lax.fori_loop(LA, F, make_step(lambda f: x_ref[0, f - LA]), carry)
+    x1, x2, y1, y2, fadec, peak = carry
     Ff = jnp.float32(F)
 
-    # bypass lanes' stored state/coeffs are garbage here — the wrapper
-    # restores them outside the kernel (reference semantics: bypass keeps
-    # history/coefficients untouched)
-    sto_ref[0, 0] = x1
-    sto_ref[0, 1] = x2
-    sto_ref[0, 2] = y1
-    sto_ref[0, 3] = y2
-    co_ref[0, 0] = c00 + Ff * i0
-    co_ref[0, 1] = c01 + Ff * i1
-    co_ref[0, 2] = c02 + Ff * i2
-    co_ref[0, 3] = c03 + Ff * i3
-    co_ref[0, 4] = c04 + Ff * i4
+    # bypass lanes keep their history/coefficients (reference semantics)
+    sto_ref[0, 0] = jnp.where(apply_b, x1, st_ref[0, 0])
+    sto_ref[0, 1] = jnp.where(apply_b, x2, st_ref[0, 1])
+    sto_ref[0, 2] = jnp.where(apply_b, y1, st_ref[0, 2])
+    sto_ref[0, 3] = jnp.where(apply_b, y2, st_ref[0, 3])
+    co_ref[0, 0] = jnp.where(apply_b, b0 + Ff * i0, c0_ref[0, 0])
+    co_ref[0, 1] = jnp.where(apply_b, b1 + Ff * i1, c0_ref[0, 1])
+    co_ref[0, 2] = jnp.where(apply_b, b2 + Ff * i2, c0_ref[0, 2])
+    co_ref[0, 3] = jnp.where(apply_b, a1 + Ff * i3, c0_ref[0, 3])
+    co_ref[0, 4] = jnp.where(apply_b, a2 + Ff * i4, c0_ref[0, 4])
     pk_ref[0, 0] = peak
 
     # lookahead tail update: full-mix lanes take the last LA resampled frames
@@ -152,6 +138,7 @@ def _mix_a_kernel(
     st_ref,     # [1, 4, 8, 128]
     mixed_ref,  # [1, 1, 8, 128] f32 — frames mixed this block
     zm_ref,     # [1, 1, 8, 128] f32 — signal mask (active & has_frames)
+    ap_ref,     # [1, 1, 8, 128] f32 — filter-apply mask (gain ≥ eps)
     y_ref,      # out [1, F, 8, 128]
     lao_ref,    # out [1, LA, 8, 128]
     sto_ref,    # out [1, 4, 8, 128]
@@ -161,13 +148,14 @@ def _mix_a_kernel(
     F = x_ref.shape[1]
     mixed = mixed_ref[0, 0]
     zmask = zm_ref[0, 0]
+    apply_m = ap_ref[0, 0]
 
     def run(fade):
         def store(f, yo):
             y_ref[0, f] = yo
 
         _mix_loop_and_state(
-            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
             store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
         )
 
@@ -183,7 +171,7 @@ def _mix_a_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
-def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, *, frame_count: int,
+def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, *, frame_count: int,
                  interpret: bool = False):
     T = x.shape[0]
     F = frame_count
@@ -196,7 +184,7 @@ def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, *, frame_count: int,
         grid=(T,),
         interpret=interpret,
         in_specs=[ffspec, spec(F), spec(LA), spec(5), spec(5), spec(4),
-                  spec(1), spec(1)],
+                  spec(1), spec(1), spec(1)],
         out_specs=[spec(F), spec(LA), spec(4), spec(5), spec(1)],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, jnp.float32),
@@ -205,29 +193,7 @@ def _mix_a_tiles(ff, x, la, c0, inc, st, mixed, zm, *, frame_count: int,
             jax.ShapeDtypeStruct(c0.shape, jnp.float32),
             jax.ShapeDtypeStruct(mixed.shape, jnp.float32),
         ],
-    )(ff, x, la, c0, inc, st, mixed, zm)
-
-
-def _precondition_coeffs(coeffs, target, apply_mask, signal_mask, F):
-    """Fold the bypass select into the coefficient lanes (see
-    _mix_loop_and_state): bypass lanes become the identity filter with
-    zero increments, so y ≡ xt without a per-step select.
-    Returns (c0_eff [N,5], inc_eff [N,5])."""
-    del signal_mask  # masked at the input inside the loop, not here
-    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
-    c0_eff = jnp.where(apply_mask[:, None], coeffs, ident[None])
-    inc_eff = jnp.where(apply_mask[:, None], (target - coeffs) / F, 0.0)
-    return c0_eff, inc_eff
-
-
-def _restore_bypass(sto, co, state, coeffs, target, apply_mask, signal_mask, F):
-    """Bypass lanes (apply=0) keep their stored history and coefficients
-    untouched (reference semantics — the old kernel selected this
-    in-kernel; doing it on the tiny [N,·] lanes outside is cheaper)."""
-    del target, signal_mask, F
-    new_state = jnp.where(apply_mask[:, None, None], sto, state)
-    new_coeffs = jnp.where(apply_mask[:, None], co, coeffs)
-    return new_state, new_coeffs
+    )(ff, x, la, c0, inc, st, mixed, zm, ap)
 
 
 def _full_flags(mixed, signal_mask, frame_count, T):
@@ -264,11 +230,9 @@ def fused_mode_a(
 
     x_l = lanes(jnp.moveaxis(frames, 2, 1))  # [L, F]
     la_l = lanes(jnp.moveaxis(lookahead, 2, 1))  # [L, LA]
-    c0_eff, inc_eff = _precondition_coeffs(
-        coeffs, target, apply_mask, signal_mask, F
-    )
-    c0_l = lanes(jnp.broadcast_to(c0_eff[:, None, :], (N, 2, 5)))
-    inc_l = lanes(jnp.broadcast_to(inc_eff[:, None, :], (N, 2, 5)))
+    c0_l = lanes(jnp.broadcast_to(coeffs[:, None, :], (N, 2, 5)))
+    incr = jnp.where(apply_mask[:, None], (target - coeffs) / F, 0.0)
+    inc_l = lanes(jnp.broadcast_to(incr[:, None, :], (N, 2, 5)))
     st_l = state.reshape(L, 4)
     mixed_l = lanes(
         jnp.broadcast_to(mixed.astype(jnp.float32)[:, None, None], (N, 2, 1))
@@ -278,6 +242,9 @@ def fused_mode_a(
             signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1)
         )
     )
+    ap_l = lanes(
+        jnp.broadcast_to(apply_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
+    )
 
     xt = _to_tiles(x_l, F)
     lat = _to_tiles(la_l, LA)
@@ -286,6 +253,7 @@ def fused_mode_a(
     stt = _to_tiles(st_l, 4)
     mt = _to_tiles(mixed_l, 1)
     zt = _to_tiles(zm_l, 1)
+    at = _to_tiles(ap_l, 1)
     sm_l = lanes(jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)))[:, 0]
     mix_lanes = lanes(
         jnp.broadcast_to(mixed[:, None, None], (N, 2, 1))
@@ -293,7 +261,7 @@ def fused_mode_a(
     ff = _full_flags(mix_lanes, sm_l, F, xt.shape[0])
 
     y, lao, sto, co, pk = _mix_a_tiles(
-        ff, xt, lat, c0t, inct, stt, mt, zt, frame_count=F,
+        ff, xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F,
         interpret=jax.default_backend() == "cpu",
     )
 
@@ -302,10 +270,8 @@ def fused_mode_a(
 
     sig = jnp.moveaxis(unl(y, F), 1, 2)  # [N, F, 2]
     new_la = jnp.moveaxis(unl(lao, LA), 1, 2)
-    new_state, new_coeffs = _restore_bypass(
-        unl(sto, 4), unl(co, 5)[:, 0], state, coeffs, target,
-        apply_mask, signal_mask, F,
-    )
+    new_state = unl(sto, 4)
+    new_coeffs = unl(co, 5)[:, 0]
     peak = unl(pk, 1)[:, :, 0].max(axis=1)  # max over ears
     return sig, new_la, new_state, new_coeffs, peak
 
@@ -342,6 +308,7 @@ def _mix_a_bus_kernel(
     st_ref,     # [1, 4, 8, 128]
     mixed_ref,  # [1, 1, 8, 128]
     zm_ref,     # [1, 1, 8, 128]
+    ap_ref,     # [1, 1, 8, 128]
     vol_ref,    # [1, 128, 8·m] — lane l, column s·m+j: sublane-s volume j
     lao_ref,    # out [1, LA, 8, 128]
     sto_ref,    # out [1, 4, 8, 128]
@@ -354,13 +321,14 @@ def _mix_a_bus_kernel(
     m = vol_ref.shape[2] // 8
     mixed = mixed_ref[0, 0]
     zmask = zm_ref[0, 0]
+    apply_m = ap_ref[0, 0]
 
     def run(fade):
         def store(f, yo):
             sig_ref[f] = yo
 
         _mix_loop_and_state(
-            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask, apply_m,
             store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
         )
 
@@ -390,21 +358,7 @@ def _mix_a_bus_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 1)
     mask = ((rows % 8) == (cols // m)).astype(jnp.float32)
-    # v3 fold (round 5): both reductions ride the MXU instead of VPU
-    # roll/adds — a one-hot column fold [8m, m] sums the 8 s'-blocks and a
-    # one-hot row fold [CH, CH·8] sums each frame's 8 sublane rows.  The
-    # folds are exact-one-hot, so HIGHEST keeps full f32.  Replaces ~2.5k
-    # vector ops per chunk with two small dots.
-    fr = (
-        jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 0) % m
-        == jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 1)
-    ).astype(jnp.float32)
-    fl = (
-        jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 1) // 8
-        == jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 0)
-    ).astype(jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    hp = jax.lax.Precision.HIGHEST
     for c in range(F // CH):
         y2 = sig_ref[c * CH : (c + 1) * CH].reshape(CH * 8, ROWLANES)
         s_hi = y2.astype(jnp.bfloat16).astype(jnp.float32)
@@ -415,17 +369,14 @@ def _mix_a_bus_kernel(
             + jax.lax.dot_general(s_lo, v_hi, dn, preferred_element_type=jnp.float32)
         )  # [CH·8, 8·m]
         dm = d * mask
-        dsum = jax.lax.dot_general(
-            dm, fr, dn, preferred_element_type=jnp.float32, precision=hp
-        )  # [CH·8, m]
-        red = jax.lax.dot_general(
-            fl, dsum, dn, preferred_element_type=jnp.float32, precision=hp
-        )  # [CH, m]
+        for sh in (4 * m, 2 * m, m):  # fold the 8 column blocks into block 0
+            dm = dm + jnp.roll(dm, -sh, axis=1)
+        red = dm[:, :m].reshape(CH, 8, m).sum(axis=1)  # fold each frame's rows
         bus_ref[c * CH : (c + 1) * CH] = bus_ref[c * CH : (c + 1) * CH] + red
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
-def _mix_a_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, vols, *,
+def _mix_a_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, ap, vols, *,
                      frame_count: int, interpret: bool):
     T = x.shape[0]
     F = frame_count
@@ -443,7 +394,7 @@ def _mix_a_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, vols, *,
         _mix_a_bus_kernel,
         grid=(T,),
         in_specs=[ffspec, spec(F), spec(LA), spec(5), spec(5), spec(4),
-                  spec(1), spec(1), vspec],
+                  spec(1), spec(1), spec(1), vspec],
         out_specs=[spec(LA), spec(4), spec(5), spec(1), busspec],
         out_shape=[
             jax.ShapeDtypeStruct(la.shape, jnp.float32),
@@ -454,7 +405,7 @@ def _mix_a_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, vols, *,
         ],
         scratch_shapes=[pltpu.VMEM((F, 8, 128), jnp.float32)],
         interpret=interpret,
-    )(ff, x, la, c0, inc, st, mixed, zm, vols)
+    )(ff, x, la, c0, inc, st, mixed, zm, ap, vols)
 
 
 def fused_mode_a_bus(
@@ -490,17 +441,18 @@ def fused_mode_a_bus(
 
     x_l = lanes(jnp.moveaxis(frames, 2, 1))
     la_l = lanes(jnp.moveaxis(lookahead, 2, 1))
-    c0_eff, inc_eff = _precondition_coeffs(
-        coeffs, target, apply_mask, signal_mask, F
-    )
-    c0_l = lanes(jnp.broadcast_to(c0_eff[:, None, :], (N, 2, 5)))
-    inc_l = lanes(jnp.broadcast_to(inc_eff[:, None, :], (N, 2, 5)))
+    c0_l = lanes(jnp.broadcast_to(coeffs[:, None, :], (N, 2, 5)))
+    incr = jnp.where(apply_mask[:, None], (target - coeffs) / F, 0.0)
+    inc_l = lanes(jnp.broadcast_to(incr[:, None, :], (N, 2, 5)))
     st_l = state.reshape(L, 4)
     mixed_l = lanes(
         jnp.broadcast_to(mixed.astype(jnp.float32)[:, None, None], (N, 2, 1))
     )
     zm_l = lanes(
         jnp.broadcast_to(signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
+    )
+    ap_l = lanes(
+        jnp.broadcast_to(apply_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
     )
 
     # volume lanes [L, m]: lane (n, e) carries srv[n, :, :, e] masked to its
@@ -523,6 +475,7 @@ def fused_mode_a_bus(
     stt = _to_tiles(st_l, 4)
     mt = _to_tiles(mixed_l, 1)
     zt = _to_tiles(zm_l, 1)
+    at = _to_tiles(ap_l, 1)
     # [T, m, 8, 128] → block-column form [T, 128, 8·m]: vols[t, l, s·m+j]
     vt = _to_tiles(vol_lanes, m).transpose(0, 3, 2, 1).reshape(-1, 128, 8 * m)
     sm_l = lanes(jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)))[:, 0]
@@ -530,7 +483,7 @@ def fused_mode_a_bus(
     ff = _full_flags(mix_lanes, sm_l, F, xt.shape[0])
 
     lao, sto, co, pk, bus = _mix_a_bus_tiles(
-        ff, xt, lat, c0t, inct, stt, mt, zt, vt,
+        ff, xt, lat, c0t, inct, stt, mt, zt, at, vt,
         frame_count=F, interpret=interpret,
     )
 
@@ -538,10 +491,8 @@ def fused_mode_a_bus(
         return _from_tiles(arr, L, k).reshape(N, 2, k)
 
     new_la = jnp.moveaxis(unl(lao, LA), 1, 2)
-    new_state, new_coeffs = _restore_bypass(
-        unl(sto, 4), unl(co, 5)[:, 0], state, coeffs, target,
-        apply_mask, signal_mask, F,
-    )
+    new_state = unl(sto, 4)
+    new_coeffs = unl(co, 5)[:, 0]
     peak = unl(pk, 1)[:, :, 0].max(axis=1)
     # bus [F, m] → (f, e_out, ramp, B, c) → two [B, 4, F, 2]
     bus_e = bus.reshape(F, 2, 2, B, 4).transpose(2, 3, 4, 0, 1)  # [r,B,4,F,e]

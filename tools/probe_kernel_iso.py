@@ -51,7 +51,7 @@ def scan_split(ff):
     def run(x0):
         def step(c, _):
             y, lao, sto, co, pk = _mix_a_tiles(
-                ff, c, la, c0, inc, st, mixed, zm, ap, frame_count=F)
+                ff, c, la, c0, inc, st, mixed, zm, frame_count=F)
             return y, pk.sum()
         _, outs = jax.lax.scan(step, x0, None, length=K)
         return outs
@@ -63,7 +63,7 @@ def scan_bus(ff):
     def run(x0):
         def step(c, _):
             lao, sto, co, pk, bus = _mix_a_bus_tiles(
-                ff, c, la, c0, inc, st, mixed, zm, ap, vols,
+                ff, c, la, c0, inc, st, mixed, zm, vols,
                 frame_count=F, interpret=False)
             # carry must evolve from the kernel output: reuse x0 scaled
             return c * 0.999 + 0.001 * bus.sum(), pk.sum() + bus.sum()

@@ -141,7 +141,7 @@ def main():
         x_l = jnp.moveaxis(f, 2, 1).reshape(L, F)
         xt = _to_tiles(x_l, F)
         y, lao, sto, co, pk = _mix_a_tiles(
-            ff, xt, lat, c0t, inct, stt, mt, zt, at, frame_count=F)
+            ff, xt, lat, c0t, inct, stt, mt, zt, frame_count=F)
         b0 = jnp.einsum("tfsl,tslbce->bcfe", y, w0,
                         preferred_element_type=jnp.float32)
         b1 = jnp.einsum("tfsl,tslbce->bcfe", y, w1,
