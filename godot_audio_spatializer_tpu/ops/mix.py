@@ -197,13 +197,34 @@ def mix_block(
         ), "int16 PCM intermediates require the fused mode-A unit-pitch path"
 
     # ---- 1. resample gather (L0 AudioStreamPlayback::mix) ----
+    # Planar fast path (round 5): the kernel resampler's raw frames-on-
+    # lanes output feeds fused_mode_a_planar directly — the ~34 MB XLA
+    # relayout between the two Pallas kernels disappears (the mix kernel
+    # transpose-interleaves in VMEM, measured free on the bench device).
+    planar = (
+        biquad_method == "pallas"
+        and resample_gather == "kernel"
+        and not unit_pitch_aligned
+        and not mix_channel_enabled
+        and not chain
+        and not mc_chain
+        and params.voice_gain is None
+        and not x16
+        and os.environ.get("GAS_FUSED_BUS") != "1"
+        and os.environ.get("GAS_NO_PLANAR") != "1"  # A/B escape hatch
+        and F % 128 == 0
+    )
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
         max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
         gather_method=resample_gather, loop_begin=bank.loop_begin,
         dequant=not x16, row_width=unit_row_width,
+        layout="planar" if planar else "interleaved",
     )
+    if planar:
+        mixed_padded = mixed  # [Np] — fused_mode_a_planar wants the pad too
+        mixed = mixed[:N]
     if params.voice_gain is not None:
         frames = frames * params.voice_gain[:, None, None]
     do_mix = active0 & has0
@@ -263,6 +284,16 @@ def mix_block(
         t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))
         bus_fused = bus0 + busD * t[None, None, :, None]
         sigA = None
+    elif planar:
+        # ---- 4a (fused, planar input): the kernel resampler's raw layout
+        # flows straight into the mix kernel (fused_mode_a_planar)
+        from .pallas.mix_kernel import fused_mode_a_planar
+
+        sigA, new_lookahead, nstA, ncA0, peakA_fused = fused_mode_a_planar(
+            frames, state.lookahead, state.filter_coeffs, target, stA,
+            mixed_padded, do_mix, apply_f, F,
+        )
+        ncA = ncA0[:, None, :]
     elif biquad_method == "pallas" and not mix_channel_enabled:
         # ---- 4a (fused): delay line + fade + mask + biquad + peak +
         # lookahead update in ONE Pallas kernel (ops/pallas/mix_kernel.py)

@@ -41,7 +41,7 @@ _I16_SCALE = 1.0 / 32767.0
 
 
 def _mix_loop_and_state(
-    la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+    la_ref, x_read, x_tail, x_dtype, c0_ref, inc_ref, st_ref, mixed, zmask,
     store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
 ):
     """The delay-line + end-fade + coefficient-ramped biquad loop shared by
@@ -66,7 +66,12 @@ def _mix_loop_and_state(
 
     x/lookahead refs may be int16 (the 16-bit PCM intermediate path): the
     only added work is the int16→f32 convert on the read (the dequant
-    scale folds into the signal mask)."""
+    scale folds into the signal mask).
+
+    The stream input is abstracted as `x_read(f)` (combined-position frame
+    f ≥ LA as an [8,128] vreg), `x_tail()` (the last LA stream frames for
+    the lookahead writeback) and `x_dtype` — callers bind these to either
+    the [1, F, 8, 128] tile input or the planar-path VMEM scratch."""
     c00 = c0_ref[0, 0]
     c01 = c0_ref[0, 1]
     c02 = c0_ref[0, 2]
@@ -78,7 +83,7 @@ def _mix_loop_and_state(
     i3 = inc_ref[0, 3]
     i4 = inc_ref[0, 4]
     la_f = jnp.float32(LA)
-    scale = _I16_SCALE if x_ref.dtype == jnp.int16 else 1.0
+    scale = _I16_SCALE if x_dtype == jnp.int16 else 1.0
     zms = zmask * scale  # signal mask with the dequant scale folded in
     zm_over_la = zms * (1.0 / la_f)
 
@@ -118,9 +123,7 @@ def _mix_loop_and_state(
     )
     # phase 1: delay-line head from the lookahead tail; phase 2: stream
     core = jax.lax.fori_loop(0, LA, make_step(lambda f: la_ref[0, f]), core)
-    core = jax.lax.fori_loop(
-        LA, F, make_step(lambda f: x_ref[0, f - LA]), core
-    )
+    core = jax.lax.fori_loop(LA, F, make_step(x_read), core)
     x1, x2, y1, y2, fadec, peak = core
     Ff = jnp.float32(F)
 
@@ -140,7 +143,7 @@ def _mix_loop_and_state(
 
     # lookahead tail update: full-mix lanes take the last LA resampled frames
     full = jnp.logical_and(mixed >= Ff, zmask > 0.0)[None]
-    lao_ref[0] = jnp.where(full, x_ref[0, F - LA : F], la_ref[0])
+    lao_ref[0] = jnp.where(full, x_tail(), la_ref[0])
 
 
 def _mix_a_kernel(
@@ -167,7 +170,8 @@ def _mix_a_kernel(
             y_ref[0, f] = yo
 
         _mix_loop_and_state(
-            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+            la_ref, lambda f: x_ref[0, f - LA], lambda: x_ref[0, F - LA : F],
+            x_ref.dtype, c0_ref, inc_ref, st_ref, mixed, zmask,
             store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
         )
 
@@ -360,7 +364,8 @@ def _mix_a_bus_kernel(
             sig_ref[f] = yo
 
         _mix_loop_and_state(
-            la_ref, x_ref, c0_ref, inc_ref, st_ref, mixed, zmask,
+            la_ref, lambda f: x_ref[0, f - LA], lambda: x_ref[0, F - LA : F],
+            x_ref.dtype, c0_ref, inc_ref, st_ref, mixed, zmask,
             store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
         )
 
@@ -546,3 +551,180 @@ def fused_mode_a_bus(
     # bus [F, m] → (f, e_out, ramp, B, c) → two [B, 4, F, 2]
     bus_e = bus.reshape(F, 2, 2, B, 4).transpose(2, 3, 4, 0, 1)  # [r,B,4,F,e]
     return bus_e[0], bus_e[1], new_la, new_state, new_coeffs, peak
+
+
+# ---------------------------------------------------------------------------
+# Planar-input variant (round 5): the doppler path's resample kernel emits
+# frames-on-lanes [2, F/128, N, 128]; re-laying that out into the mix tiles
+# [T, F, 8, 128] cost a full ~34 MB XLA pass (~0.2 ms/block at N=4096).
+# Mosaic's transpose-interleave is free at this shape
+# (tools/probe_inkernel_transpose.py: relayout kernel ≤ plain copy), so
+# this kernel accepts the planar layout directly and re-lays it out into a
+# VMEM scratch per tile.  Lane packing is PLANAR: λ = ear·Np + n (tile t =
+# 1024 consecutive λ, so each tile is one ear × 1024 sources); all per-lane
+# inputs/outputs use the same packing, handled by the wrapper.
+# Requires Np % 1024 == 0 (wrapper pads) and F % 128 == 0.
+# ---------------------------------------------------------------------------
+
+
+def _mix_a_planar_kernel(
+    ff_ref,     # SMEM [T] i32
+    x_ref,      # [1, F/128, 1024, 128] — this tile's planar frames
+    la_ref,     # [1, LA, 8, 128]
+    c0_ref,     # [1, 5, 8, 128]
+    inc_ref,    # [1, 5, 8, 128]
+    st_ref,     # [1, 4, 8, 128]
+    mixed_ref,  # [1, 1, 8, 128]
+    zm_ref,     # [1, 1, 8, 128]
+    y_ref,      # out [1, F, 8, 128]
+    lao_ref,    # out [1, LA, 8, 128]
+    sto_ref,    # out [1, 4, 8, 128]
+    co_ref,     # out [1, 5, 8, 128]
+    pk_ref,     # out [1, 1, 8, 128]
+    xs_ref,     # scratch VMEM [F, 8, 128]
+):
+    nchunks = x_ref.shape[1]
+    F = nchunks * 128
+    # relayout pre-pass: chunk rows (n_local = s·128+l, cols = fl) →
+    # frame-major tiles xs[c·128+fl, s, l]
+    for c in range(nchunks):
+        blk = x_ref[0, c]  # [1024, 128]
+        xs_ref[c * 128 : (c + 1) * 128] = blk.reshape(8, 128, 128).transpose(
+            2, 0, 1
+        )
+    mixed = mixed_ref[0, 0]
+    zmask = zm_ref[0, 0]
+
+    def run(fade):
+        def store(f, yo):
+            y_ref[0, f] = yo
+
+        _mix_loop_and_state(
+            la_ref, lambda f: xs_ref[f - LA], lambda: xs_ref[F - LA : F],
+            xs_ref.dtype, c0_ref, inc_ref, st_ref, mixed, zmask,
+            store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
+        )
+
+    fast = ff_ref[pl.program_id(0)] > 0
+
+    @pl.when(fast)
+    def _():
+        run(False)
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        run(True)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
+def _mix_a_planar_tiles(ff, x, la, c0, inc, st, mixed, zm, *,
+                        frame_count: int, interpret: bool = False):
+    """x: [2, F/128, Np, 128] planar frames (resample-kernel layout);
+    other args: planar-packed [T, k, 8, 128] tiles, T = 2·Np/1024."""
+    F = frame_count
+    nf = x.shape[1]
+    Np = x.shape[2]
+    nt = Np // 1024
+    T = 2 * nt
+    spec = lambda k: pl.BlockSpec(
+        (1, k, 8, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    ffspec = pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM)
+    xspec = pl.BlockSpec(
+        (1, nf, 1024, 128), lambda t: (t // nt, 0, t % nt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return pl.pallas_call(
+        _mix_a_planar_kernel,
+        grid=(T,),
+        interpret=interpret,
+        in_specs=[ffspec, xspec, spec(LA), spec(5), spec(5), spec(4),
+                  spec(1), spec(1)],
+        out_specs=[spec(F), spec(LA), spec(4), spec(5), spec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, F, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, LA, 8, 128), la.dtype),
+            jax.ShapeDtypeStruct((T, 4, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 5, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((F, 8, 128), jnp.float32)],
+    )(ff, x, la, c0, inc, st, mixed, zm)
+
+
+def fused_mode_a_planar(
+    frames_planar,  # [2, F/128, Np, 128] f32 (resample-kernel raw output)
+    lookahead,   # [N, LA, 2]
+    coeffs,      # [N, 5]
+    target,      # [N, 5]
+    state,       # [N, 2, 4]
+    mixed,       # [Np] i32 (resample-kernel mixed counts, padded)
+    signal_mask, # [N] bool
+    apply_mask,  # [N] bool
+    frame_count: int,
+):
+    """Planar-input fused mode-A block: same contract as fused_mode_a but
+    consumes the resample kernel's frames-on-lanes layout directly — no
+    XLA relayout pass between the two kernels.  Returns (sigA [N,F,2],
+    new_lookahead, new_state [N,2,4], new_coeffs [N,5], peak [N])."""
+    N = lookahead.shape[0]
+    F = frame_count
+    Np = frames_planar.shape[2]
+    assert Np % 1024 == 0 and F % 128 == 0
+    L = 2 * Np
+
+    def planar(arr_ne, k):  # [N, 2, k] → [L, k], λ = ear·Np + n
+        arr = jnp.moveaxis(arr_ne, 1, 0)  # [2, N, k]
+        if Np != N:
+            arr = jnp.pad(arr, ((0, 0), (0, Np - N), (0, 0)))
+        return arr.reshape(L, k)
+
+    la_l = planar(jnp.moveaxis(lookahead, 2, 1), LA)
+    c0_eff, inc_eff = _precondition_coeffs(
+        coeffs, target, apply_mask, signal_mask, F
+    )
+    c0_l = planar(jnp.broadcast_to(c0_eff[:, None, :], (N, 2, 5)), 5)
+    inc_l = planar(jnp.broadcast_to(inc_eff[:, None, :], (N, 2, 5)), 5)
+    st_l = planar(state, 4)
+    mix_f = jnp.broadcast_to(
+        mixed[:N].astype(jnp.float32)[:, None, None], (N, 2, 1)
+    )
+    mixed_l = planar(mix_f, 1)
+    zm_l = planar(
+        jnp.broadcast_to(
+            signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1)
+        ),
+        1,
+    )
+
+    lat = _to_tiles(la_l, LA)
+    c0t = _to_tiles(c0_l, 5)
+    inct = _to_tiles(inc_l, 5)
+    stt = _to_tiles(st_l, 4)
+    mt = _to_tiles(mixed_l, 1)
+    zt = _to_tiles(zm_l, 1)
+    sm_l = planar(
+        jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)), 1
+    )[:, 0]
+    mix_lanes = planar(
+        jnp.broadcast_to(mixed[:N][:, None, None], (N, 2, 1)), 1
+    )[:, 0]
+    ff = _full_flags(mix_lanes, sm_l, F, 2 * Np // 1024)
+
+    y, lao, sto, co, pk = _mix_a_planar_tiles(
+        ff, frames_planar, lat, c0t, inct, stt, mt, zt, frame_count=F,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    def unp(arr, k):  # [T, k, 8, 128] → [N, 2, k] (planar unpack)
+        flat = _from_tiles(arr, L, k).reshape(2, Np, k)[:, :N]
+        return jnp.moveaxis(flat, 0, 1)
+
+    sig = jnp.moveaxis(unp(y, F), 1, 2)  # [N, F, 2]
+    new_la = jnp.moveaxis(unp(lao, LA), 1, 2)
+    new_state, new_coeffs = _restore_bypass(
+        unp(sto, 4), unp(co, 5)[:, 0], state, coeffs, target,
+        apply_mask, signal_mask, F,
+    )
+    peak = unp(pk, 1)[:, :, 0].max(axis=1)
+    return sig, new_la, new_state, new_coeffs, peak

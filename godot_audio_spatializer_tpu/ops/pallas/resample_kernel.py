@@ -224,11 +224,17 @@ def resample_block_kernel(
     s_blk: int = None,
     fchunk: int = None,
     precision: str = None,
+    raw: bool = False,
 ):
     """Kernel-path block read: returns (frames [N, 2, F], mixed [N]).
 
     Bit-identical cursor positions to `resample_block`'s XLA path; sample
     values match to MXU f32 lerp rounding.  Requires F % 128 == 0.
+
+    raw=True returns the kernel's native output untouched —
+    (y [2, F/fchunk, N_padded, fchunk], mixed [N_padded]) — for consumers
+    that accept the frames-on-lanes layout directly (fused_mode_a_planar);
+    requires fchunk == 128.
     """
     F = frame_count
     N = base.shape[0]
@@ -252,6 +258,8 @@ def resample_block_kernel(
                 fchunk = int(tuned["fchunk"])
             if precision is None and "GAS_RS_PRECISION" not in os.environ:
                 precision = str(tuned["precision"])
+    if raw:
+        fchunk = 128  # raw layout contract: [2, F/128, Np, 128]
     assert F % (FCHUNK if fchunk is None else fchunk) == 0, (
         "kernel resampler needs frame_count % 128 == 0")
 
@@ -282,6 +290,8 @@ def resample_block_kernel(
         params, win, frame_count=F, num_rows=R, interpret=interpret,
         s_blk=s_blk, fchunk=fchunk, precision=precision,
     )
+    if raw:
+        return y, mixed[:, 0]
     # [2, F/128, Np, 128] → [N, 2, F]
     frames = y.transpose(2, 0, 1, 3).reshape(-1, 2, F)[:N]
     return frames, mixed[:N, 0]

@@ -152,6 +152,9 @@ def resample_block(
     dequant: bool = True,  # False: int16 banks return int16 frames (the
     # 16-bit PCM intermediate path — the fused mix kernel dequants
     # in-register, halving the gather+kernel-input HBM traffic)
+    layout: str = "interleaved",  # "planar": kernel path returns the raw
+    # [2, F/128, Np, 128] layout (Np = N padded to 1024) + mixed [Np], for
+    # fused_mode_a_planar — no XLA relayout between the kernels
     row_width: int = ROW,  # unit-pitch gather row width (multiple of 128
     # dividing frame_count).  Wider rows issue fewer gather descriptors —
     # the bench device's row gather is row-count-bound, so row_width ==
@@ -212,6 +215,27 @@ def resample_block(
         from .pallas.resample_kernel import resample_block_kernel
 
         bank_t = bank_rows.transpose(0, 2, 1)  # [T/128, 2, 128] planar view
+        if layout == "planar":
+            # raw kernel layout [2, F/128, Np, 128] for the planar-input
+            # fused mix kernel — skips the XLA relayout between the two
+            # kernels.  Np = N padded to a 1024 multiple (tile granularity);
+            # pad lanes read base row 0 harmlessly and are masked downstream.
+            Np = -(-N // 1024) * 1024
+            pad = Np - N
+
+            def padn(a, fill=0):
+                return jnp.pad(a, (0, pad), constant_values=fill) if pad else a
+
+            y, mixed_p = resample_block_kernel(
+                bank_t, padn(base), padn(length, 1), padn(loop),
+                padn(cursor_idx), padn(cursor_frac), padn(pitch_fp, FP_LEN),
+                F, max_pitch, interpret=jax.default_backend() == "cpu",
+                raw=True,
+            )
+            new_idx, new_frac = _advance(
+                cursor_idx, cursor_frac, pitch_fp, F, length, loop, loop_begin
+            )
+            return y, mixed_p, new_idx, new_frac
         frames2, mixed = resample_block_kernel(
             bank_t, base, length, loop, cursor_idx, cursor_frac, pitch_fp,
             F, max_pitch, interpret=jax.default_backend() == "cpu",
