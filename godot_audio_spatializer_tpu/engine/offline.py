@@ -144,6 +144,7 @@ def engine_step(
         "resample_gather",
         "scan_unroll",
         "unit_row_width",
+        "bus_psum_axis",
     ),
 )
 def render_trajectory(
@@ -172,8 +173,13 @@ def render_trajectory(
     resample_gather: str = "xla",
     scan_unroll: int = 1,
     unit_row_width: int = 128,
+    bus_psum_axis: str = None,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
+
+    `bus_psum_axis`: when running inside `shard_map` over a source-sharded
+    mesh (parallel/sharded.py), names the mesh axis to `psum` the bus
+    input over — the one ICI collective the math requires (SURVEY §5.8).
 
     scene0 provides listeners/areas and static source fields; the position
     and velocity trajectories animate sources at block rate.  Returns
@@ -268,6 +274,10 @@ def render_trajectory(
                 resample_gather=resample_gather,
                 unit_row_width=unit_row_width,
             )
+            if bus_psum_axis is not None:
+                # cross-shard source reduction rides ICI; every shard then
+                # runs the (tiny) bus graph on the full bus input
+                bus_in = jax.lax.psum(bus_in, bus_psum_axis)
             empty = tuple(() for _ in sends)
             master, _ = bus_graph_reduce(
                 bus_in, sends, bus_volumes_db, empty, empty, channel_count

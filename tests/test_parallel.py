@@ -77,6 +77,73 @@ def test_sharded_trajectory_runs():
     assert np.abs(masters).max() > 0
 
 
+def test_bank_sharded_trajectory_matches_global_bank():
+    """Bank-sharded shard_map mode (parallel/sharded.py): per-device
+    sub-banks + chip-local gathers + one bus psum vs the single-program
+    global-bank render.  Clip c lives on shard c; shard d's sources play
+    only clip d (the locality contract)."""
+    import jax.numpy as jnp
+    from godot_audio_spatializer_tpu.ops.mix import SampleBank
+    from godot_audio_spatializer_tpu.ops.resample import build_bank
+    from godot_audio_spatializer_tpu.parallel.sharded import (
+        partition_bank,
+        render_trajectory_sharded,
+    )
+
+    mix_rate, F = 48000.0, 128
+    N, D = 64, 8
+    rng = np.random.default_rng(4)
+    clip_len = 4800 // 128 * 128
+    clips = [
+        ((rng.standard_normal((clip_len, 2)) * 0.2).astype(np.float32), True)
+        for _ in range(D)
+    ]
+    (state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, _) = _setup(
+        n_sources=N
+    )
+    state = state.replace(
+        cursor_idx=jnp.asarray(rng.integers(0, clip_len, N).astype(np.int32))
+    )
+    clip_of = np.arange(N) // (N // D)  # shard d's sources play clip d
+
+    gdata, gbases = build_bank(clips, F, 8.0)
+    bank_g = SampleBank(
+        data=jnp.asarray(gdata),
+        base=jnp.asarray(np.asarray(gbases, np.int32)[clip_of]),
+        length=jnp.full(N, clip_len, np.int32),
+        loop=jnp.ones(N, bool),
+    )
+    kw = dict(
+        speaker_mode=SpeakerMode.SURROUND_71, mix_rate=mix_rate, frame_count=F
+    )
+    s1, wo1, m1 = render_trajectory(
+        state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg, bank_g, **kw
+    )
+
+    banks, lbases = partition_bank(clips, list(range(D)), D, F, 8.0)
+    bank_s = SampleBank(
+        data=jnp.asarray(banks),
+        base=jnp.asarray(np.asarray(lbases, np.int32)[clip_of]),
+        length=jnp.full(N, clip_len, np.int32),
+        loop=jnp.ones(N, bool),
+    )
+    mesh = pm.make_source_mesh(jax.devices()[:8])
+    s8, wo8, m8 = render_trajectory_sharded(
+        mesh, state, was_out, scene0, pos_seq, vel_seq, params, slot_cfg,
+        bank_s, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1), np.asarray(m8), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s1.cursor_idx), np.asarray(s8.cursor_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.filter_state), np.asarray(s8.filter_state),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
