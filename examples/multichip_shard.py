@@ -41,7 +41,8 @@ if len(jax.devices()) < 8:  # pragma: no cover - environment dependent
     ).strip()
     raise SystemExit(
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env,
         ).returncode
     )
 
@@ -110,4 +111,12 @@ print(
     f"mode 2 (bank-sharded shard_map): master {m2.shape}, "
     f"rms {np.sqrt((m2 ** 2).mean()):.4f}"
 )
+
+if len(sys.argv) > 1:  # write the front channel pair as a WAV
+    from godot_audio_spatializer_tpu.utils.wav import write_wav
+
+    front = m2[:, 0].reshape(-1, 2)  # [K·F, 2]
+    out = os.path.join(sys.argv[1], "multichip_shard.wav")
+    write_wav(out, front, int(MIX_RATE))
+    print("wrote", out)
 print("multichip demo ok")

@@ -62,7 +62,7 @@ def test_metrics():
     assert float(np.asarray(m["source_peaks"]).max()) > 0
 
 
-@pytest.mark.parametrize("script", ["examples/demo.py", "examples/custom_spatializer.py", "examples/production_mix.py", "examples/offline_bake.py", "examples/realtime_stream.py"])
+@pytest.mark.parametrize("script", ["examples/demo.py", "examples/custom_spatializer.py", "examples/production_mix.py", "examples/offline_bake.py", "examples/realtime_stream.py", "examples/multichip_shard.py"])
 def test_examples_run(script, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
