@@ -4,8 +4,9 @@ Folds the whole per-source frame path of `_mix_from_playback_list`
 (reference audio_spatializer.cpp:326-471) around the biquad into ONE Pallas
 kernel: lookahead delay-line select, end-of-stream fade (0.96^k × linear
 64-tap ramp, cpp:380-398), active/has-frames masking, the interpolated-
-coefficient highshelf recurrence, bypass select, per-lane peak tracking,
-and the lookahead tail update — everything the XLA graph otherwise spends
+coefficient highshelf recurrence (bypass folded into identity
+coefficients — see _mix_loop_and_state), per-lane peak tracking, and the
+lookahead tail update — everything the XLA graph otherwise spends
 ~10 elementwise passes (and ~10 × 7.5 µs dispatch) on.
 
 Lane packing mirrors biquad_kernel: (source, ear) pairs on [8, 128] vregs,

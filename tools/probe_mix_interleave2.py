@@ -24,14 +24,6 @@ L = 2 * N
 T = L // 1024
 
 
-def _body(x_ref, la_ref, c0_ref, inc_ref, st_ref, y_ref, j, F):
-    """One sub-tile's fast-body loop (coeff-affine biquad, no fade)."""
-    c = [c0_ref[j, i] for i in range(5)]
-    i_ = [inc_ref[j, i] for i in range(5)]
-    st = [st_ref[j, i] for i in range(4)]
-    return c, i_, st
-
-
 def _interleave2_kernel(x_ref, la_ref, c0_ref, inc_ref, st_ref, y_ref,
                         sto_ref):
     F = x_ref.shape[1]
@@ -39,10 +31,6 @@ def _interleave2_kernel(x_ref, la_ref, c0_ref, inc_ref, st_ref, y_ref,
     iA = [inc_ref[0, i] for i in range(5)]
     cB = [c0_ref[1, i] for i in range(5)]
     iB = [inc_ref[1, i] for i in range(5)]
-
-    def read(j, f):
-        return jax.lax.cond(  # not used — placeholder
-            True, lambda: x_ref[j, f], lambda: x_ref[j, f])
 
     def step(f, carry):
         (xa1, xa2, ya1, ya2, pa, xb1, xb2, yb1, yb2, pb) = carry
