@@ -213,6 +213,11 @@ def mix_block(
         and os.environ.get("GAS_FUSED_BUS") != "1"
         and os.environ.get("GAS_NO_PLANAR") != "1"  # A/B escape hatch
         and F % 128 == 0
+        # the planar wrapper pads sources to a 1024 multiple (tile
+        # granularity): at small N the padded kernels do many times the
+        # real work (64-source doppler config measured 3× SLOWER) — only
+        # take the path when no padding is needed
+        and N % 1024 == 0
     )
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,

@@ -1,4 +1,7 @@
-"""Fused mode-A Stage-B kernel.
+"""FROZEN round-4 snapshot of ops/pallas/mix_kernel.py for in-process A/B
+probing (tools/probe_mixloop_v2.py) -- not part of the package.
+
+Fused mode-A Stage-B kernel.
 
 Folds the whole per-source frame path of `_mix_from_playback_list`
 (reference audio_spatializer.cpp:326-471) around the biquad into ONE Pallas
