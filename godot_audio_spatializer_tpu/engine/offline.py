@@ -65,6 +65,8 @@ def engine_step(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
     unit_row_width: int = 128,
+    fused_bus: bool = None,
+    planar: bool = None,
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
@@ -117,6 +119,8 @@ def engine_step(
         unit_pitch_aligned=unit_pitch_aligned,
         resample_gather=resample_gather,
         unit_row_width=unit_row_width,
+        fused_bus=fused_bus,
+        planar=planar,
     )
     empty = tuple(() for _ in sends)
     master, _ = bus_graph_reduce(
@@ -145,6 +149,8 @@ def engine_step(
         "scan_unroll",
         "unit_row_width",
         "bus_psum_axis",
+        "fused_bus",
+        "planar",
     ),
 )
 def render_trajectory(
@@ -174,6 +180,8 @@ def render_trajectory(
     scan_unroll: int = 1,
     unit_row_width: int = 128,
     bus_psum_axis: str = None,
+    fused_bus: bool = None,
+    planar: bool = None,
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -273,6 +281,7 @@ def render_trajectory(
                 max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
                 resample_gather=resample_gather,
                 unit_row_width=unit_row_width,
+                fused_bus=fused_bus, planar=planar,
             )
             if bus_psum_axis is not None:
                 # cross-shard source reduction rides ICI; every shard then

@@ -160,8 +160,17 @@ def mix_block(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
     unit_row_width: int = 128,
+    fused_bus: bool = None,
+    planar: bool = None,
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
+
+    `fused_bus`/`planar` select the in-kernel bus contraction and the
+    planar doppler input path explicitly (None = fall back to the
+    GAS_FUSED_BUS / GAS_NO_PLANAR env vars).  Pass them EXPLICITLY when
+    A/B-ing in one process: the env fallback is read at trace time, and a
+    jitted caller that hits its trace cache will silently reuse the first
+    variant (the round-5 probe bug).
 
     Returns (new_state, bus_input [B,4,F,2], peaks [N]).
 
@@ -201,7 +210,17 @@ def mix_block(
     # lanes output feeds fused_mode_a_planar directly — the ~34 MB XLA
     # relayout between the two Pallas kernels disappears (the mix kernel
     # transpose-interleaves in VMEM, measured free on the bench device).
-    planar = (
+    fused_bus_env = (
+        fused_bus
+        if fused_bus is not None
+        else os.environ.get("GAS_FUSED_BUS") == "1"
+    )
+    planar_ok = (
+        planar
+        if planar is not None
+        else os.environ.get("GAS_NO_PLANAR") != "1"
+    )
+    planar_base = (
         biquad_method == "pallas"
         and resample_gather == "kernel"
         and not unit_pitch_aligned
@@ -210,8 +229,7 @@ def mix_block(
         and not mc_chain
         and params.voice_gain is None
         and not x16
-        and os.environ.get("GAS_FUSED_BUS") != "1"
-        and os.environ.get("GAS_NO_PLANAR") != "1"  # A/B escape hatch
+        and planar_ok
         and F % 128 == 0
         # the planar wrapper pads sources to a 1024 multiple (tile
         # granularity): at small N the padded kernels do many times the
@@ -219,16 +237,18 @@ def mix_block(
         # take the path when no padding is needed
         and N % 1024 == 0
     )
+    planar_split = planar_base and not fused_bus_env
+    planar_bus = planar_base and fused_bus_env
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, params.pitch_fp, F,
         max_pitch=max_pitch, unit_pitch_aligned=unit_pitch_aligned,
         gather_method=resample_gather, loop_begin=bank.loop_begin,
         dequant=not x16, row_width=unit_row_width,
-        layout="planar" if planar else "interleaved",
+        layout="planar" if (planar_split or planar_bus) else "interleaved",
     )
-    if planar:
-        mixed_padded = mixed  # [Np] — fused_mode_a_planar wants the pad too
+    if planar_split or planar_bus:
+        mixed_padded = mixed  # [Np] — the planar wrappers want the pad too
         mixed = mixed[:N]
     if params.voice_gain is not None:
         frames = frames * params.voice_gain[:, None, None]
@@ -272,24 +292,40 @@ def mix_block(
     # star); it only wins when per-op dispatch overhead dominates (short
     # scans).  Kept as an opt-in A/B lever.
     if (biquad_method == "pallas" and not mix_channel_enabled and not chains
-            and os.environ.get("GAS_FUSED_BUS") == "1"):
+            and fused_bus_env):
         # ---- 4a (fused+bus): the whole mode-A path INCLUDING the bus
         # contraction in one Pallas kernel — the per-source signal never
-        # leaves VMEM (ops/pallas/mix_kernel.py fused_mode_a_bus)
+        # leaves VMEM (ops/pallas/mix_kernel.py fused_mode_a_bus; the
+        # planar variant additionally takes the resample kernel's raw
+        # layout, so nothing per-source touches HBM between the kernels)
         import jax as _jax
 
-        from .pallas.mix_kernel import fused_mode_a_bus
+        interp = _jax.default_backend() == "cpu"
+        if planar_bus:
+            from .pallas.mix_kernel import fused_mode_a_bus_planar
 
-        bus0, busD, new_lookahead, nstA, ncA0, peakA_fused = fused_mode_a_bus(
-            frames, state.lookahead, state.filter_coeffs, target, stA,
-            mixed, do_mix, apply_f, active0, state.srv_prev, state.srv_target,
-            F, interpret=_jax.default_backend() == "cpu",
-        )
+            bus0, busD, new_lookahead, nstA, ncA0, peakA_fused = (
+                fused_mode_a_bus_planar(
+                    frames, state.lookahead, state.filter_coeffs, target,
+                    stA, mixed_padded, do_mix, apply_f, active0,
+                    state.srv_prev, state.srv_target, F, interpret=interp,
+                )
+            )
+        else:
+            from .pallas.mix_kernel import fused_mode_a_bus
+
+            bus0, busD, new_lookahead, nstA, ncA0, peakA_fused = (
+                fused_mode_a_bus(
+                    frames, state.lookahead, state.filter_coeffs, target,
+                    stA, mixed, do_mix, apply_f, active0, state.srv_prev,
+                    state.srv_target, F, interpret=interp,
+                )
+            )
         ncA = ncA0[:, None, :]
         t = (jnp.arange(F, dtype=jnp.float32) / jnp.float32(F))
         bus_fused = bus0 + busD * t[None, None, :, None]
         sigA = None
-    elif planar:
+    elif planar_split:
         # ---- 4a (fused, planar input): the kernel resampler's raw layout
         # flows straight into the mix kernel (fused_mode_a_planar)
         from .pallas.mix_kernel import fused_mode_a_planar

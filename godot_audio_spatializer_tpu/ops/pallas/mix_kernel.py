@@ -729,3 +729,231 @@ def fused_mode_a_planar(
     )
     peak = unp(pk, 1)[:, :, 0].max(axis=1)
     return sig, new_la, new_state, new_coeffs, peak
+
+
+def _mix_a_planar_bus_kernel(
+    ff_ref,     # SMEM [T] i32
+    x_ref,      # [1, F/128, 1024, 128] planar frames
+    la_ref,     # [1, LA, 8, 128]
+    c0_ref,     # [1, 5, 8, 128]
+    inc_ref,    # [1, 5, 8, 128]
+    st_ref,     # [1, 4, 8, 128]
+    mixed_ref,  # [1, 1, 8, 128]
+    zm_ref,     # [1, 1, 8, 128]
+    vol_ref,    # [1, 128, 8·m]
+    lao_ref,    # out [1, LA, 8, 128]
+    sto_ref,    # out [1, 4, 8, 128]
+    co_ref,     # out [1, 5, 8, 128]
+    pk_ref,     # out [1, 1, 8, 128]
+    bus_ref,    # out [F, m] — accumulated over the lane-tile grid
+    xs_ref,     # scratch VMEM [F, 8, 128] — relaid-out input
+    sig_ref,    # scratch VMEM [F, 8, 128] — mixed signal for contraction
+):
+    """Planar input + in-kernel bus contraction: the deepest fusion — the
+    resample kernel's raw layout in, bus partials out; the per-source
+    signal never touches HBM.  Body = planar relayout pre-pass
+    (_mix_a_planar_kernel) + mix loop into a VMEM scratch + the v3
+    fold-dot contraction (_mix_a_bus_kernel)."""
+    nchunks = x_ref.shape[1]
+    F = nchunks * 128
+    m = vol_ref.shape[2] // 8
+    for c in range(nchunks):
+        blk = x_ref[0, c]  # [1024, 128]
+        xs_ref[c * 128 : (c + 1) * 128] = blk.reshape(8, 128, 128).transpose(
+            2, 0, 1
+        )
+    mixed = mixed_ref[0, 0]
+    zmask = zm_ref[0, 0]
+
+    def run(fade):
+        def store(f, yo):
+            sig_ref[f] = yo
+
+        _mix_loop_and_state(
+            la_ref, lambda f: xs_ref[f - LA], lambda: xs_ref[F - LA : F],
+            xs_ref.dtype, c0_ref, inc_ref, st_ref, mixed, zmask,
+            store, sto_ref, co_ref, pk_ref, lao_ref, F, fade,
+        )
+
+    fast = ff_ref[pl.program_id(0)] > 0
+
+    @pl.when(fast)
+    def _():
+        run(False)
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        run(True)
+
+    # ---- v3 fold-dot bus contraction (see _mix_a_bus_kernel) ----
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        bus_ref[...] = jnp.zeros_like(bus_ref)
+
+    vol = vol_ref[0]
+    v_hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
+    v_lo = vol - v_hi
+    CH = 128
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 1)
+    mask = ((rows % 8) == (cols // m)).astype(jnp.float32)
+    fr = (
+        jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 0) % m
+        == jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 1)
+    ).astype(jnp.float32)
+    fl = (
+        jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 1) // 8
+        == jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 0)
+    ).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    hp = jax.lax.Precision.HIGHEST
+    for c in range(F // CH):
+        y2 = sig_ref[c * CH : (c + 1) * CH].reshape(CH * 8, ROWLANES)
+        s_hi = y2.astype(jnp.bfloat16).astype(jnp.float32)
+        s_lo = y2 - s_hi
+        d = (
+            jax.lax.dot_general(s_hi, v_hi, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_hi, v_lo, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(s_lo, v_hi, dn, preferred_element_type=jnp.float32)
+        )
+        dm = d * mask
+        dsum = jax.lax.dot_general(
+            dm, fr, dn, preferred_element_type=jnp.float32, precision=hp
+        )
+        red = jax.lax.dot_general(
+            fl, dsum, dn, preferred_element_type=jnp.float32, precision=hp
+        )
+        bus_ref[c * CH : (c + 1) * CH] = bus_ref[c * CH : (c + 1) * CH] + red
+
+
+@functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
+def _mix_a_planar_bus_tiles(ff, x, la, c0, inc, st, mixed, zm, vols, *,
+                            frame_count: int, interpret: bool = False):
+    F = frame_count
+    nf = x.shape[1]
+    Np = x.shape[2]
+    nt = Np // 1024
+    T = 2 * nt
+    m8 = vols.shape[2]
+    m = m8 // 8
+    spec = lambda k: pl.BlockSpec(
+        (1, k, 8, 128), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    ffspec = pl.BlockSpec((T,), lambda t: (0,), memory_space=pltpu.SMEM)
+    xspec = pl.BlockSpec(
+        (1, nf, 1024, 128), lambda t: (t // nt, 0, t % nt, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vspec = pl.BlockSpec(
+        (1, 128, m8), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+    )
+    busspec = pl.BlockSpec((F, m), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _mix_a_planar_bus_kernel,
+        grid=(T,),
+        interpret=interpret,
+        in_specs=[ffspec, xspec, spec(LA), spec(5), spec(5), spec(4),
+                  spec(1), spec(1), vspec],
+        out_specs=[spec(LA), spec(4), spec(5), spec(1), busspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, LA, 8, 128), la.dtype),
+            jax.ShapeDtypeStruct((T, 4, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 5, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((F, m), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((F, 8, 128), jnp.float32),
+                        pltpu.VMEM((F, 8, 128), jnp.float32)],
+    )(ff, x, la, c0, inc, st, mixed, zm, vols)
+
+
+def fused_mode_a_bus_planar(
+    frames_planar,  # [2, F/128, Np, 128] f32
+    lookahead,   # [N, LA, 2]
+    coeffs,      # [N, 5]
+    target,      # [N, 5]
+    state,       # [N, 2, 4]
+    mixed,       # [Np] i32
+    signal_mask, # [N] bool
+    apply_mask,  # [N] bool
+    active,      # [N] bool
+    srv_prev,    # [N, B, 4, 2]
+    srv_target,  # [N, B, 4, 2]
+    frame_count: int,
+    *,
+    interpret: bool = False,
+):
+    """Planar input + in-kernel bus contraction (GAS_FUSED_BUS=1 on the
+    doppler path): same contract as fused_mode_a_bus."""
+    N = lookahead.shape[0]
+    F = frame_count
+    Np = frames_planar.shape[2]
+    assert Np % 1024 == 0 and F % 128 == 0
+    L = 2 * Np
+    B = srv_prev.shape[1]
+    b4 = B * 4
+    m = 2 * 2 * b4
+
+    def planar(arr_ne, k):
+        arr = jnp.moveaxis(arr_ne, 1, 0)
+        if Np != N:
+            arr = jnp.pad(arr, ((0, 0), (0, Np - N), (0, 0)))
+        return arr.reshape(L, k)
+
+    la_l = planar(jnp.moveaxis(lookahead, 2, 1), LA)
+    c0_eff, inc_eff = _precondition_coeffs(
+        coeffs, target, apply_mask, signal_mask, F
+    )
+    c0_l = planar(jnp.broadcast_to(c0_eff[:, None, :], (N, 2, 5)), 5)
+    inc_l = planar(jnp.broadcast_to(inc_eff[:, None, :], (N, 2, 5)), 5)
+    st_l = planar(state, 4)
+    mixed_l = planar(
+        jnp.broadcast_to(mixed[:N].astype(jnp.float32)[:, None, None], (N, 2, 1)), 1
+    )
+    zm_l = planar(
+        jnp.broadcast_to(
+            signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1)
+        ),
+        1,
+    )
+
+    # volume lanes (see fused_mode_a_bus), planar-packed
+    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)
+    dv = jnp.moveaxis(srv_target - srv_prev, 3, 1).reshape(N, 2, b4)
+    vm = jnp.stack([v0, dv], axis=2)  # [N, e_out, ramp, B4]
+    ear = jnp.arange(2)
+    emask = (ear[None, :, None] == ear[None, None, :]).astype(jnp.float32)
+    am = active.astype(jnp.float32)[:, None, None, None, None]
+    vol_ne = vm[:, None] * emask[..., None, None] * am  # [N, lane_e, e_out, r, B4]
+    vol_lanes = planar(vol_ne.reshape(N, 2, m), m)
+
+    lat = _to_tiles(la_l, LA)
+    c0t = _to_tiles(c0_l, 5)
+    inct = _to_tiles(inc_l, 5)
+    stt = _to_tiles(st_l, 4)
+    mt = _to_tiles(mixed_l, 1)
+    zt = _to_tiles(zm_l, 1)
+    vt = _to_tiles(vol_lanes, m).transpose(0, 3, 2, 1).reshape(-1, 128, 8 * m)
+    sm_l = planar(jnp.broadcast_to(signal_mask[:, None, None], (N, 2, 1)), 1)[:, 0]
+    mix_lanes = planar(
+        jnp.broadcast_to(mixed[:N][:, None, None], (N, 2, 1)), 1
+    )[:, 0]
+    ff = _full_flags(mix_lanes, sm_l, F, 2 * Np // 1024)
+
+    lao, sto, co, pk, bus = _mix_a_planar_bus_tiles(
+        ff, frames_planar, lat, c0t, inct, stt, mt, zt, vt,
+        frame_count=F, interpret=interpret,
+    )
+
+    def unp(arr, k):
+        flat = _from_tiles(arr, L, k).reshape(2, Np, k)[:, :N]
+        return jnp.moveaxis(flat, 0, 1)
+
+    new_la = jnp.moveaxis(unp(lao, LA), 1, 2)
+    new_state, new_coeffs = _restore_bypass(
+        unp(sto, 4), unp(co, 5)[:, 0], state, coeffs, target,
+        apply_mask, signal_mask, F,
+    )
+    peak = unp(pk, 1)[:, :, 0].max(axis=1)
+    bus_e = bus.reshape(F, 2, 2, B, 4).transpose(2, 3, 4, 0, 1)
+    return bus_e[0], bus_e[1], new_la, new_state, new_coeffs, peak

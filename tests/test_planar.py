@@ -103,6 +103,29 @@ def test_planar_kernel_path_matches_xla_gather():
         )
 
 
+def test_planar_fused_bus_matches_split(monkeypatch):
+    """GAS_FUSED_BUS=1 on the planar doppler path routes through
+    fused_mode_a_bus_planar (raw resampler layout + in-kernel bus
+    contraction — nothing per-source touches HBM between the kernels);
+    must match the split planar path at the bf16-split-dot budget."""
+    state, params, bank = _setup()
+    s_s, bus_s, pk_s = _run(state, params, bank, "kernel")
+    monkeypatch.setenv("GAS_FUSED_BUS", "1")
+    s_f, bus_f, pk_f = _run(state, params, bank, "kernel")
+    for b in range(3):
+        # 3-term bf16-split contraction ≈ −96 dB on O(10) bus sums
+        np.testing.assert_allclose(
+            bus_f[b], bus_s[b], atol=3e-4, err_msg=f"bus block {b}"
+        )
+        np.testing.assert_allclose(pk_f[b], pk_s[b], atol=2e-5)
+    for nm in ("cursor_idx", "active", "lookahead", "filter_state"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_f, nm)),
+            np.asarray(getattr(s_s, nm)),
+            atol=2e-5, err_msg=nm,
+        )
+
+
 def test_planar_escape_hatch(monkeypatch):
     """GAS_NO_PLANAR=1 falls back to the interleaved kernel path with
     identical results."""

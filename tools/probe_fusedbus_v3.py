@@ -39,9 +39,14 @@ kwargs = dict(
 
 
 def build(fused):
-    os.environ["GAS_FUSED_BUS"] = "1" if fused else "0"
-    fn = jax.jit(lambda: render_trajectory(*args, **kwargs))
-    _sync(fn())  # trace + compile with the env var snapshot
+    # fused_bus must be an explicit STATIC param: an env-var fallback read
+    # at trace time is silently ignored when the inner jit cache hits
+    # (the round-5 probe bug — the first measurement of this probe
+    # compared the split path against itself)
+    fn = jax.jit(
+        lambda: render_trajectory(*args, fused_bus=fused, **kwargs)
+    )
+    _sync(fn())
     return fn
 
 

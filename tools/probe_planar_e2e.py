@@ -33,21 +33,25 @@ kwargs = dict(
     max_pitch=1.4, scan_unroll=2,
 )
 
-# parity first (short run, collect master)
+# parity first (short run, collect master).  `planar` is an explicit
+# STATIC param — env-var switching is ignored when the inner jit cache
+# hits (the round-5 probe bug).
 pargs = build_bench_scene(N, 6, F, MIX_RATE, doppler=True)
 pkw = dict(kwargs, collect_master=True)
 outs = {}
-for off in ("1", "0"):
-    os.environ["GAS_NO_PLANAR"] = off
-    _, _, master = jax.jit(lambda: render_trajectory(*pargs, **pkw))()
-    outs[off] = np.asarray(master)
-err = np.abs(outs["0"] - outs["1"]).max()
-print(f"parity planar-vs-old: {err:.3e} (peak {np.abs(outs['1']).max():.3f})")
+for planar in (False, True):
+    _, _, master = jax.jit(
+        lambda: render_trajectory(*pargs, planar=planar, **pkw)
+    )()
+    outs[planar] = np.asarray(master)
+err = np.abs(outs[True] - outs[False]).max()
+print(f"parity planar-vs-old: {err:.3e} (peak {np.abs(outs[False]).max():.3f})")
 
 
-def build(no_planar):
-    os.environ["GAS_NO_PLANAR"] = no_planar
-    fn = jax.jit(lambda: render_trajectory(*args, **kwargs))
+def build(planar):
+    fn = jax.jit(
+        lambda: render_trajectory(*args, planar=planar, **kwargs)
+    )
     _sync(fn())
     return fn
 
@@ -61,8 +65,8 @@ def t_seq(fn, reps=4):
     return best / K * 1e3
 
 
-old = build("1")
-new = build("0")
+old = build(False)
+new = build(True)
 res = {"old (relayout)": t_seq(old), "planar": t_seq(new)}
 res["old (re-run, drift)"] = t_seq(old)
 for k, v in res.items():
