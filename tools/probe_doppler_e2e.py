@@ -47,6 +47,10 @@ orig_lookup = autotune.lookup
 
 
 def build(knobs):
+    # the monkeypatched lookup only takes effect if render_trajectory
+    # actually RE-TRACES — clear the jit caches or the first variant's
+    # trace is silently reused (the round-5 trace-cache A/B trap)
+    jax.clear_caches()
     autotune.lookup = (lambda *a, **k: knobs) if knobs else (lambda *a, **k: None)
     fn = jax.jit(lambda: render_trajectory(*args, **kwargs))
     _sync(fn())
