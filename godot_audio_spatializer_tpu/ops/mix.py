@@ -192,6 +192,11 @@ def mix_block(
     # fused kernel (which dequants in-register) — halves the gather write +
     # kernel read traffic.  Opted in by building MixState with
     # sample_dtype=int16; only the fused mode-A pipeline supports it.
+    fused_bus_env = (
+        fused_bus
+        if fused_bus is not None
+        else os.environ.get("GAS_FUSED_BUS") == "1"
+    )
     x16 = state.lookahead.dtype == jnp.int16
     if x16:
         assert bank.data.dtype == jnp.int16, "int16 path needs an int16 bank"
@@ -202,7 +207,7 @@ def mix_block(
             and not mc_chain
             and params.voice_gain is None
             and unit_pitch_aligned
-            and os.environ.get("GAS_FUSED_BUS") != "1"
+            and not fused_bus_env
         ), "int16 PCM intermediates require the fused mode-A unit-pitch path"
 
     # ---- 1. resample gather (L0 AudioStreamPlayback::mix) ----
@@ -210,11 +215,6 @@ def mix_block(
     # lanes output feeds fused_mode_a_planar directly — the ~34 MB XLA
     # relayout between the two Pallas kernels disappears (the mix kernel
     # transpose-interleaves in VMEM, measured free on the bench device).
-    fused_bus_env = (
-        fused_bus
-        if fused_bus is not None
-        else os.environ.get("GAS_FUSED_BUS") == "1"
-    )
     planar_ok = (
         planar
         if planar is not None

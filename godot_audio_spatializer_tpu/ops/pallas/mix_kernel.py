@@ -380,27 +380,34 @@ def _mix_a_bus_kernel(
     def _():
         run(True)
 
-    # ---- bus contraction over this tile's lanes (v2, see header) ----
+    # ---- bus contraction over this tile's lanes (v2/v3, see header) ----
+    _bus_contract_tail(sig_ref, bus_ref, vol_ref, F, m)
+
+
+def _bus_contract_tail(sig_ref, bus_ref, vol_ref, F, m):
+    """The in-kernel source→bus contraction, shared by the interleaved and
+    planar fused-bus kernels.
+
+    sig [F, 8, 128] VMEM scratch × vol [128, 8m] → accumulate bus [F, m]
+    across the lane-tile grid.  The flattened [F·8,128]×[128,8m] dot wants
+    only its s==s' blocks; a grid-invariant iota mask kills the rest, and
+    both fold reductions (8 s'-column blocks, then each frame's 8 sublane
+    rows) ride the MXU as exact one-hot fold dots (v3; replaces ~2.5k VPU
+    roll/adds per chunk).  The hi/lo split stays in f32: Mosaic rejects
+    bf16-operand matmuls with f32 accumulation, but a DEFAULT-precision
+    f32 dot truncates operands to bf16 on the MXU — an identity on the hi
+    parts — and accumulates in f32 (dropped lo·lo term ≈ −108 dB)."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         bus_ref[...] = jnp.zeros_like(bus_ref)
 
     vol = vol_ref[0]  # [128, 8m]
-    # hi/lo split stays in f32 (hi parts are exactly bf16-representable):
-    # Mosaic rejects bf16-operand matmuls with f32 accumulation, but a
-    # DEFAULT-precision f32 dot truncates operands to bf16 on the MXU —
-    # an identity on the hi parts — and accumulates in f32.
     v_hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
     v_lo = vol - v_hi
     CH = 128 if F % 128 == 0 else F
     rows = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 1)
     mask = ((rows % 8) == (cols // m)).astype(jnp.float32)
-    # v3 fold (round 5): both reductions ride the MXU instead of VPU
-    # roll/adds — a one-hot column fold [8m, m] sums the 8 s'-blocks and a
-    # one-hot row fold [CH, CH·8] sums each frame's 8 sublane rows.  The
-    # folds are exact-one-hot, so HIGHEST keeps full f32.  Replaces ~2.5k
-    # vector ops per chunk with two small dots.
     fr = (
         jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 0) % m
         == jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 1)
@@ -428,6 +435,25 @@ def _mix_a_bus_kernel(
             fl, dsum, dn, preferred_element_type=jnp.float32, precision=hp
         )  # [CH, m]
         bus_ref[c * CH : (c + 1) * CH] = bus_ref[c * CH : (c + 1) * CH] + red
+
+
+def _srv_vol_lanes(srv_prev, srv_target, active):
+    """Per-lane bus-volume columns for the fused-bus kernels.
+
+    Lane (n, e) carries srv[n, :, :, e] masked to its own ear (bus output
+    ear e_out sums only ear-e_out lanes), column j = (e_out·2 + ramp)·B4
+    + bus·chan.  Returns [N, 2(lane_e), m] with m = 2·2·B·4."""
+    N, B = srv_prev.shape[0], srv_prev.shape[1]
+    b4 = B * 4
+    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)  # [N, e_out, B4]
+    dv = jnp.moveaxis(srv_target - srv_prev, 3, 1).reshape(N, 2, b4)
+    vm = jnp.stack([v0, dv], axis=2)  # [N, e_out, ramp, B4]
+    ear = jnp.arange(2)
+    emask = (ear[None, :, None] == ear[None, None, :]).astype(jnp.float32)
+    am = active.astype(jnp.float32)[:, None, None, None, None]
+    # [N, lane_e, out_e, ramp, B4]
+    vol_ne = vm[:, None] * emask[..., None, None] * am
+    return vol_ne.reshape(N, 2, 2 * 2 * b4)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
@@ -509,18 +535,8 @@ def fused_mode_a_bus(
         jnp.broadcast_to(signal_mask.astype(jnp.float32)[:, None, None], (N, 2, 1))
     )
 
-    # volume lanes [L, m]: lane (n, e) carries srv[n, :, :, e] masked to its
-    # own ear (the bus output ear e_out sums only ear-e_out lanes), column
-    # j = (e_out·2 + ramp)·B4 + bus·chan
-    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)  # [N, e_out, B4]
-    dv = jnp.moveaxis(srv_target - srv_prev, 3, 1).reshape(N, 2, b4)
-    vm = jnp.stack([v0, dv], axis=2)  # [N, e_out, ramp, B4]
-    ear = jnp.arange(2)
-    emask = (ear[None, :, None] == ear[None, None, :]).astype(jnp.float32)
-    am = active.astype(jnp.float32)[:, None, None, None, None]
-    # [N, lane_e, out_e, ramp, B4] → [(n,e) lanes, m]
-    vol_ne = vm[:, None] * emask[..., None, None] * am
-    vol_lanes = vol_ne.reshape(L, m)
+    # volume lanes [L, m] (shared helper; see _srv_vol_lanes)
+    vol_lanes = _srv_vol_lanes(srv_prev, srv_target, active).reshape(L, m)
 
     xt = _to_tiles(x_l, F)
     lat = _to_tiles(la_l, LA)
@@ -785,45 +801,8 @@ def _mix_a_planar_bus_kernel(
     def _():
         run(True)
 
-    # ---- v3 fold-dot bus contraction (see _mix_a_bus_kernel) ----
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        bus_ref[...] = jnp.zeros_like(bus_ref)
-
-    vol = vol_ref[0]
-    v_hi = vol.astype(jnp.bfloat16).astype(jnp.float32)
-    v_lo = vol - v_hi
-    CH = 128
-    rows = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (CH * 8, 8 * m), 1)
-    mask = ((rows % 8) == (cols // m)).astype(jnp.float32)
-    fr = (
-        jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 0) % m
-        == jax.lax.broadcasted_iota(jnp.int32, (8 * m, m), 1)
-    ).astype(jnp.float32)
-    fl = (
-        jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 1) // 8
-        == jax.lax.broadcasted_iota(jnp.int32, (CH, CH * 8), 0)
-    ).astype(jnp.float32)
-    dn = (((1,), (0,)), ((), ()))
-    hp = jax.lax.Precision.HIGHEST
-    for c in range(F // CH):
-        y2 = sig_ref[c * CH : (c + 1) * CH].reshape(CH * 8, ROWLANES)
-        s_hi = y2.astype(jnp.bfloat16).astype(jnp.float32)
-        s_lo = y2 - s_hi
-        d = (
-            jax.lax.dot_general(s_hi, v_hi, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(s_hi, v_lo, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(s_lo, v_hi, dn, preferred_element_type=jnp.float32)
-        )
-        dm = d * mask
-        dsum = jax.lax.dot_general(
-            dm, fr, dn, preferred_element_type=jnp.float32, precision=hp
-        )
-        red = jax.lax.dot_general(
-            fl, dsum, dn, preferred_element_type=jnp.float32, precision=hp
-        )
-        bus_ref[c * CH : (c + 1) * CH] = bus_ref[c * CH : (c + 1) * CH] + red
+    # ---- v3 fold-dot bus contraction (shared helper) ----
+    _bus_contract_tail(sig_ref, bus_ref, vol_ref, F, m)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_count", "interpret"))
@@ -917,15 +896,8 @@ def fused_mode_a_bus_planar(
         1,
     )
 
-    # volume lanes (see fused_mode_a_bus), planar-packed
-    v0 = jnp.moveaxis(srv_prev, 3, 1).reshape(N, 2, b4)
-    dv = jnp.moveaxis(srv_target - srv_prev, 3, 1).reshape(N, 2, b4)
-    vm = jnp.stack([v0, dv], axis=2)  # [N, e_out, ramp, B4]
-    ear = jnp.arange(2)
-    emask = (ear[None, :, None] == ear[None, None, :]).astype(jnp.float32)
-    am = active.astype(jnp.float32)[:, None, None, None, None]
-    vol_ne = vm[:, None] * emask[..., None, None] * am  # [N, lane_e, e_out, r, B4]
-    vol_lanes = planar(vol_ne.reshape(N, 2, m), m)
+    # volume lanes (shared helper), planar-packed
+    vol_lanes = planar(_srv_vol_lanes(srv_prev, srv_target, active), m)
 
     lat = _to_tiles(la_l, LA)
     c0t = _to_tiles(c0_l, 5)

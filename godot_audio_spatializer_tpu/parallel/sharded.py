@@ -113,6 +113,12 @@ def render_trajectory_sharded(
     axis.  Returns the same (final_state, was_out, master) contract —
     master is replicated (identical on every chip after the psum).
     """
+    n_dev = mesh.shape[SOURCE_AXIS]
+    assert banks.data.ndim == 3 and banks.data.shape[0] == n_dev, (
+        f"banks.data leading axis ({banks.data.shape[0]}) must equal the "
+        f"mesh size ({n_dev}) — one sub-bank per device; a mismatch would "
+        f"silently drop sub-banks and gather from the wrong shard"
+    )
     spec_src = P(SOURCE_AXIS)
     spec_r = P()
 
@@ -143,11 +149,12 @@ def render_trajectory_sharded(
         jax.tree.map(lambda _: spec_src, slot_cfg),
         bank_specs,
     )
-    collect = kw.get("collect_master", True)
+    # master (or the collect_master=False running power) is identical on
+    # every chip after the psum — replicated either way
     out_specs = (
         jax.tree.map(lambda _: spec_src, mix_state),
         spec_src,
-        spec_r if collect else spec_r,
+        spec_r,
     )
 
     run = functools.partial(

@@ -107,10 +107,7 @@ def test_fused_bus_matches_scan_path(monkeypatch, all_loop):
         np.testing.assert_allclose(
             bus_fus[b], bus_ref[b], atol=5e-5, err_msg=f"bus block {b}"
         )
-        # peak/state atol: the kernel advances filter coefficients by
-        # in-register adds resync'd to the exact affine value every RESYNC
-        # frames (ops/pallas/mix_kernel.py) — drift ≤ ~RESYNC ulps ≈ −100 dB
-        np.testing.assert_allclose(pk_fus[b], pk_ref[b], atol=2e-5)
+        np.testing.assert_allclose(pk_fus[b], pk_ref[b], atol=2e-6)
     for name in (
         "cursor_idx", "cursor_frac", "active", "has_frames", "lookahead",
         "prev_mix_volumes", "filter_coeffs", "filter_state", "srv_prev",
@@ -119,5 +116,5 @@ def test_fused_bus_matches_scan_path(monkeypatch, all_loop):
         np.testing.assert_allclose(
             np.asarray(getattr(s_fus, name)),
             np.asarray(getattr(s_ref, name)),
-            atol=2e-5, err_msg=name,
+            atol=2e-6, err_msg=name,
         )

@@ -38,11 +38,13 @@ def test_fused_mode_a_matches_scan():
     assert err < 1e-4 * max(np.abs(outs["scan"]).max(), 1.0)
 
 
-def test_fused_bus_matches_split_on_tpu(monkeypatch):
-    """GAS_FUSED_BUS=1 (in-kernel v3 fold-dot bus contraction) vs the split
+def test_fused_bus_matches_split_on_tpu():
+    """fused_bus=True (in-kernel v3 fold-dot bus contraction) vs the split
     kernel + XLA einsum path, on real Mosaic (the CPU suite only covers
     interpret mode, which misses layout/precision hazards in the fold
-    dots)."""
+    dots).  fused_bus MUST be the explicit static param — an env-var A/B
+    silently reuses the first variant's jit trace (the round-5
+    trace-cache trap) and compares the split path against itself."""
     from godot_audio_spatializer_tpu.constants import SpeakerMode
     from godot_audio_spatializer_tpu.engine.offline import render_trajectory
     from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
@@ -53,17 +55,17 @@ def test_fused_bus_matches_split_on_tpu(monkeypatch):
     )
     outs = {}
     for fused in (False, True):
-        monkeypatch.setenv("GAS_FUSED_BUS", "1" if fused else "0")
         kw = dict(
             speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
             frame_count=512, collect_master=True, biquad_method="pallas",
-            unit_pitch_aligned=True,
+            unit_pitch_aligned=True, fused_bus=fused,
         )
         _, _, master = render_trajectory(*args, **kw)
         outs[fused] = np.asarray(master)
     err = np.abs(outs[False] - outs[True]).max()
-    # 3-term bf16-split dot ≈ −108 dB; budget is −80 dBFS
-    assert err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
+    # the variants must actually differ (bf16-split dot ≈ −108 dB, not a
+    # bitwise-identical trace reuse) yet stay inside the −80 dBFS budget
+    assert 0.0 < err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
 
 
 def test_kernel_resampler_matches_xla_on_tpu():
