@@ -70,6 +70,13 @@ def engine_step(
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
+    `unit_row_width` > 128 (wide-row gather) requires the alignment
+    contract: the bank built with build_bank(align=unit_row_width), start
+    cursors multiples of unit_row_width, and looping clip lengths
+    multiples of unit_row_width — so (base + cursor) % unit_row_width == 0
+    at every block.  Lanes violating it read as silence (the resampler
+    masks misaligned reads rather than returning snapped-window garbage).
+
     Returns (new_mix_state, new_was_out, master [C,F,2], peaks [N]).
     """
     num_buses = mix_state.srv_prev.shape[1]

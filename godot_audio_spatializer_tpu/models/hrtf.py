@@ -299,7 +299,12 @@ def hrtf_mix_block(
     resample_gather: str = "xla",
     unit_row_width: int = 128,
 ):
-    """One binaural audio block from precomputed geometry."""
+    """One binaural audio block from precomputed geometry.
+
+    `unit_row_width` > 128 requires (base + cursor) % unit_row_width == 0
+    every block (bank built with build_bank(align=unit_row_width), aligned
+    cursors, loop lengths multiples of it); misaligned lanes read silence.
+    """
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,

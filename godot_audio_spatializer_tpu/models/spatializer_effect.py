@@ -29,10 +29,12 @@ from .spatializer3d import AudioSpatializer3D
 class AudioSpatializerEffect:
     """Effect-chain spatializer resource.
 
-    audio_effects: the chain (models/effects.py source effects).  All
-    AudioSpatializerEffect players in one engine must share the same chain
-    structure (the engine's `source_effects`) — per-source variation flows
-    through EffectCtx bindings.
+    audio_effects: the chain (models/effects.py source effects).  Players
+    may carry DIFFERENT chain structures in one engine — distinct
+    structures auto-group at play() time (engine._ensure_chain_group),
+    matching the reference's per-instance effect lists
+    (audio_spatializer_effect.cpp:157-169).  Per-source parameter
+    variation within one structure flows through EffectCtx bindings.
     geometry: Stage A configuration (pan/attenuation/doppler/areas).
     """
 

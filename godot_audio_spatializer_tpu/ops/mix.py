@@ -199,8 +199,12 @@ def mix_block(
     )
     x16 = state.lookahead.dtype == jnp.int16
     if x16:
-        assert bank.data.dtype == jnp.int16, "int16 path needs an int16 bank"
-        assert (
+        # explicit raises (not `assert`): these preconditions guard paths
+        # that would silently skip dequantization — they must hold even
+        # under `python -O`
+        if bank.data.dtype != jnp.int16:
+            raise ValueError("int16 PCM intermediates need an int16 bank")
+        if not (
             biquad_method == "pallas"
             and not mix_channel_enabled
             and not chain
@@ -208,7 +212,12 @@ def mix_block(
             and params.voice_gain is None
             and unit_pitch_aligned
             and not fused_bus_env
-        ), "int16 PCM intermediates require the fused mode-A unit-pitch path"
+        ):
+            raise ValueError(
+                "int16 PCM intermediates require the fused mode-A "
+                "unit-pitch path (biquad_method='pallas', no chains, "
+                "no mix-channel mode, no voice gain, no fused bus)"
+            )
 
     # ---- 1. resample gather (L0 AudioStreamPlayback::mix) ----
     # Planar fast path (round 5): the kernel resampler's raw frames-on-
@@ -237,6 +246,27 @@ def mix_block(
         # take the path when no padding is needed
         and N % 1024 == 0
     )
+    # An EXPLICIT planar=True / fused_bus=True that a gate disqualifies
+    # must fail loudly, not silently fall back — otherwise an A/B measures
+    # the fallback against itself (the round-5 trace-cache trap, moved to
+    # gating).  All gate terms are static, so this raises at trace time.
+    if planar is True and not planar_base:
+        raise ValueError(
+            "planar=True requested but the planar path is gated off "
+            "(needs biquad_method='pallas', resample_gather='kernel', "
+            "variable pitch, no chains/mix-channel/voice-gain/int16, "
+            "F % 128 == 0 and N % 1024 == 0; "
+            f"got N={N}, F={F}, biquad_method={biquad_method!r}, "
+            f"resample_gather={resample_gather!r})"
+        )
+    if fused_bus is True and not (
+        biquad_method == "pallas" and not mix_channel_enabled and not chains
+    ):
+        raise ValueError(
+            "fused_bus=True requested but the in-kernel bus contraction is "
+            "gated off (needs biquad_method='pallas', no mix-channel mode, "
+            "no effect chains)"
+        )
     planar_split = planar_base and not fused_bus_env
     planar_bus = planar_base and fused_bus_env
     frames, mixed, nidx, nfrac = resample_block(
@@ -508,7 +538,13 @@ def mix_block(
         # per-source active/mode masks are folded into the (tiny) bus
         # weight lanes — masking the [N,F,2] signal itself would cost a
         # full extra HBM pass that XLA cannot fuse into the dot.  The fold
-        # is bit-exact: the masks are 0/1.
+        # is bit-exact for FINITE signals: the masks are 0/1.  Trade-off:
+        # masked lanes' samples are no longer zeroed before the einsum, so
+        # a non-finite sample on an inactive/mode-masked lane (e.g. an
+        # effect-chain overflow) poisons the whole bus via 0·inf = NaN.
+        # Accepted for the HBM-pass saving; if containment matters,
+        # sanitize chain outputs (nan_to_num on the tiny per-lane state)
+        # rather than re-masking the signal.
         if mix_channel_enabled:
             maskA = active0 & ~params.mix_channel_mode
             maskB = active0 & params.mix_channel_mode

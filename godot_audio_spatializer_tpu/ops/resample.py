@@ -198,7 +198,15 @@ def resample_block(
             win = _dequant(win)
         frames = win.reshape(N, F, 2)
         idx = cursor_idx[:, None] + jnp.arange(F, dtype=jnp.int32)[None, :]
-        valid = loop[:, None] | (idx <= length_e[:, None] - 1)
+        # load-bearing invariant: the row gather starts exactly at the
+        # cursor only when (base + cursor) % W == 0 — a bank built with a
+        # smaller align (or an unaligned cursor / loop length) would snap
+        # the read window to an earlier aligned offset and return the
+        # WRONG samples.  Folding the check into the existing validity
+        # mask is free (the `where` below is already there) and turns
+        # misuse into silence + auto-disable instead of garbage audio.
+        aligned = ((base + cursor_idx) % W) == 0
+        valid = (loop[:, None] | (idx <= length_e[:, None] - 1)) & aligned[:, None]
         frames = jnp.where(valid[..., None], frames, jnp.zeros((), frames.dtype))
         mixed = valid.sum(axis=1).astype(jnp.int32)
         new_idx, _ = _advance(

@@ -80,7 +80,7 @@ def test_pcm16_e2e_within_budget():
 
 def test_pcm16_requires_fused_mode_a():
     state, bp, bank = _scene(np.int16, jnp.int16)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         mix_block(state, bp, bank, mix_rate=48000.0, frame_count=F,
                   channel_count=4, biquad_method="scan",
                   unit_pitch_aligned=True)
