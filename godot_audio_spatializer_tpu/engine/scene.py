@@ -43,9 +43,11 @@ class AreaDesc:
     """Area3D for bus override / reverb routing.
 
     shape: "box" (oriented when `basis` is set — columns are the local
-    axes, orthonormalized at pack time) or "sphere"
-    (radius = half_extents[0]).  Mirrors the physics shapes the reference
-    queries by point (audio_spatializer_3d.cpp:208-245)."""
+    axes, orthonormalized at pack time), "sphere"
+    (radius = half_extents[0]) or "capsule" (radius = half_extents[0],
+    TOTAL half-height incl. caps = half_extents[1], axis = local Y —
+    Godot CapsuleShape3D's radius/height).  Mirrors the physics shapes the
+    reference queries by point (audio_spatializer_3d.cpp:208-245)."""
 
     center: np.ndarray
     half_extents: np.ndarray
@@ -105,9 +107,17 @@ def pack_areas(
     for i, a in enumerate(areas):
         center[i] = np.asarray(a.center, np.float32)
         half[i] = np.asarray(a.half_extents, np.float32)
-        if getattr(a, "shape", "box") == "sphere":
+        a_shape = getattr(a, "shape", "box")
+        if a_shape == "sphere":
             shape[i] = 1
-        elif getattr(a, "shape", "box") != "box":
+        elif a_shape == "capsule":
+            shape[i] = 2
+            # pack the core segment half-length (total half-height minus
+            # the cap radius) into half[.,1] — the device shape test works
+            # on the segment directly
+            shape_r = float(a.half_extents[0])
+            half[i, 1] = max(float(a.half_extents[1]) - shape_r, 0.0)
+        elif a_shape != "box":
             raise ValueError(f"unknown area shape {a.shape!r}")
         if getattr(a, "basis", None) is not None:
             # world→local = basisᵀ for orthonormal columns

@@ -379,8 +379,10 @@ class Listener:
 
 @dataclass
 class AreaBox:
-    """Area3D stand-in for reverb / bus-override routing: oriented box or
-    sphere (shape="sphere", radius = half_extents[0]).
+    """Area3D stand-in for reverb / bus-override routing: oriented box,
+    sphere (shape="sphere", radius = half_extents[0]) or capsule
+    (shape="capsule", radius = half_extents[0], TOTAL half-height incl.
+    caps = half_extents[1], axis = local Y — Godot CapsuleShape3D).
 
     Models the physics point query at reference audio_spatializer_3d.cpp:208-245
     (first matching area wins, collision-mask filtered) and
@@ -396,7 +398,7 @@ class AreaBox:
     reverb_bus: Optional[str] = None  # is_using_reverb_bus when set
     reverb_amount: float = 0.0
     reverb_uniformity: float = 0.0
-    shape: str = "box"  # "box" | "sphere"
+    shape: str = "box"  # "box" | "sphere" | "capsule"
     basis: Optional[np.ndarray] = None  # [3,3] local axes as columns
 
     def _to_local(self, point: np.ndarray) -> np.ndarray:
@@ -405,11 +407,29 @@ class AreaBox:
             return rel
         return np.asarray(self.basis, np.float64).T @ rel
 
+    def _capsule_seg(self, local: np.ndarray):
+        """(segment point, offset, radius) for the capsule core segment."""
+        r = float(self.half_extents[0])
+        hs = max(float(self.half_extents[1]) - r, 0.0)  # core half-length
+        seg = np.array([0.0, np.clip(local[1], -hs, hs), 0.0])
+        return seg, local - seg, r
+
     def contains(self, point: np.ndarray) -> bool:
         if self.shape == "sphere":
             rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
             return bool(rel @ rel <= float(self.half_extents[0]) ** 2)
+        if self.shape == "capsule":
+            _, d, r = self._capsule_seg(self._to_local(point))
+            return bool(d @ d <= r * r)
         return bool(np.all(np.abs(self._to_local(point)) <= self.half_extents))
+
+    def _from_local(self, local: np.ndarray) -> np.ndarray:
+        if self.basis is None:
+            return np.asarray(self.center, np.float64) + local
+        return (
+            np.asarray(self.center, np.float64)
+            + np.asarray(self.basis, np.float64) @ local
+        )
 
     def closest_point(self, point: np.ndarray) -> np.ndarray:
         if self.shape == "sphere":
@@ -419,15 +439,16 @@ class AreaBox:
             if d <= r or d == 0.0:
                 return np.asarray(point, np.float64)
             return np.asarray(self.center, np.float64) + rel * (r / d)
+        if self.shape == "capsule":
+            seg, d, r = self._capsule_seg(self._to_local(point))
+            dn = math.sqrt(float(d @ d))
+            if dn <= r or dn == 0.0:
+                return np.asarray(point, np.float64)
+            return self._from_local(seg + d * (r / dn))
         local = self._to_local(point)
         clamped = np.clip(local, -np.asarray(self.half_extents, np.float64),
                           np.asarray(self.half_extents, np.float64))
-        if self.basis is None:
-            return np.asarray(self.center, np.float64) + clamped
-        return (
-            np.asarray(self.center, np.float64)
-            + np.asarray(self.basis, np.float64) @ clamped
-        )
+        return self._from_local(clamped)
 
 
 @dataclass

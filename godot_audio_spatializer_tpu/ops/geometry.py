@@ -133,17 +133,35 @@ def empty_bus_routing(n: int):
     )
 
 
+def _capsule_seg_rel(local, half):
+    """Offset from a local-frame point to the capsule's core segment.
+
+    local [..., 3] point in the capsule frame; half [..., 3] with
+    radius in [...,0] and core segment half-length in [...,1] (packed by
+    engine.scene.pack_areas from Godot's radius/height); axis = local Y."""
+    hs = half[..., 1]
+    core_y = jnp.clip(local[..., 1], -hs, hs)
+    seg = jnp.zeros_like(local).at[..., 1].set(core_y)
+    return seg, local - seg
+
+
 def _select_area(scene: SceneState, params: SourceParams):
     """_get_overriding_area (reference audio_spatializer_3d.cpp:208-245):
     first active area containing the source point, mask-matched, that
     overrides the bus or provides reverb.  Shapes: oriented box (world→
-    local rotation, per-axis extent test) or sphere (radius test)."""
+    local rotation, per-axis extent test), sphere (radius test) or
+    capsule (distance to the Y-axis core segment ≤ radius)."""
     rel = scene.source_pos[:, None, :] - scene.area_center[None, :, :]  # [N,A,3]
     local = jnp.einsum("aij,naj->nai", scene.area_rot, rel)
     box_in = jnp.all(jnp.abs(local) <= scene.area_half[None, :, :], axis=-1)
     r2 = scene.area_half[None, :, 0] ** 2
     sph_in = jnp.sum(rel * rel, axis=-1) <= r2
-    contains = jnp.where(scene.area_shape[None, :] == 1, sph_in, box_in)  # [N,A]
+    _, cap_d = _capsule_seg_rel(local, scene.area_half[None, :, :])
+    cap_in = jnp.sum(cap_d * cap_d, axis=-1) <= r2
+    shape = scene.area_shape[None, :]
+    contains = jnp.where(
+        shape == 2, cap_in, jnp.where(shape == 1, sph_in, box_in)
+    )  # [N,A]
     mask_match = (scene.area_mask[None, :] & params.area_mask[:, None]) != 0
     relevant = (scene.area_override_bus >= 0) | (scene.area_reverb_bus >= 0)
     found = contains & mask_match & relevant[None, :] & scene.area_active[None, :]
@@ -194,7 +212,24 @@ def calculate_spatialization(
         (d_l > radius) & (d_l > 0), radius / jnp.where(d_l > 0, d_l, 1.0), 1.0
     )
     sph_cp = a_center[:, None, :] + rel_l * scale[..., None]
-    closest = jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp)
+    # capsule: clamp onto the Y-axis core segment in the local frame, then
+    # pull onto the surface when outside (inside points stay put — same
+    # semantics as the sphere and the golden's closest_point)
+    cap_seg, cap_d = _capsule_seg_rel(local_l, a_half[:, None, :])
+    cap_dn = jnp.linalg.norm(cap_d, axis=-1)  # [N,L]
+    cap_r = a_half[:, None, 0]
+    cap_scale = jnp.where(
+        (cap_dn > cap_r) & (cap_dn > 0),
+        cap_r / jnp.where(cap_dn > 0, cap_dn, 1.0),
+        1.0,
+    )
+    cap_local = cap_seg + cap_d * cap_scale[..., None]
+    cap_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cap_local)
+    closest = jnp.where(
+        (a_shape == 2)[:, None, None],
+        cap_cp,
+        jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp),
+    )
     # full (non-orthonormalized) affine inverse of the listener transform
     lap_diff = closest - scene.listener_origin[None, :, :]
     listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)

@@ -38,16 +38,29 @@ def _random_scene(rng, n_sources, n_listeners, n_areas, speaker_mode, with_doppl
             reverb = "Reverb"
         amount = float(rng.uniform(0, 1))
         uniformity = float(rng.uniform(0, 1)) if rng.random() < 0.7 else 0.0
-        # mix of shapes: axis-aligned box, rotated box, sphere
+        # mix of shapes: axis-aligned box, rotated box, sphere, capsule
         roll = rng.random()
         shape, basis = "box", None
-        if roll < 0.33:
+        if roll < 0.25:
             shape = "sphere"
-        elif roll < 0.66:
+        elif roll < 0.5:
             q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
             if np.linalg.det(q) < 0:
                 q[:, 0] *= -1
             basis = q
+        elif roll < 0.75:
+            # capsule: half[0] = radius, half[1] = TOTAL half-height
+            # (occasionally degenerate h/2 < r → sphere-like core);
+            # rotated half the time
+            shape = "capsule"
+            half = np.array(
+                [half[0], half[0] * float(rng.uniform(0.5, 3.0)), half[2]]
+            )
+            if rng.random() < 0.5:
+                q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+                if np.linalg.det(q) < 0:
+                    q[:, 0] *= -1
+                basis = q
         areas_g.append(
             g.AreaBox(center, half, 1, override, reverb, amount, uniformity,
                       shape=shape, basis=basis)
