@@ -185,8 +185,18 @@ class AudioStreamPlayerSpatial:
     def set_playback_parameter(self, name: str, value) -> None:
         """Set a `parameters/<name>` property applied to future playbacks.
 
-        Supported by AudioStreamSample playbacks: `looping` (bool) —
-        overrides the stream's loop flag per playback."""
+        The whole dict is forwarded to each new playback at start (the
+        reference's dynamic `parameters/*` passthrough,
+        audio_stream_player_spatial.cpp:158-173, 425-463).  Keys consumed
+        by the shipped stream families (others are carried but inert —
+        custom streams may consume them via `parameterized`):
+
+        - sample streams (`AudioStream.PLAYBACK_PARAMETERS`): `looping`
+          (bool), `loop_mode` ("forward"/"pingpong"), `loop_begin`,
+          `loop_end` (samples) — per-playback loop-region overrides;
+        - any stream: `pitch_override` (per-voice pitch multiplier — for
+          randomizers, replaces the random draw) and `volume_offset_db`
+          (per-voice gain offset)."""
         key = name.split("/", 1)[-1]
         self.playback_parameters[key] = value
 

@@ -427,8 +427,18 @@ class AudioEngine:
         self._params_dirty = True
         self._last_peaks = None
         # host cache of the last step()'s active flags (fetched inside
-        # the packed master transfer); None = must read from device
+        # the packed master transfer); None = must read from device.
+        # The cache is tagged with the engine tick whose mix produced it:
+        # a slot whose playback STARTED after that tick is exempt from
+        # finished-GC (the snapshot predates its first mix — with
+        # step_pipelined()'s one-extra-tick lag a fresh voice would
+        # otherwise read as inactive and be reaped; found by the
+        # interleaved-path fuzz).  The reference can't hit this: its
+        # active flags live on the playback node itself, created true.
         self._active_host = None
+        self._active_host_tick = -1
+        self._tick_no = 0  # engine ticks processed (physics or fused)
+        self._slot_play_tick = np.full(n, -1, np.int64)
 
     # ------------------------------------------------------------------ buses
     @property
@@ -453,8 +463,52 @@ class AudioEngine:
             srv_target=jnp.concatenate([self.mix_state.srv_target, pad], axis=1),
         )
 
+    def remove_bus(self, name: str) -> None:
+        """Remove a bus (AudioServer::remove_bus + bus_layout_changed).
+
+        Live playbacks keep mixing: the slot srv ramp lanes drop the
+        removed bus's column (remaining buses keep their ramp state at
+        their new indices), sends targeting it fall back to Master, and
+        players routed to it fall back to Master on the next tick via the
+        name lookup (reference audio_stream_player_spatial.cpp:401-413,
+        588-589 — the node re-resolves its bus on bus_layout_changed)."""
+        if name == "Master":
+            raise ValueError("the Master bus cannot be removed")
+        bi = self.bus_index(name)
+        for b in self.buses:
+            if b.send == name:
+                b.send = "Master"
+        del self.buses[bi]
+        self.mix_state = self.mix_state.replace(
+            srv_prev=jnp.delete(self.mix_state.srv_prev, bi, axis=1),
+            srv_target=jnp.delete(self.mix_state.srv_target, bi, axis=1),
+        )
+        self._bus_fx_states = None
+        self._params_dirty = True  # player bus indices re-resolve
+
+    def rename_bus(self, old: str, new: str) -> None:
+        """Rename a bus (AudioServer::set_bus_name + bus_renamed signal).
+
+        Players and sends that referenced the OLD name are NOT rewritten —
+        they re-resolve by name and fall back to Master, matching Godot
+        (the node keeps its bus string; reference cpp:401-413)."""
+        if old == "Master":
+            raise ValueError("the Master bus cannot be renamed")
+        if any(b.name == new for b in self.buses):
+            raise ValueError(f"bus {new!r} already exists")
+        self.buses[self.bus_index(old)].name = new
+        self._params_dirty = True
+
     def bus_index(self, name: str) -> int:
         return self.bus_names.index(name)
+
+    def _bus_index_or_master(self, name: str) -> int:
+        """Send-target resolution with Master fallback (a send whose
+        target vanished — removed or renamed away — routes to Master)."""
+        try:
+            return self.bus_names.index(name)
+        except ValueError:
+            return 0
 
     def add_bus_effect(self, bus_name: str, effect) -> None:
         """Attach a BusEffect (see models/effects.py) to a bus chain."""
@@ -760,11 +814,29 @@ class AudioEngine:
                     pl._proxies_alive = True
                     pl._proxy_paused = False
                 self._slot_paused[s] = pl._proxy_paused
+                self._slot_play_tick[s] = self._tick_no
                 # a randomizer resolves to (stream, pitch, gain) per voice
                 stream = pl.stream
                 voice_pitch, voice_gain = 1.0, 1.0
                 if isinstance(stream, AudioStreamRandomizer):
                     stream, voice_pitch, voice_gain = stream.pick()
+                # generic `parameters/*` passthrough (the reference forwards
+                # the playback's whole dynamic parameter list at start,
+                # audio_stream_player_spatial.cpp:158-173, 425-463):
+                # voice-level overrides ride the per-slot pitch/gain lanes,
+                # stream-level overrides (looping, loop region/mode)
+                # resolve to a registered per-playback stream variant
+                pp = pl.playback_parameters
+                if pp:
+                    if pp.get("pitch_override") is not None:
+                        voice_pitch = float(pp["pitch_override"])
+                    if pp.get("volume_offset_db") is not None:
+                        voice_gain = float(
+                            db_to_linear_host(pp["volume_offset_db"])
+                        )
+                    param_fn = getattr(stream, "parameterized", None)
+                    if param_fn is not None:
+                        stream = param_fn(pp)
                 stream_rate = stream.sample_rate or self.mix_rate
                 self._slot_pitch_mul[s] = voice_pitch * stream_rate / self.mix_rate
                 self._slot_gain[s] = voice_gain
@@ -775,13 +847,7 @@ class AudioEngine:
                 self._slot_bank_length[s] = length
                 self._slot_loop_begin[s] = begin
                 self._slot_pp_end[s] = pp_end or 0
-                # `parameters/looping` playback parameter overrides the
-                # stream's loop flag per playback (the reference's dynamic
-                # parameters/* passthrough, cpp:158-173)
-                loop_override = pl.playback_parameters.get("looping")
-                self._slot_bank_loop[s] = (
-                    stream.loop if loop_override is None else bool(loop_override)
-                )
+                self._slot_bank_loop[s] = stream.loop
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
                 )
@@ -842,6 +908,7 @@ class AudioEngine:
         if not self.players:
             return
         n = self.max_sources
+        self._tick_no += 1
 
         for pl in self.players:
             if pl.spatializer_base is not None and (
@@ -859,6 +926,8 @@ class AudioEngine:
                     pl.slots.remove(s)
                     self._release_slot(s)
                 pl._emit_finished()
+        # fresh flags cover every mixed tick so far
+        self._active_host_tick = self._tick_no - 1
 
         # -- stage A --
         if self._params_dirty or self._source_params_cache is None:
@@ -949,6 +1018,7 @@ class AudioEngine:
             return None
         if dt is None:
             dt = 1.0 / self.physics_rate
+        self._tick_no += 1
 
         for pl in self.players:
             if pl.spatializer_base is not None and (
@@ -961,11 +1031,20 @@ class AudioEngine:
         # step() already fetched the active flags inside its packed master
         # transfer; fall back to a device read only when the cache is cold
         # (first step, or after a split-path/physics_step interleave).
+        # Slots whose playback started AFTER the cached snapshot's tick
+        # are exempt — the snapshot predates their first mix, so they
+        # read as inactive (step_pipelined's extra tick of flag lag would
+        # otherwise reap fresh voices).
         active_now = self._active_host
+        flags_tick = self._active_host_tick
         if active_now is None:
             active_now = np.asarray(self.mix_state.active)
+            flags_tick = self._tick_no - 1  # fresh: covers all mixed ticks
         for pl in self.players:
-            finished = [sl for sl in pl.slots if not active_now[sl]]
+            finished = [
+                sl for sl in pl.slots
+                if not active_now[sl] and self._slot_play_tick[sl] <= flags_tick
+            ]
             if finished:
                 for sl in finished:
                     pl.slots.remove(sl)
@@ -987,7 +1066,7 @@ class AudioEngine:
 
         bank = self._bank()
         sends = tuple(
-            self.bus_index(b.send) if b.send is not None else -1 for b in self.buses
+            self._bus_index_or_master(b.send) if b.send is not None else -1 for b in self.buses
         )
         vols = tuple(b.volume_db for b in self.buses)
         effects = tuple(tuple(b.effects) for b in self.buses)
@@ -1034,16 +1113,18 @@ class AudioEngine:
         self._bus_fx_states = new_fx
         self._last_peaks = peaks
         self._post_mix_proxy_gc()
-        return master.shape, packed
+        return master.shape, packed, self._tick_no
 
-    def _fetch_packed(self, master_shape, packed) -> np.ndarray:
+    def _fetch_packed(self, master_shape, packed, tick) -> np.ndarray:
         # single device→host transfer: master block + active flags (the
         # flags feed a LATER tick's finished-GC — one tick of lag, as in
         # the reference, which flags on the audio thread and signals on the
-        # next physics tick)
+        # next physics tick).  `tick` = the engine tick whose mix produced
+        # these flags; younger playbacks are exempt from GC against them.
         arr = np.asarray(packed)
         msz = int(np.prod(master_shape))
         self._active_host = arr[msz:] > 0.5
+        self._active_host_tick = tick
         return arr[:msz].reshape(master_shape)
 
     def _post_mix_proxy_gc(self) -> None:
@@ -1224,7 +1305,7 @@ class AudioEngine:
     def _render(self, state: MixState, bp: BlockParams):
         bank = self._bank()
         sends = tuple(
-            self.bus_index(b.send) if b.send is not None else -1 for b in self.buses
+            self._bus_index_or_master(b.send) if b.send is not None else -1 for b in self.buses
         )
         vols = tuple(b.volume_db for b in self.buses)
         effects = tuple(tuple(b.effects) for b in self.buses)
@@ -1320,6 +1401,8 @@ class AudioEngine:
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
         self.mix_state = jax.tree.unflatten(treedef, restored)
         self._active_host = None
+        self._active_host_tick = -1
+        self._slot_play_tick = np.full(self.max_sources, -1, np.int64)
         self.slot_player = data["slot_player"]
         self._slot_bank_base = data["slot_bank_base"]
         self._slot_bank_length = data["slot_bank_length"]

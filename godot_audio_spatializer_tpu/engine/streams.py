@@ -69,6 +69,46 @@ class AudioStream:
     def __len__(self) -> int:
         return self.data.shape[0]
 
+    # playback parameters this stream family consumes (the reference's
+    # AudioStreamPlayback::get_parameter_list contract — the player node
+    # forwards its whole `parameters/*` dict to each new playback,
+    # audio_stream_player_spatial.cpp:158-173, 425-463)
+    PLAYBACK_PARAMETERS = ("looping", "loop_mode", "loop_begin", "loop_end")
+
+    def parameterized(self, params: dict) -> "AudioStream":
+        """Per-playback variant with `parameters/*` overrides applied
+        (looping / loop_mode / loop_begin / loop_end).  Returns self when
+        no relevant key is set.  Variants share the sample data and are
+        cached per distinct override set, so the engine's bank registers
+        each variant once (its loop tail/margin is built correctly for
+        the overridden region — flipping only the per-slot loop flag
+        would read a one-shot clip's replicated-sample margin at the
+        wrap)."""
+        keys = {
+            k: params[k]
+            for k in self.PLAYBACK_PARAMETERS
+            if params.get(k) is not None
+        }
+        if not keys:
+            return self
+        cache_key = tuple(sorted(keys.items()))
+        cache = self.__dict__.setdefault("_param_variants", {})
+        variant = cache.get(cache_key)
+        if variant is None:
+            variant = AudioStreamSample(
+                self.data,
+                loop=bool(keys.get("looping", self.loop)),
+                sample_rate=self.sample_rate,
+                loop_mode=keys.get("loop_mode", self.loop_mode),
+                loop_begin=keys.get("loop_begin", self.loop_begin),
+                loop_end=keys.get(
+                    "loop_end",
+                    self.loop_end if self.loop_end is not None else None,
+                ),
+            )
+            cache[cache_key] = variant
+        return variant
+
     def is_monophonic(self) -> bool:
         return False
 
@@ -199,6 +239,11 @@ class AudioStreamGenerator(AudioStream):
             sample_rate=float(sample_rate),
         )
         self.write_pos = 0  # total frames pushed (mod ring applied on write)
+
+    PLAYBACK_PARAMETERS = ()  # the ring has no per-playback loop overrides
+
+    def parameterized(self, params: dict) -> "AudioStream":
+        return self  # pushes target THIS stream's ring — never copy it
 
     @property
     def ring_length(self) -> int:

@@ -145,3 +145,81 @@ def test_bus_mute_through_fused_step():
     assert np.abs(eng.step()).max() > 1e-4
     eng.set_bus_mute("Aux", True)
     assert np.abs(eng.step()).max() == 0.0
+
+
+def test_remove_bus_mid_playback_falls_back_to_master():
+    """Removing a routed bus mid-playback must not NaN or shape-break;
+    the player re-resolves to Master on the next tick (reference
+    bus_layout_changed handling, audio_stream_player_spatial.cpp:401-413,
+    588-589)."""
+    rng = np.random.default_rng(7)
+    clip = (rng.standard_normal(6000) * 0.4).astype(np.float32)
+    eng = AudioEngine(mix_rate=48000.0, block_size=256, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    eng.add_bus("Aux", volume_db=-60.0)  # quiet so fallback is audible
+    eng.add_bus("Keep", volume_db=0.0)
+    p = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=True),
+        spatializer=AudioSpatializer3D(), bus="Aux",
+    )
+    p.set_position([1.0, 0.0, -2.0])
+    p.play()
+    quiet = eng.step()
+    assert np.isfinite(quiet).all()
+    assert 0 < np.abs(quiet).max() < 1e-2  # −60 dB bus fader
+
+    eng.remove_bus("Aux")
+    assert eng.bus_names == ["Master", "Keep"]
+    assert p.bus == "Master"  # name lookup falls back
+    # srv lanes dropped the removed column
+    assert eng.mix_state.srv_prev.shape[1] == 2
+    out1 = eng.step()  # tick after removal: routing re-resolves to Master
+    out2 = eng.step()
+    assert np.isfinite(out1).all() and np.isfinite(out2).all()
+    assert p.is_playing()
+    # by the second block the srv ramp has reached the Master-routed
+    # volumes: full-level output (no −60 dB fader anymore)
+    assert np.abs(out2).max() > 10 * np.abs(quiet).max()
+
+
+def test_remove_bus_send_and_master_guard():
+    eng = AudioEngine(mix_rate=48000.0, block_size=256, max_sources=2)
+    eng.add_bus("A")
+    eng.add_bus("B", send="A")
+    eng.remove_bus("A")
+    assert eng.buses[eng.bus_index("B")].send == "Master"
+    with pytest.raises(ValueError):
+        eng.remove_bus("Master")
+
+
+def test_rename_bus_player_falls_back():
+    """Renaming a bus: players keep their old bus string and fall back to
+    Master (Godot semantics — the node's bus property is not rewritten)."""
+    rng = np.random.default_rng(8)
+    clip = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+    eng = AudioEngine(mix_rate=48000.0, block_size=256, max_sources=2)
+    eng.add_listener(ListenerDesc())
+    eng.add_bus("Aux", volume_db=-120.0)
+    p = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=True),
+        spatializer=AudioSpatializer3D(), bus="Aux",
+    )
+    p.set_position([1.0, 0.0, -2.0])
+    p.play()
+    silent = eng.step()
+    assert np.abs(silent).max() < 1e-5
+
+    eng.rename_bus("Aux", "Renamed")
+    assert p.bus == "Master"
+    eng.step()
+    loud = eng.step()  # ramp completed to the Master routing
+    assert np.isfinite(loud).all()
+    assert np.abs(loud).max() > 1e-3
+    # re-pointing the player at the new name restores the quiet bus
+    p.bus = "Renamed"
+    eng.mark_params_dirty()
+    eng.step()
+    quiet_again = eng.step()
+    assert np.abs(quiet_again).max() < 1e-5
+    with pytest.raises(ValueError):
+        eng.rename_bus("Master", "Main")

@@ -192,3 +192,111 @@ def test_step_pipelined_is_one_block_delayed_step():
     assert np.abs(piped[0]).max() == 0.0
     for k in range(5):
         np.testing.assert_array_equal(piped[k + 1], sync[k])
+
+
+def test_loop_region_playback_parameters_match_configured_stream():
+    """Non-`looping` parameters/* keys (loop region override) reach the
+    playback: a one-shot stream played with loop_begin/loop_end overrides
+    must be BIT-EXACT with a stream configured directly with that region
+    (the direct path is golden-checked in test_streams
+    loop-region parity)."""
+    rng = np.random.default_rng(21)
+    data = (rng.standard_normal(900) * 0.4).astype(np.float32)
+    begin, end = 128, 640
+
+    def run(stream, params=()):
+        eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+        eng.add_listener(ListenerDesc())
+        pl = AudioStreamPlayerSpatial(
+            eng, stream=stream, spatializer=AudioSpatializer3D())
+        pl.set_position([1.0, 0.0, -1.0])
+        for k, v in params:
+            pl.set_playback_parameter(k, v)
+        pl.play()
+        out = []
+        for _ in range(6):
+            eng.physics_step()
+            out.append(eng.render_block())
+        return np.concatenate(out, axis=1)
+
+    via_params = run(
+        AudioStreamSample(data, sample_rate=RATE),  # one-shot base stream
+        params=[("parameters/looping", True),
+                ("parameters/loop_begin", begin),
+                ("parameters/loop_end", end)],
+    )
+    direct = run(AudioStreamSample(data, loop=True, loop_begin=begin,
+                                   loop_end=end, sample_rate=RATE))
+    np.testing.assert_array_equal(via_params, direct)
+    assert np.abs(via_params).max() > 1e-3
+
+
+def test_playback_parameters_diverge_between_players():
+    """Two players sharing ONE stream: a parameters/* override on one
+    diverges its audio from the other's (per-playback scope)."""
+    rng = np.random.default_rng(22)
+    data = (rng.standard_normal(2000) * 0.4).astype(np.float32)
+    stream = AudioStreamSample(data, loop=True, sample_rate=RATE)
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    p1 = AudioStreamPlayerSpatial(eng, stream=stream,
+                                  spatializer=AudioSpatializer3D())
+    p2 = AudioStreamPlayerSpatial(eng, stream=stream,
+                                  spatializer=AudioSpatializer3D())
+    pos = [1.0, 0.0, -1.0]
+    p1.set_position(pos)
+    p2.set_position(pos)
+    p2.set_playback_parameter("parameters/loop_end", 700)
+    p1.play()
+    p2.play()
+    both = []
+    for _ in range(6):
+        eng.physics_step()
+        both.append(eng.render_block())
+    both = np.concatenate(both, axis=1)
+
+    # same scene with NO override: identical players sum coherently; with
+    # the override the summed signal must differ from 2× one player
+    eng1 = AudioEngine(mix_rate=RATE, block_size=F, max_sources=4)
+    eng1.add_listener(ListenerDesc())
+    q1 = AudioStreamPlayerSpatial(eng1, stream=stream,
+                                  spatializer=AudioSpatializer3D())
+    q1.set_position(pos)
+    q1.play()
+    solo = []
+    for _ in range(6):
+        eng1.physics_step()
+        solo.append(eng1.render_block())
+    solo = np.concatenate(solo, axis=1)
+    assert np.abs(both - 2.0 * solo).max() > 1e-3, (
+        "loop_end override did not diverge the second player's playback"
+    )
+
+
+def test_voice_override_playback_parameters():
+    """pitch_override / volume_offset_db ride the per-voice lanes."""
+    rng = np.random.default_rng(23)
+    data = (rng.standard_normal(3000) * 0.4).astype(np.float32)
+    stream = AudioStreamSample(data, loop=True, sample_rate=RATE)
+
+    def run(params=()):
+        eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+        eng.add_listener(ListenerDesc())
+        pl = AudioStreamPlayerSpatial(
+            eng, stream=stream, spatializer=AudioSpatializer3D())
+        pl.set_position([1.0, 0.0, -1.0])
+        for k, v in params:
+            pl.set_playback_parameter(k, v)
+        pl.play()
+        out = []
+        for _ in range(4):
+            eng.physics_step()
+            out.append(eng.render_block())
+        return np.concatenate(out, axis=1)
+
+    base = run()
+    gained = run(params=[("parameters/volume_offset_db", -6.0)])
+    ratio = np.abs(gained).max() / np.abs(base).max()
+    assert abs(ratio - 10 ** (-6.0 / 20.0)) < 5e-3
+    pitched = run(params=[("parameters/pitch_override", 1.5)])
+    assert np.abs(pitched - base).max() > 1e-3

@@ -170,3 +170,152 @@ def test_randomized_lifecycle(seed):
     peak = np.abs(ref).max()
     assert peak > 1e-2, "stress scenario produced silence — not exercising audio"
     assert err <= DB80 * max(peak, 1.0), f"max deviation {err} vs peak {peak}"
+
+
+@pytest.mark.parametrize("seed", [200])
+def test_randomized_lifecycle_interleaved_paths(seed):
+    """The same randomized fuzz with the ENGINE PATH chosen per block:
+    split physics_step()+render_block(), fused step(), or
+    step_pipelined() — all three share MixState, so interleaving pins the
+    `_pending_step`-drop and `_active_host`-cache semantics
+    (engine/server.py step/step_pipelined/_step_dispatch) that no
+    single-path test stresses.  Adds a generator-stream player (device
+    bank patches interleaved with the fused dispatches) and master-fader
+    toggles (static-flag recompiles mid-run).
+
+    step_pipelined() returns the PREVIOUS dispatched block (zeros before
+    any), and a pending block is dropped by an intervening synchronous
+    step() — the comparison maps each returned block to its golden tick
+    accordingly."""
+    rng = np.random.default_rng(seed)
+    n_players = 3
+    clips = [
+        (rng.standard_normal(int(rng.integers(2000, 30000))) * 0.3).astype(np.float32)
+        for _ in range(n_players)
+    ]
+    loops = [bool(rng.random() < 0.5) for _ in range(n_players)]
+    trajectories = [
+        [np.array([rng.uniform(-6, 6), rng.uniform(-1, 1), rng.uniform(-6, -1)])
+         for _ in range(N_BLOCKS)]
+        for _ in range(n_players)
+    ]
+    schedule = []
+    for b in range(N_BLOCKS):
+        evs = []
+        for pi in range(n_players):
+            e = []
+            r = rng.random()
+            if b == 0 or r < 0.15:
+                e.append("play")
+            elif r < 0.22:
+                e.append("stop")
+            elif r < 0.27:
+                e.append("pause")
+            elif r < 0.32:
+                e.append("unpause")
+            evs.append(e)
+        schedule.append(evs)
+    paths = [str(rng.choice(["split", "step", "pipelined"])) for _ in range(N_BLOCKS)]
+    # master-fader toggles at fixed blocks (static flags → mid-run recompile)
+    fader_db = {20: -6.0, 50: 0.0}
+
+    # generator stream: deterministic sine pushed one block per tick; the
+    # ring outlives the whole run, so its content equals a linear clip
+    from godot_audio_spatializer_tpu.engine.streams import AudioStreamGenerator
+
+    gen_total = N_BLOCKS * F
+    tt = np.arange(gen_total, dtype=np.float64) / MIX_RATE
+    gen_sig = (0.3 * np.sin(2 * np.pi * 330.0 * tt)).astype(np.float32)
+    gen_pos = np.array([1.0, 0.0, -2.0])
+
+    cfg = g.Spatializer3DConfigG()
+
+    # ---- golden (per engine tick; outputs indexed by tick) ----
+    server = g.GoldenAudioServer(SpeakerMode.STEREO, MIX_RATE, F)
+    sims = [GoldenPlayerSim(server, clips[i], cfg, loops[i]) for i in range(n_players)]
+    gen_stream_g = AudioStreamGenerator(sample_rate=MIX_RATE,
+                                        buffer_seconds=(gen_total + 8192) / MIX_RATE)
+    ring = gen_stream_g.ring_length
+    gen_data_g = np.zeros((ring, 2), np.float32)
+    gen_data_g[:gen_total, 0] = gen_sig
+    gen_data_g[:gen_total, 1] = gen_sig
+    gen_sim = GoldenPlayerSim(server, gen_data_g, cfg, loop=True)
+    master_lin = 1.0
+    ref_blocks = []
+    for b in range(N_BLOCKS):
+        if b in fader_db:
+            master_lin = float(np.exp(fader_db[b] * 0.11512925464970228))
+        for pi, sim in enumerate(sims):
+            sim.pos = trajectories[pi][b]
+            sim.tick(schedule[b][pi])
+        gen_sim.pos = gen_pos
+        gen_sim.tick(["play"] if b == 0 else [])
+        ref_blocks.append(server.mix_block() * master_lin)
+        for sim in sims + [gen_sim]:
+            if sim.registered and not sim.inst.playbacks:
+                server.stop_playback_stream(sim.inst, 0)
+                sim.registered = False
+    ref = [blk for blk in ref_blocks]
+
+    # ---- engine ----
+    eng = AudioEngine(mix_rate=MIX_RATE, block_size=F, max_sources=12)
+    eng.add_listener(ListenerDesc())
+    players = [
+        AudioStreamPlayerSpatial(
+            eng,
+            stream=AudioStreamSample(clips[i], loop=loops[i], sample_rate=MIX_RATE),
+            spatializer=AudioSpatializer3D(), max_polyphony=2,
+        )
+        for i in range(n_players)
+    ]
+    gen_stream = AudioStreamGenerator(sample_rate=MIX_RATE,
+                                      buffer_seconds=(gen_total + 8192) / MIX_RATE)
+    assert gen_stream.ring_length == ring
+    gen_player = AudioStreamPlayerSpatial(
+        eng, stream=gen_stream, spatializer=AudioSpatializer3D())
+    gen_player.set_position(gen_pos)
+
+    got_blocks, expected_idx = [], []
+    pending = None  # golden tick index of the block a pipelined call left
+    for b in range(N_BLOCKS):
+        if b in fader_db:
+            eng.set_bus_volume_db("Master", fader_db[b])
+        eng.push_generator_frames(gen_stream, gen_sig[b * F:(b + 1) * F])
+        for pi, pl in enumerate(players):
+            pl.set_position(trajectories[pi][b])
+            for ev in schedule[b][pi]:
+                if ev == "play":
+                    pl.play()
+                elif ev == "stop":
+                    pl.stop()
+                elif ev == "pause":
+                    pl.set_stream_paused(True)
+                elif ev == "unpause":
+                    pl.set_stream_paused(False)
+        if b == 0:
+            gen_player.play()
+        path = paths[b]
+        if path == "split":
+            eng.physics_step()
+            out, exp = eng.render_block(), b
+        elif path == "step":
+            out, exp = eng.step(), b
+            pending = None  # a sync step drops any pending block
+        else:
+            out, exp = eng.step_pipelined(), pending
+            pending = b
+        got_blocks.append(np.asarray(out))
+        expected_idx.append(exp)
+
+    peak = max(np.abs(np.concatenate(ref, axis=1)).max(), 1e-9)
+    assert peak > 1e-2, "stress scenario produced silence"
+    worst = 0.0
+    for b, (got, exp) in enumerate(zip(got_blocks, expected_idx)):
+        assert np.isfinite(got).all(), f"non-finite output at block {b}"
+        want = np.zeros_like(got[:1]) if exp is None else ref[exp][:1]
+        err = np.abs(got[:1] - want).max()
+        worst = max(worst, err)
+        assert err <= DB80 * max(peak, 1.0), (
+            f"block {b} (path {paths[b]}, golden tick {exp}): "
+            f"deviation {err} vs peak {peak}"
+        )
