@@ -128,17 +128,32 @@ class AudioStreamPlayerSpatial:
 
     # --- transform / velocity ---
     # Transforms write through to the engine-owned scene lanes
-    # (engine._scene_pos/vel/zax) so the per-tick scene build is loop-free
-    # (set_transform/set_position are the transform API, as in the
-    # reference scene node — direct `origin`/`basis` attribute writes do
-    # not reach the engine).
+    # (engine._scene_pos/vel/zax) so the per-tick scene build is loop-free.
+    # origin/basis are write-through properties — even direct attribute
+    # assignment reaches the engine (no silent desync).
+    @property
+    def origin(self) -> np.ndarray:
+        return self._origin
+
+    @origin.setter
+    def origin(self, v):
+        self._origin = np.asarray(v, np.float64)
+        self.engine._scene_pos[self.index] = self._origin
+
+    @property
+    def basis(self) -> np.ndarray:
+        return self._basis
+
+    @basis.setter
+    def basis(self, b):
+        self._basis = np.asarray(b, np.float64)
+        self.engine._scene_zax[self.index] = self._basis[:, 2]
+
     def set_transform(self, basis=None, origin=None):
         if basis is not None:
-            self.basis = np.asarray(basis, np.float64)
-            self.engine._scene_zax[self.index] = self.basis[:, 2]
+            self.basis = basis
         if origin is not None:
-            self.origin = np.asarray(origin, np.float64)
-            self.engine._scene_pos[self.index] = self.origin
+            self.origin = origin
 
     def set_position(self, origin):
         self.set_transform(origin=origin)

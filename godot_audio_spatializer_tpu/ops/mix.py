@@ -260,7 +260,8 @@ def mix_block(
             f"resample_gather={resample_gather!r})"
         )
     if fused_bus is True and not (
-        biquad_method == "pallas" and not mix_channel_enabled and not chains
+        biquad_method == "pallas" and not mix_channel_enabled
+        and not normalize_chains(chain)
     ):
         raise ValueError(
             "fused_bus=True requested but the in-kernel bus contraction is "

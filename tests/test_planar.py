@@ -70,13 +70,14 @@ def _setup():
     return state, params, bank
 
 
-def _run(state, params, bank, gather, blocks=3):
+def _run(state, params, bank, gather, blocks=3, biquad_method="pallas",
+         **knobs):
     buses, peaks = [], []
     for _ in range(blocks):
         state, bus, pk = mix_block(
             state, params, bank, mix_rate=44100.0, frame_count=F,
-            channel_count=4, biquad_method="pallas",
-            resample_gather=gather, max_pitch=2.0,
+            channel_count=4, biquad_method=biquad_method,
+            resample_gather=gather, max_pitch=2.0, **knobs,
         )
         buses.append(np.asarray(bus))
         peaks.append(np.asarray(pk))
@@ -124,6 +125,39 @@ def test_planar_fused_bus_matches_split(monkeypatch):
             np.asarray(getattr(s_s, nm)),
             atol=2e-5, err_msg=nm,
         )
+
+
+def test_explicit_static_knobs_match_env_free_paths():
+    """planar/fused_bus as EXPLICIT static params (the A/B-safe spelling;
+    env knobs are trace-cache traps) run the same kernels as the defaults.
+    Regression: fused_bus=True used to hit an UnboundLocalError in the
+    gated-off loud-failure check (`chains` referenced before assignment,
+    ops/mix.py) — caught on real TPU, now pinned on CPU."""
+    state, params, bank = _setup()
+    s_d, bus_d, _ = _run(state, params, bank, "kernel")  # defaults (planar)
+    s_p, bus_p, _ = _run(state, params, bank, "kernel",
+                         planar=True, fused_bus=False)
+    for b in range(3):
+        np.testing.assert_array_equal(bus_p[b], bus_d[b])
+    s_f, bus_f, _ = _run(state, params, bank, "kernel",
+                         planar=True, fused_bus=True)
+    for b in range(3):
+        # in-kernel bf16-split bus contraction ≈ −96 dB
+        np.testing.assert_allclose(bus_f[b], bus_d[b], atol=3e-4)
+
+
+def test_explicit_knobs_raise_when_gated_off():
+    """An explicit planar=True / fused_bus=True that a gate disqualifies
+    must raise (not silently fall back — an A/B would measure the
+    fallback against itself)."""
+    import pytest
+
+    state, params, bank = _setup()
+    with pytest.raises(ValueError, match="planar=True"):
+        _run(state, params, bank, "xla", planar=True)
+    with pytest.raises(ValueError, match="fused_bus=True"):
+        _run(state, params, bank, "kernel", fused_bus=True,
+             blocks=1, biquad_method="scan")
 
 
 def test_planar_escape_hatch(monkeypatch):
