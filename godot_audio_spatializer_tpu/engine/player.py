@@ -33,6 +33,8 @@ class AudioStreamPlayerSpatial:
         max_polyphony: int = 1,
     ):
         self.engine = engine
+        self._freed = False  # free() called; lanes pending reclamation
+        self._deregistered = False  # engine index returned to the pool
         self.index = engine._register_player(self)
         self._stream = stream
         # transform + velocity tracker (reference VelocityTracker3D role) —
@@ -138,7 +140,8 @@ class AudioStreamPlayerSpatial:
     @origin.setter
     def origin(self, v):
         self._origin = np.asarray(v, np.float64)
-        self.engine._scene_pos[self.index] = self._origin
+        if not self._freed:  # a freed index may already belong to another
+            self.engine._scene_pos[self.index] = self._origin
 
     @property
     def basis(self) -> np.ndarray:
@@ -147,7 +150,8 @@ class AudioStreamPlayerSpatial:
     @basis.setter
     def basis(self, b):
         self._basis = np.asarray(b, np.float64)
-        self.engine._scene_zax[self.index] = self._basis[:, 2]
+        if not self._freed:
+            self.engine._scene_zax[self.index] = self._basis[:, 2]
 
     def set_transform(self, basis=None, origin=None):
         if basis is not None:
@@ -161,7 +165,8 @@ class AudioStreamPlayerSpatial:
     def reset_velocity_tracker(self):
         self._prev_origin = self.origin.copy()
         self._velocity = np.zeros(3)
-        self.engine._scene_vel[self.index] = 0.0
+        if not self._freed:
+            self.engine._scene_vel[self.index] = 0.0
 
     def update_velocity(self, dt: float):
         """Per-physics-tick velocity estimate
@@ -177,6 +182,8 @@ class AudioStreamPlayerSpatial:
 
     # --- playback control (deferred to physics step like the reference) ---
     def play(self, from_pos: float = 0.0) -> None:
+        if self._freed:
+            raise RuntimeError("play() on a freed AudioStreamPlayerSpatial")
         if self.spatializer is None or self._stream is None:
             return
         if self._stream.is_monophonic() and self.is_playing():
@@ -256,6 +263,36 @@ class AudioStreamPlayerSpatial:
         # applies to live proxies immediately (reference cpp:115-122);
         # playbacks started later begin unpaused
         self.engine.apply_player_pause(self, paused)
+
+    # --- node lifecycle (reference _notification handlers) ---
+    def exit_tree(self) -> None:
+        """NOTIFICATION_EXIT_TREE parity (reference
+        audio_stream_player_spatial.cpp:62-65): the node leaves the tree
+        but stays alive — playback pauses (proxies fade to silence and
+        are kept); re-entering is `set_stream_paused(False)`."""
+        if not self._freed:
+            self.set_stream_paused(True)
+
+    def free(self) -> None:
+        """NOTIFICATION_PREDELETE parity (reference cpp:95-97): drop all
+        playbacks and release this player's engine lanes.
+
+        Voices stop through the normal deferred-stop path (end-fade);
+        the engine reclaims the player index for future registrations
+        after the teardown mix (post-mix proxy GC).  Using play() on a
+        freed player raises; property writes become local no-ops."""
+        if self._freed:
+            return
+        if self.spatializer is not None:
+            self._pending_plays.clear()
+            self._pending_stop = True
+            self.engine._note_event(self)
+        # a freed player cannot stay paused — its zombies/proxies must GC
+        # (the reference clears stream_playbacks outright on PREDELETE)
+        self.engine.apply_player_pause(self, False)
+        self.stream_paused = False
+        self._freed = True
+        self.engine._note_proxy_candidate(self)
 
     def connect_finished(self, cb: Callable[[], None]) -> None:
         self.finished_callbacks.append(cb)

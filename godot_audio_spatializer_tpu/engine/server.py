@@ -100,6 +100,8 @@ def _tick_update_impl(
     slot_zombie,  # [N] bool — stopped-under-pause lanes still carrying
     #               their (frozen) proxy volume-ramp state
     num_buses: int,
+    axis_name=None,  # set inside shard_map: slots/players are sharded on
+    #               this mesh axis and the sibling pool spans shards
 ):
     """Physics-tick bookkeeping: gather player results to slots, build the
     dense server bus-volume targets (get_bus_map semantics, reference
@@ -174,9 +176,15 @@ def _tick_update_impl(
     sib_targ = jax.ops.segment_max(
         jnp.where(alive[:, None], targ_flat, neg), sp, num_segments=P
     )
-    has_sib = (
-        jax.ops.segment_max(alive.astype(jnp.int32), sp, num_segments=P) > 0
-    )
+    has_sib_i = jax.ops.segment_max(alive.astype(jnp.int32), sp, num_segments=P)
+    if axis_name is not None:
+        # sharded slots: a player's sibling voices may live on another
+        # shard — the per-player pool is the max across the mesh (P is
+        # global on every device; the segment results are shard-partial)
+        sib_prev = jax.lax.pmax(sib_prev, axis_name)
+        sib_targ = jax.lax.pmax(sib_targ, axis_name)
+        has_sib_i = jax.lax.pmax(has_sib_i, axis_name)
+    has_sib = has_sib_i > 0
     dense_flat = dense.reshape(n_lanes, -1)
     sp_new = jnp.maximum(slot_player, 0)  # played lanes' player indices
     start_prev = jnp.where(
@@ -230,33 +238,33 @@ def _tick_update_impl(
     return new_state, block_params
 
 
-_tick_update = functools.partial(jax.jit, static_argnames=("num_buses",))(
-    _tick_update_impl
+_tick_update = functools.partial(
+    jax.jit, static_argnames=("num_buses", "axis_name")
+)(_tick_update_impl)
+
+
+_STEP_STATICS = (
+    "num_buses",
+    "speaker_mode",
+    "global_panning_strength",
+    "mix_rate",
+    "frame_count",
+    "channel_count",
+    "mix_channel_enabled",
+    "biquad_method",
+    "resample_gather",
+    "sends",
+    "bus_volumes_db",
+    "effects",
+    "chain",
+    "max_pitch",
+    "bus_flags",
+    "mc_chain",
+    "axis_name",
 )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "num_buses",
-        "speaker_mode",
-        "global_panning_strength",
-        "mix_rate",
-        "frame_count",
-        "channel_count",
-        "mix_channel_enabled",
-        "biquad_method",
-        "resample_gather",
-        "sends",
-        "bus_volumes_db",
-        "effects",
-        "chain",
-        "max_pitch",
-        "bus_flags",
-        "mc_chain",
-    ),
-)
-def _step_jit(
+def _step_impl(
     scene,
     params,
     was_out,
@@ -293,19 +301,37 @@ def _step_jit(
     max_pitch,
     bus_flags=None,
     mc_chain=(),
+    axis_name=None,
 ):
     """One fused physics tick + audio block: Stage A, slot/param
     bookkeeping, Stage B mix and the bus-graph reduction in a SINGLE
     device dispatch (AudioEngine.step) — the streaming engine otherwise
-    pays three round trips per block, which dominates realtime latency."""
-    result = calculate_spatialization(
+    pays three round trips per block, which dominates realtime latency.
+
+    `axis_name` (multi-chip streaming, parallel/streaming.py): when the
+    body runs inside `shard_map` with players/slots sharded on that mesh
+    axis, the cross-shard data flows become explicit collectives —
+    Stage A results are all-gathered (any slot may voice any player),
+    the sibling volume-ramp pool pmax-combines across shards, and the
+    per-chip bus contributions psum over ICI before the (replicated)
+    bus-graph reduction."""
+    result_local = calculate_spatialization(
         scene, params, was_out, speaker_mode, global_panning_strength
     )
+    if axis_name is not None:
+        # slots reference players by GLOBAL index; gather the (small)
+        # per-player Stage A lanes so any shard can voice any player
+        result = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True),
+            result_local,
+        )
+    else:
+        result = result_local
     new_state, bp = _tick_update_impl(
         result, state, slot_player, slot_player_sib, play_mask, play_cursor,
         stop_mask, mix_channel_mode, threshold_db, paused, chain_group,
         mc_group, slot_pitch_mul, slot_gain, slot_zombie,
-        num_buses=num_buses,
+        num_buses=num_buses, axis_name=axis_name,
     )
     new_state, bus_in, peaks = mix_block(
         new_state, bp, bank,
@@ -316,6 +342,10 @@ def _step_jit(
         max_pitch=max_pitch,
         resample_gather=resample_gather,
     )
+    if axis_name is not None:
+        # the one inter-chip reduction the math requires: every shard's
+        # bus contribution sums over ICI; bus graph then runs replicated
+        bus_in = jax.lax.psum(bus_in, axis_name)
     master, new_fx = bus_graph_reduce(
         bus_in, sends, bus_volumes_db, effects, fx_states, channel_count,
         bus_flags,
@@ -323,10 +353,19 @@ def _step_jit(
     # master + active flags packed into ONE flat array so the host fetches
     # a single transfer per step (the tunnel pays a ~23 ms round trip per
     # device→host read; two reads per block doubled streaming latency)
-    packed = jnp.concatenate(
-        [master.ravel(), new_state.active.astype(jnp.float32)]
+    act = new_state.active
+    if axis_name is not None:
+        act = jax.lax.all_gather(act, axis_name, axis=0, tiled=True)
+    packed = jnp.concatenate([master.ravel(), act.astype(jnp.float32)])
+    return (
+        new_state, result_local.was_out_of_range, master, peaks, new_fx,
+        packed,
     )
-    return new_state, result.was_out_of_range, master, peaks, new_fx, packed
+
+
+_step_jit = functools.partial(jax.jit, static_argnames=_STEP_STATICS)(
+    _step_impl
+)
 
 
 class AudioEngine:
@@ -343,6 +382,7 @@ class AudioEngine:
         source_effects: Sequence = (),
         max_pitch: float = 8.0,
         stage_a_override: Optional[object] = None,
+        mesh=None,
     ):
         self.mix_rate = float(mix_rate)
         self.block_size = int(block_size)
@@ -367,6 +407,26 @@ class AudioEngine:
         # custom batched Stage A (models/custom.py AudioSpatializerCustom);
         # also auto-adopted from the first custom spatializer attached
         self.stage_a_override = stage_a_override
+        # multi-chip streaming (parallel/streaming.py): sources shard over
+        # `mesh`'s "src" axis; the fused step runs as one shard_map program
+        # per chip with a single bus psum over ICI
+        self.mesh = mesh
+        self._sh_src = self._sh_repl = None
+        self._mesh_devs = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            from ..parallel.mesh import SOURCE_AXIS
+
+            self._mesh_devs = int(mesh.shape[SOURCE_AXIS])
+            if self.max_sources % self._mesh_devs:
+                raise ValueError(
+                    f"max_sources ({self.max_sources}) must divide by the "
+                    f"mesh size ({self._mesh_devs})"
+                )
+            self._sh_src = NamedSharding(mesh, _P(SOURCE_AXIS))
+            self._sh_repl = NamedSharding(mesh, _P())
 
         self.buses: List[Bus] = [Bus("Master", send=None)]
         self.listeners: List[ListenerDesc] = []
@@ -388,6 +448,12 @@ class AudioEngine:
         self.mix_state: MixState = make_mix_state(
             n, self.num_buses, filt_ch, chain_effects=self.source_effects
         )
+        if self.mesh is not None:
+            # every MixState leaf is [N, ...]: shard on the source axis
+            self.mix_state = jax.device_put(
+                self.mix_state,
+                jax.tree.map(lambda _: self._sh_src, self.mix_state),
+            )
         self._block_params: Optional[BlockParams] = None
 
         # slot bookkeeping (host)
@@ -443,6 +509,11 @@ class AudioEngine:
         self._scene_pos = np.zeros((0, 3), np.float32)
         self._scene_vel = np.zeros((0, 3), np.float32)
         self._scene_zax = np.zeros((0, 3), np.float32)
+        self._scene_act = np.zeros(0, bool)  # False = freed lane
+        # freed player indices available for reuse (player.free() returns
+        # its lane after the teardown mix — long-running scenes that churn
+        # players don't grow the [P] lanes unboundedly)
+        self._free_player_idx: List[int] = []
         # O(P)-loop elimination for the per-step host path: players with
         # pending play/stop events enqueue themselves; proxy-GC candidates
         # are players whose playback list may have emptied this tick;
@@ -679,21 +750,52 @@ class AudioEngine:
         return area
 
     def _register_player(self, player: AudioStreamPlayerSpatial) -> int:
-        self.players.append(player)
         self.mark_params_dirty()  # also invalidates _vel_players/_has_custom
+        if self._free_player_idx:
+            idx = self._free_player_idx.pop()
+            self.players[idx] = player
+            self._scene_pos[idx] = 0.0
+            self._scene_vel[idx] = 0.0
+            self._scene_zax[idx] = (0.0, 0.0, 1.0)
+            self._scene_act[idx] = True
+            # the hysteresis lane must not inherit the previous tenant's
+            # out-of-range state (a fresh node starts in range)
+            if getattr(self, "_was_out", None) is not None and (
+                self._was_out.shape[0] > idx
+            ):
+                self._was_out = self._was_out.at[idx].set(False)
+            return idx
+        self.players.append(player)
         pad = np.zeros((1, 3), np.float32)
         self._scene_pos = np.concatenate([self._scene_pos, pad])
         self._scene_vel = np.concatenate([self._scene_vel, pad])
         self._scene_zax = np.concatenate(
             [self._scene_zax, np.array([[0.0, 0.0, 1.0]], np.float32)]
         )
+        self._scene_act = np.concatenate([self._scene_act, [True]])
         return len(self.players) - 1
 
-    def _dev(self, key: str, host: np.ndarray):
+    def _deregister_player(self, pl) -> None:
+        """Reclaim a freed player's lane (called from the post-mix proxy GC
+        once its voices/zombies/proxies are gone)."""
+        if pl._deregistered:
+            return
+        pl._deregistered = True
+        idx = pl.index
+        self._scene_act[idx] = False
+        self._scene_pos[idx] = 0.0
+        self._scene_vel[idx] = 0.0
+        self._free_player_idx.append(idx)
+        self.mark_params_dirty()
+
+    def _dev(self, key: str, host: np.ndarray, repl: bool = False):
         """Device twin of a per-step host array, re-uploaded only when the
         host bytes changed (each tunnel transfer costs ~0.2 ms regardless
         of size — steady-state streaming must not re-upload unchanged slot
-        lanes/scene packs every block)."""
+        lanes/scene packs every block).
+
+        Under a mesh, lanes land source-sharded unless `repl=True`
+        (listener/area packs, bank data)."""
         ent = self._dev_cache.get(key)
         if (
             ent is not None
@@ -703,9 +805,20 @@ class AudioEngine:
         ):
             return ent[1]
         h = np.array(host, copy=True)
-        d = jnp.asarray(h)
+        if self.mesh is not None:
+            d = jax.device_put(h, self._sh_repl if repl else self._sh_src)
+        else:
+            d = jnp.asarray(h)
         self._dev_cache[key] = (h, d)
         return d
+
+    def _pad_players(self, p: int) -> int:
+        """Player-lane count padded to the mesh granularity (shard_map
+        needs the sharded axis to divide evenly; pad lanes are inactive)."""
+        if self.mesh is None or p == 0:
+            return p
+        d = self._mesh_devs
+        return -(-p // d) * d
 
     def mark_params_dirty(self) -> None:
         self._params_dirty = True
@@ -733,7 +846,8 @@ class AudioEngine:
         if self._velocity_players is None or self._params_dirty:
             self._velocity_players = [
                 pl for pl in self.players
-                if pl.spatializer_base is not None
+                if not pl._deregistered
+                and pl.spatializer_base is not None
                 and pl.spatializer_base.doppler_tracking
                 != DopplerTracking.DISABLED
             ]
@@ -745,6 +859,7 @@ class AudioEngine:
 
             self._has_custom_cache = self.stage_a_override is not None or any(
                 isinstance(pl.spatializer_base, AudioSpatializerCustom)
+                and not pl._deregistered
                 for pl in self.players
             )
         return self._has_custom_cache
@@ -818,6 +933,8 @@ class AudioEngine:
             "bus_index": np.zeros(p, np.int32),
         }
         for i, pl in enumerate(self.players):
+            if pl._deregistered:
+                continue  # inactive lane (scene_act False); defaults fine
             sp = pl.spatializer_base
             if sp is not None:
                 fields["attenuation_model"][i] = int(sp.attenuation_model)
@@ -853,9 +970,35 @@ class AudioEngine:
             or self._source_params_dev is None
         ):
             self._source_params_cache = self._player_params()
-            self._source_params_dev = jax.device_put(self._source_params_cache)
+            params = self._source_params_cache
+            if self.mesh is not None:
+                p = len(self.players)
+                pp = self._pad_players(p)
+                if pp != p:
+                    params = jax.tree.map(
+                        lambda a: np.concatenate(
+                            [a, np.zeros((pp - p,) + a.shape[1:], a.dtype)]
+                        ),
+                        params,
+                    )
+                self._source_params_dev = jax.device_put(
+                    params, jax.tree.map(lambda _: self._sh_src, params)
+                )
+            else:
+                self._source_params_dev = jax.device_put(params)
             self._params_dirty = False
         return self._source_params_dev
+
+    def _was_out_lanes(self):
+        """Out-of-range hysteresis lanes, sized to the (mesh-padded)
+        player count and source-sharded under a mesh."""
+        pp = self._pad_players(len(self.players))
+        wo = getattr(self, "_was_out", None)
+        if wo is None or wo.shape[0] != pp:
+            wo = jnp.zeros(pp, bool)
+            if self.mesh is not None:
+                wo = jax.device_put(wo, self._sh_src)
+        return wo
 
     def _build_scene(self) -> SceneState:
         """SceneState for this tick, as device-cached leaves.
@@ -868,17 +1011,25 @@ class AudioEngine:
         from .scene import pack_areas, pack_listeners
 
         p = len(self.players)
+        pp = self._pad_players(p)
         bus_map = {n: i for i, n in enumerate(self.bus_names)}
         leaves = dict(
             source_pos=self._scene_pos[:p],
             source_vel=self._scene_vel[:p],
             source_z_axis=self._scene_zax[:p],
-            source_active=np.ones(p, bool),
+            source_active=self._scene_act[:p],
         )
+        if pp != p:  # mesh granularity: pad with inactive lanes
+            for k, v in leaves.items():
+                pad = np.zeros((pp - p,) + v.shape[1:], v.dtype)
+                leaves[k] = np.concatenate([v, pad])
         leaves.update(pack_listeners(self.listeners))
         leaves.update(pack_areas(self.areas, bus_map))
         return SceneState(
-            **{k: self._dev("scene." + k, v) for k, v in leaves.items()}
+            **{
+                k: self._dev("scene." + k, v, repl=not k.startswith("source_"))
+                for k, v in leaves.items()
+            }
         )
 
     def _process_slot_events(self):
@@ -1063,9 +1214,7 @@ class AudioEngine:
         # -- stage A --
         params = self._params_dev()
         scene = self._build_scene()
-        was_out = getattr(self, "_was_out", None)
-        if was_out is None or was_out.shape[0] != len(self.players):
-            was_out = jnp.zeros(len(self.players), bool)
+        was_out = self._was_out_lanes()
         result = self._stage_a(scene, params, was_out)
         self._was_out = result.was_out_of_range
 
@@ -1162,9 +1311,7 @@ class AudioEngine:
 
         params = self._params_dev()
         scene = self._build_scene()
-        was_out = getattr(self, "_was_out", None)
-        if was_out is None or was_out.shape[0] != len(self.players):
-            was_out = jnp.zeros(len(self.players), bool)
+        was_out = self._was_out_lanes()
 
         slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask = (
             self._process_slot_events()
@@ -1176,7 +1323,7 @@ class AudioEngine:
         )
         vols = tuple(b.volume_db for b in self.buses)
         effects = tuple(tuple(b.effects) for b in self.buses)
-        new_state, new_was_out, master, peaks, new_fx, packed = _step_jit(
+        step_args = (
             scene,
             params,
             was_out,
@@ -1196,6 +1343,8 @@ class AudioEngine:
             self._dev("zombie_sib", slot_zombie_sib),
             bank,
             self._bus_effect_states(),
+        )
+        statics = dict(
             num_buses=self.num_buses,
             speaker_mode=self.speaker_mode,
             global_panning_strength=self.global_panning_strength,
@@ -1213,6 +1362,17 @@ class AudioEngine:
             max_pitch=self.max_pitch,
             bus_flags=self._bus_flags(),
         )
+        if self.mesh is not None:
+            from ..parallel.streaming import sharded_step_fn
+
+            fn = sharded_step_fn(self.mesh, step_args, statics)
+            new_state, new_was_out, master, peaks, new_fx, packed = fn(
+                *step_args
+            )
+        else:
+            new_state, new_was_out, master, peaks, new_fx, packed = _step_jit(
+                *step_args, **statics
+            )
         self.mix_state = new_state
         self._was_out = new_was_out
         self._block_params = None  # consumed by the fused dispatch
@@ -1260,6 +1420,9 @@ class AudioEngine:
                 pl._zombie_slots.clear()
             if pl._proxies_alive and not pl.slots:
                 pl._proxies_alive = False
+            # freed players reclaim their lane once fully torn down
+            if pl._freed and not pl.slots and not pl._pending_plays:
+                self._deregister_player(pl)
         self._proxy_candidates = still_paused
 
     def _release_slot(self, s: int) -> None:
@@ -1323,6 +1486,8 @@ class AudioEngine:
         fns = []  # distinct custom fns, discovery order
         group = np.full(len(self.players), -1, np.int64)
         for i, pl in enumerate(self.players):
+            if pl._deregistered:
+                continue
             if isinstance(pl.spatializer_base, AudioSpatializerCustom):
                 custom = pl.spatializer_base.calculate_spatialization
                 for gi, f in enumerate(fns):
@@ -1517,6 +1682,11 @@ class AudioEngine:
         n_leaves = len(leaves)
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
         self.mix_state = jax.tree.unflatten(treedef, restored)
+        if self.mesh is not None:
+            self.mix_state = jax.device_put(
+                self.mix_state,
+                jax.tree.map(lambda _: self._sh_src, self.mix_state),
+            )
         self._active_host = None
         self._active_host_tick = -1
         self._slot_play_tick = np.full(self.max_sources, -1, np.int64)

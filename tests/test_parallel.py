@@ -190,3 +190,74 @@ def test_batched_stage_a_matches_sequential_engine_step():
     err = np.abs(np.asarray(outs) - seq).max()
     assert err <= 1e-5 * max(np.abs(seq).max(), 1.0), err
     assert (np.asarray(wo2) == np.asarray(wo)).all()
+
+
+def test_streaming_engine_sharded_matches_single_device():
+    """AudioEngine(mesh=...): the INTERACTIVE fused step as one shard_map
+    program per device (parallel/streaming.py) — slot lanes, MixState and
+    players shard over sources; Stage A all-gathers, the sibling ramp
+    pool pmax-combines, the bus input psums.  Must match the plain
+    single-device engine through a lifecycle scenario (plays, a stop, a
+    same-tick sibling start, pause/unpause, motion)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    from godot_audio_spatializer_tpu.engine.player import (
+        AudioStreamPlayerSpatial,
+    )
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+    from godot_audio_spatializer_tpu.engine.server import AudioEngine
+    from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+    from godot_audio_spatializer_tpu.models.spatializer3d import (
+        AudioSpatializer3D,
+    )
+
+    rng = np.random.default_rng(17)
+    clip_a = (rng.standard_normal(6000) * 0.4).astype(np.float32)
+    clip_b = (rng.standard_normal(2500) * 0.4).astype(np.float32)
+
+    def run(mesh):
+        eng = AudioEngine(
+            mix_rate=48000.0, block_size=512, max_sources=16, mesh=mesh,
+            speaker_mode=SpeakerMode.SURROUND_51,
+        )
+        eng.add_listener(ListenerDesc())
+        pls = []
+        for i in range(6):  # pads to 8 lanes on the mesh
+            pl = AudioStreamPlayerSpatial(
+                eng,
+                stream=AudioStreamSample(
+                    clip_a if i % 2 == 0 else clip_b, loop=True,
+                    sample_rate=48000.0,
+                ),
+                spatializer=AudioSpatializer3D(),
+                max_polyphony=3,
+            )
+            pl.set_position([np.cos(i), 0.2 * i - 0.5, -2.0 - np.sin(i)])
+            pl.play()
+            pls.append(pl)
+        out = []
+        for k in range(10):
+            if k == 2:
+                pls[0].play(0.01)  # sibling voice (ramp-pool inheritance)
+            if k == 3:
+                pls[1].stop()
+            if k == 4:
+                pls[2].set_stream_paused(True)
+                pls[0].play(0.02)  # third voice — may land on any shard
+            if k == 6:
+                pls[2].set_stream_paused(False)
+            for j, pl in enumerate(pls):
+                pl.set_position(
+                    [np.cos(i := j + 0.3 * k), 0.2 * j - 0.5, -2.0 - np.sin(i)]
+                )
+            out.append(eng.step())
+        return np.concatenate(out, axis=1)
+
+    single = run(None)
+    mesh = pm.make_source_mesh(jax.devices()[:8])
+    sharded = run(mesh)
+    peak = np.abs(single).max()
+    assert peak > 1e-3
+    err = np.abs(sharded - single).max()
+    # identical math; the bus psum reassociates the source sum across
+    # shards (vs one einsum) — float-reassociation budget only
+    assert err <= 1e-5 * max(peak, 1.0), err

@@ -300,3 +300,84 @@ def test_voice_override_playback_parameters():
     assert abs(ratio - 10 ** (-6.0 / 20.0)) < 5e-3
     pitched = run(params=[("parameters/pitch_override", 1.5)])
     assert np.abs(pitched - base).max() > 1e-3
+
+
+def test_player_free_reclaims_lane():
+    """free() (reference NOTIFICATION_PREDELETE,
+    audio_stream_player_spatial.cpp:95-97): voices stop with the normal
+    end-fade, the engine reclaims the player index after the teardown
+    mix, and a later registration reuses it.  Equivalence: an engine
+    where the player is freed and a NEW player (reusing its lane) plays
+    must match an engine where the old player merely stopped and a
+    separate fresh player plays the same content."""
+    rng = np.random.default_rng(31)
+    data = (rng.standard_normal(5000) * 0.4).astype(np.float32)
+    stream = AudioStreamSample(data, loop=True, sample_rate=RATE)
+
+    def run(free):
+        eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=4)
+        eng.add_listener(ListenerDesc())
+        p1 = AudioStreamPlayerSpatial(
+            eng, stream=stream, spatializer=AudioSpatializer3D())
+        p2 = AudioStreamPlayerSpatial(
+            eng, stream=stream, spatializer=AudioSpatializer3D())
+        p1.set_position([1.0, 0.0, -1.0])
+        p2.set_position([-2.0, 0.0, -2.0])
+        p1.play(); p2.play()
+        out = []
+        p3 = None
+        for k in range(10):
+            if k == 3:
+                (p1.free if free else p1.stop)()
+            if k == 5:
+                p3 = AudioStreamPlayerSpatial(
+                    eng, stream=stream, spatializer=AudioSpatializer3D())
+                p3.set_position([0.5, 0.5, -1.5])
+                p3.play(0.01)
+            eng.physics_step()
+            out.append(eng.render_block())
+        return eng, p1, p3, np.concatenate(out, axis=1)
+
+    eng_f, p1_f, p3_f, out_f = run(free=True)
+    eng_s, p1_s, p3_s, out_s = run(free=False)
+    # same audio up to slot/lane permutation (einsum reassociation)
+    np.testing.assert_allclose(out_f, out_s, atol=1e-5)
+    # the freed lane was reclaimed and reused by p3
+    assert p3_f.index == p1_f.index
+    assert p3_s.index != p1_s.index
+    assert eng_f._scene_act[p3_f.index]
+    # freed player is inert: play raises, transforms are local no-ops
+    with pytest.raises(RuntimeError):
+        p1_f.play()
+    p1_f.set_position([9.0, 9.0, 9.0])
+    assert not np.allclose(eng_f._scene_pos[p3_f.index], [9.0, 9.0, 9.0])
+
+
+def test_player_free_while_paused_and_exit_tree():
+    """exit_tree() pauses (reference EXIT_TREE, cpp:62-65); free() on a
+    paused player force-unpauses its teardown so zombies/proxies GC and
+    the lane is reclaimed (PREDELETE drops playbacks regardless)."""
+    rng = np.random.default_rng(37)
+    data = (rng.standard_normal(4000) * 0.4).astype(np.float32)
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    p = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(data, loop=True, sample_rate=RATE),
+        spatializer=AudioSpatializer3D())
+    p.set_position([1.0, 0.0, -1.0])
+    p.play()
+    eng.physics_step(); loud = eng.render_block()
+    assert np.abs(loud).max() > 1e-3
+    p.exit_tree()  # = pause: fades, proxies kept
+    eng.physics_step(); eng.render_block()
+    eng.physics_step(); silent = eng.render_block()
+    assert np.abs(silent).max() == 0.0
+    p.stop()  # stop-while-paused mints a zombie lane
+    eng.physics_step(); eng.render_block()
+    assert p._zombie_slots
+    p.free()
+    eng.physics_step(); eng.render_block()
+    eng.physics_step(); eng.render_block()
+    assert p._deregistered
+    assert not p._zombie_slots
+    assert p.index in eng._free_player_idx
