@@ -112,6 +112,46 @@ print(
     f"rms {np.sqrt((m2 ** 2).mean()):.4f}"
 )
 
+# ---- mode 3: multi-chip STREAMING engine ----
+# the full interactive AudioEngine over the mesh: one shard_map step
+# program per chip, real play/stop events, single packed fetch per block
+from godot_audio_spatializer_tpu.engine.player import (  # noqa: E402
+    AudioStreamPlayerSpatial,
+)
+from godot_audio_spatializer_tpu.engine.scene import ListenerDesc  # noqa: E402
+from godot_audio_spatializer_tpu.engine.server import AudioEngine  # noqa: E402
+from godot_audio_spatializer_tpu.engine.streams import (  # noqa: E402
+    AudioStreamSample,
+)
+from godot_audio_spatializer_tpu.models.spatializer3d import (  # noqa: E402
+    AudioSpatializer3D,
+)
+
+eng = AudioEngine(
+    mix_rate=MIX_RATE, block_size=F, max_sources=16, mesh=mesh,
+    speaker_mode=SpeakerMode.SURROUND_71,
+)
+eng.add_listener(ListenerDesc())
+clip3 = (rng.standard_normal(12000) * 0.3).astype(np.float32)
+players = []
+for i in range(8):
+    pl = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip3, loop=True, sample_rate=MIX_RATE),
+        spatializer=AudioSpatializer3D(),
+    )
+    pl.set_position([np.cos(i * 0.7), 0.0, -2.0 - np.sin(i * 0.7)])
+    pl.play()
+    players.append(pl)
+blocks = []
+for k in range(6):
+    players[0].set_position([np.cos(k * 0.2), 0.0, -2.0])
+    blocks.append(eng.step())
+m3 = np.concatenate(blocks, axis=1)
+print(
+    f"mode 3 (streaming engine over the mesh): {len(blocks)} blocks, "
+    f"rms {np.sqrt((m3 ** 2).mean()):.4f}"
+)
+
 if len(sys.argv) > 1:  # write the front channel pair as a WAV
     from godot_audio_spatializer_tpu.utils.wav import write_wav
 

@@ -730,7 +730,14 @@ class AudioEngine:
 
     def _bank(self) -> SampleBank:
         if self._bank_dirty or self._bank_device is None:
-            self._bank_device = jnp.asarray(self._bank_host)
+            if self.mesh is not None:
+                # commit the replica placement once — an uncommitted bank
+                # would re-broadcast the biggest array every sharded step
+                self._bank_device = jax.device_put(
+                    self._bank_host, self._sh_repl
+                )
+            else:
+                self._bank_device = jnp.asarray(self._bank_host)
             self._bank_dirty = False
         return SampleBank(
             data=self._bank_device,
