@@ -37,6 +37,7 @@ class AudioStreamPlayerSpatial:
         self._deregistered = False  # engine index returned to the pool
         self.index = engine._register_player(self)
         self._stream = stream
+        self._spatializer_base = None
         # transform + velocity tracker (reference VelocityTracker3D role) —
         # initialized before the spatializer instance resets the tracker
         self.basis = np.eye(3)
@@ -77,6 +78,18 @@ class AudioStreamPlayerSpatial:
             self.play(0.0)
 
     # --- properties mirroring the reference bindings ---
+    @property
+    def spatializer_base(self):
+        return self._spatializer_base
+
+    @spatializer_base.setter
+    def spatializer_base(self, sp):
+        # swapping the resource mid-session (incl. to/from a custom
+        # spatializer) must reach Stage A and the engine's cached
+        # has-custom/velocity-player decisions
+        self._spatializer_base = sp
+        self.engine.mark_params_dirty()
+
     @property
     def stream(self) -> Optional[AudioStream]:
         return self._stream
@@ -131,25 +144,31 @@ class AudioStreamPlayerSpatial:
     # --- transform / velocity ---
     # Transforms write through to the engine-owned scene lanes
     # (engine._scene_pos/vel/zax) so the per-tick scene build is loop-free.
-    # origin/basis are write-through properties — even direct attribute
-    # assignment reaches the engine (no silent desync).
+    # origin/basis are write-through properties — direct attribute
+    # ASSIGNMENT reaches the engine; the getters return read-only views so
+    # in-place mutation (`pl.origin[:] = x`), which could not write
+    # through, fails loudly instead of desyncing silently.
     @property
     def origin(self) -> np.ndarray:
-        return self._origin
+        v = self._origin.view()
+        v.flags.writeable = False
+        return v
 
     @origin.setter
     def origin(self, v):
-        self._origin = np.asarray(v, np.float64)
+        self._origin = np.array(v, np.float64)
         if not self._freed:  # a freed index may already belong to another
             self.engine._scene_pos[self.index] = self._origin
 
     @property
     def basis(self) -> np.ndarray:
-        return self._basis
+        v = self._basis.view()
+        v.flags.writeable = False
+        return v
 
     @basis.setter
     def basis(self, b):
-        self._basis = np.asarray(b, np.float64)
+        self._basis = np.array(b, np.float64)
         if not self._freed:
             self.engine._scene_zax[self.index] = self._basis[:, 2]
 
@@ -172,9 +191,10 @@ class AudioStreamPlayerSpatial:
         """Per-physics-tick velocity estimate
         (reference audio_spatializer_3d.cpp:625-629)."""
         if dt > 0:
-            self._velocity = (self.origin - self._prev_origin) / dt
-            self.engine._scene_vel[self.index] = self._velocity
-        self._prev_origin = self.origin.copy()
+            self._velocity = (self._origin - self._prev_origin) / dt
+            if not self._freed:  # index may belong to a new tenant
+                self.engine._scene_vel[self.index] = self._velocity
+        self._prev_origin = self._origin.copy()
 
     @property
     def velocity(self) -> np.ndarray:
@@ -259,6 +279,8 @@ class AudioStreamPlayerSpatial:
         return self.engine.get_slot_position_seconds(self.slots[-1])
 
     def set_stream_paused(self, paused: bool) -> None:
+        if self._freed:  # inert (would re-park the lane as a zombie
+            return       # forever and block its reclamation)
         self.stream_paused = paused
         # applies to live proxies immediately (reference cpp:115-122);
         # playbacks started later begin unpaused
@@ -277,20 +299,19 @@ class AudioStreamPlayerSpatial:
         """NOTIFICATION_PREDELETE parity (reference cpp:95-97): drop all
         playbacks and release this player's engine lanes.
 
-        Voices stop through the normal deferred-stop path (end-fade);
-        the engine reclaims the player index for future registrations
-        after the teardown mix (post-mix proxy GC).  Using play() on a
-        freed player raises; property writes become local no-ops."""
+        Unpaused voices stop through the normal deferred-stop path
+        (end-fade); a PAUSED player's voices tear down silently (they
+        were never mixed — the reference drops the playback list without
+        a mix).  The engine reclaims the player index after the teardown
+        mix (the post-mix proxy GC processes freed players even while
+        paused).  Using play() on a freed player raises; property writes
+        become local no-ops."""
         if self._freed:
             return
         if self.spatializer is not None:
             self._pending_plays.clear()
             self._pending_stop = True
             self.engine._note_event(self)
-        # a freed player cannot stay paused — its zombies/proxies must GC
-        # (the reference clears stream_playbacks outright on PREDELETE)
-        self.engine.apply_player_pause(self, False)
-        self.stream_paused = False
         self._freed = True
         self.engine._note_proxy_candidate(self)
 

@@ -405,8 +405,10 @@ class AudioEngine:
         self.physics_rate = float(physics_rate)
         self.max_pitch = float(max_pitch)
         # custom batched Stage A (models/custom.py AudioSpatializerCustom);
-        # also auto-adopted from the first custom spatializer attached
-        self.stage_a_override = stage_a_override
+        # also auto-adopted from the first custom spatializer attached.
+        # A property: assigning it mid-session must invalidate the cached
+        # has-custom decision or step() would silently keep the fused path
+        self._stage_a_override = stage_a_override
         # multi-chip streaming (parallel/streaming.py): sources shard over
         # `mesh`'s "src" axis; the fused step runs as one shard_map program
         # per chip with a single bus psum over ICI
@@ -537,6 +539,15 @@ class AudioEngine:
         self._slot_play_tick = np.full(n, -1, np.int64)
 
     # ------------------------------------------------------------------ buses
+    @property
+    def stage_a_override(self):
+        return self._stage_a_override
+
+    @stage_a_override.setter
+    def stage_a_override(self, fn):
+        self._stage_a_override = fn
+        self.mark_params_dirty()  # invalidates the _has_custom cache
+
     @property
     def num_buses(self) -> int:
         return len(self.buses)
@@ -773,14 +784,27 @@ class AudioEngine:
                 self._was_out = self._was_out.at[idx].set(False)
             return idx
         self.players.append(player)
-        pad = np.zeros((1, 3), np.float32)
-        self._scene_pos = np.concatenate([self._scene_pos, pad])
-        self._scene_vel = np.concatenate([self._scene_vel, pad])
-        self._scene_zax = np.concatenate(
-            [self._scene_zax, np.array([[0.0, 0.0, 1.0]], np.float32)]
-        )
-        self._scene_act = np.concatenate([self._scene_act, [True]])
-        return len(self.players) - 1
+        p = len(self.players)
+        if self._scene_pos.shape[0] < p:
+            # geometric growth: appending P players costs O(P) total row
+            # copies, not O(P^2) (bench_streaming(4096) registers 4096)
+            cap = max(2 * self._scene_pos.shape[0], 16, p)
+            grow = cap - self._scene_pos.shape[0]
+            pad = np.zeros((grow, 3), np.float32)
+            self._scene_pos = np.concatenate([self._scene_pos, pad])
+            self._scene_vel = np.concatenate([self._scene_vel, pad])
+            zpad = np.zeros((grow, 3), np.float32)
+            zpad[:, 2] = 1.0
+            self._scene_zax = np.concatenate([self._scene_zax, zpad])
+            self._scene_act = np.concatenate(
+                [self._scene_act, np.zeros(grow, bool)]
+            )
+        idx = p - 1
+        self._scene_pos[idx] = 0.0
+        self._scene_vel[idx] = 0.0
+        self._scene_zax[idx] = (0.0, 0.0, 1.0)
+        self._scene_act[idx] = True
+        return idx
 
     def _deregister_player(self, pl) -> None:
         """Reclaim a freed player's lane (called from the post-mix proxy GC
@@ -1416,7 +1440,10 @@ class AudioEngine:
             return
         still_paused = []
         for pl in self._proxy_candidates:
-            if pl._proxy_paused:
+            if pl._proxy_paused and not pl._freed:
+                # freed players tear down even while paused (the reference
+                # PREDELETE drops the playback list without a mix — their
+                # never-mixed zombie lanes release silently below)
                 still_paused.append(pl)
                 continue
             pl._proxy_gc_pending = False

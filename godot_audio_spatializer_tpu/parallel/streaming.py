@@ -65,7 +65,15 @@ def _bank_specs(bank):
     )
 
 
-_CACHE = {}
+# LRU-bounded: keys include rapidly-varying statics (bus volume fades
+# animate bus_volumes_db), so an unbounded dict would pin a compiled
+# shard_map executable per distinct value for the process lifetime.
+# Evicted entries drop their jit wrapper (and its executables) for GC —
+# the same retrace cost the single-device _step_jit pays on such fades.
+from collections import OrderedDict
+
+_CACHE: "OrderedDict" = OrderedDict()
+_CACHE_MAX = 16
 
 
 def sharded_step_fn(mesh, args, statics):
@@ -82,6 +90,7 @@ def sharded_step_fn(mesh, args, statics):
     )
     fn = _CACHE.get(key)
     if fn is not None:
+        _CACHE.move_to_end(key)
         return fn
 
     (scene, params, was_out, state, *slot_lanes, bank, fx_states) = args
@@ -116,4 +125,6 @@ def sharded_step_fn(mesh, args, statics):
         )
     )
     _CACHE[key] = fn
+    if len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
     return fn

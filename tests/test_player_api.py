@@ -381,3 +381,52 @@ def test_player_free_while_paused_and_exit_tree():
     assert p._deregistered
     assert not p._zombie_slots
     assert p.index in eng._free_player_idx
+
+
+def test_transform_inplace_mutation_fails_loudly():
+    """origin/basis getters return read-only views: in-place NumPy
+    mutation cannot write through to the engine scene lanes, so it must
+    raise instead of silently desyncing (review finding)."""
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+    eng.add_listener(ListenerDesc())
+    pl = AudioStreamPlayerSpatial(eng, spatializer=AudioSpatializer3D())
+    with pytest.raises(ValueError):
+        pl.origin[:] = [1.0, 2.0, 3.0]
+    with pytest.raises(ValueError):
+        pl.basis[:, 2] = [0.0, 1.0, 0.0]
+    pl.origin = [1.0, 2.0, 3.0]  # assignment DOES write through
+    assert np.allclose(eng._scene_pos[pl.index], [1.0, 2.0, 3.0])
+
+
+def test_stage_a_override_assignment_reaches_step():
+    """Assigning engine.stage_a_override after the engine has stepped
+    must flip step() to the split path (the has-custom decision is
+    cached; the setter invalidates it — review finding)."""
+    rng = np.random.default_rng(41)
+    data = (rng.standard_normal(3000) * 0.4).astype(np.float32)
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=2)
+    eng.add_listener(ListenerDesc())
+    pl = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(data, loop=True, sample_rate=RATE),
+        spatializer=AudioSpatializer3D())
+    pl.set_position([1.0, 0.0, -1.0])
+    pl.play()
+    base = eng.step()
+    assert np.abs(base).max() > 1e-4
+
+    from godot_audio_spatializer_tpu.engine.server import _stage_a_jit
+
+    def muted_stage_a(scene, params, was_out, *, speaker_mode,
+                      global_panning_strength):
+        r = _stage_a_jit(
+            scene, params, was_out, speaker_mode=speaker_mode,
+            global_panning_strength=global_panning_strength)
+        import jax.numpy as jnp
+        return r.replace(mix_volumes=jnp.zeros_like(r.mix_volumes))
+
+    eng.stage_a_override = muted_stage_a
+    eng.step()  # ramp tick (volume targets ramp to zero over one block)
+    silent = eng.step()
+    assert np.abs(silent).max() < 1e-5, (
+        "stage_a_override assigned mid-session was ignored by step()"
+    )
