@@ -44,10 +44,16 @@ class AreaDesc:
 
     shape: "box" (oriented when `basis` is set — columns are the local
     axes, orthonormalized at pack time), "sphere"
-    (radius = half_extents[0]) or "capsule" (radius = half_extents[0],
+    (radius = half_extents[0]), "capsule" (radius = half_extents[0],
     TOTAL half-height incl. caps = half_extents[1], axis = local Y —
-    Godot CapsuleShape3D's radius/height).  Mirrors the physics shapes the
-    reference queries by point (audio_spatializer_3d.cpp:208-245)."""
+    Godot CapsuleShape3D's radius/height), "cylinder"
+    (radius = half_extents[0], half-height = half_extents[1], axis =
+    local Y — Godot CylinderShape3D) or "convex" (`points` [K,3] in the
+    area's local frame; the convex hull is computed at pack time — Godot
+    ConvexPolygonShape3D).  Mirrors the physics shapes the reference
+    queries by point (audio_spatializer_3d.cpp:208-245); this is the full
+    practically-queryable set — Godot's intersect_point never reports
+    hollow concave trimeshes, so there is no "concave" here by design."""
 
     center: np.ndarray
     half_extents: np.ndarray
@@ -58,6 +64,43 @@ class AreaDesc:
     reverb_uniformity: float = 0.0
     shape: str = "box"
     basis: Optional[np.ndarray] = None  # [3,3] local axes as columns
+    points: Optional[np.ndarray] = None  # [K,3] local points (convex only)
+
+
+def convex_hull_data(points: np.ndarray):
+    """(planes [P,4], edges [E,2,3]) of the convex hull of local `points`.
+
+    planes are (unit normal n, offset d) with containment n·x ≤ d; edges
+    are the hull's unique vertex-pair segments.  Shared by pack_areas and
+    the golden oracle so both sides test against the same polytope (the
+    hull COMPUTATION is library work; containment / closest-point are
+    implemented independently on each side)."""
+    from scipy.spatial import ConvexHull, QhullError
+
+    if points is None:
+        raise ValueError('shape="convex" areas need `points` ([K,3] local)')
+    pts = np.asarray(points, np.float64)
+    if pts.ndim != 2 or pts.shape[1] != 3 or pts.shape[0] < 4:
+        raise ValueError("convex area needs `points` of shape [K>=4, 3]")
+    try:
+        hull = ConvexHull(pts)
+    except QhullError as e:
+        raise ValueError(
+            "convex area points are degenerate (coplanar/collinear) — the "
+            "hull must enclose a volume"
+        ) from e
+    eqs = hull.equations  # n·x + b <= 0, |n| = 1
+    planes = np.concatenate([eqs[:, :3], -eqs[:, 3:4]], axis=1)
+    edge_set = set()
+    for simplex in hull.simplices:
+        k = len(simplex)
+        for i in range(k):
+            a, b = int(simplex[i]), int(simplex[(i + 1) % k])
+            edge_set.add((min(a, b), max(a, b)))
+    edges = np.stack(
+        [np.stack([pts[a], pts[b]]) for a, b in sorted(edge_set)]
+    )
+    return planes, edges
 
 
 def pack_listeners(listeners: Sequence[ListenerDesc], pad_to: Optional[int] = None):
@@ -104,6 +147,7 @@ def pack_areas(
     amount = np.zeros((A,), np.float32)
     uniformity = np.zeros((A,), np.float32)
     active = np.zeros((A,), bool)
+    hulls = {}  # area index -> (planes [P,4], edges [E,2,3])
     for i, a in enumerate(areas):
         center[i] = np.asarray(a.center, np.float32)
         half[i] = np.asarray(a.half_extents, np.float32)
@@ -117,6 +161,18 @@ def pack_areas(
             # on the segment directly
             shape_r = float(a.half_extents[0])
             half[i, 1] = max(float(a.half_extents[1]) - shape_r, 0.0)
+        elif a_shape == "cylinder":
+            shape[i] = 3
+        elif a_shape == "convex":
+            shape[i] = 4
+            # hull cached on the desc — pack_areas runs per physics tick
+            # in the streaming engine and `points` is treated as immutable
+            # after the first pack
+            h = a.__dict__.get("_hull_cache")
+            if h is None:
+                h = convex_hull_data(a.points)
+                a.__dict__["_hull_cache"] = h
+            hulls[i] = h
         elif a_shape != "box":
             raise ValueError(f"unknown area shape {a.shape!r}")
         if getattr(a, "basis", None) is not None:
@@ -132,6 +188,24 @@ def pack_areas(
         amount[i] = a.reverb_amount
         uniformity[i] = a.reverb_uniformity
         active[i] = True
+    # Convex-hull lanes, padded to the scene-wide max plane/edge counts.
+    # Non-convex rows (and the no-hull default P=E=1) carry an
+    # always-satisfied plane (n=0, d=1) and a degenerate point-at-origin
+    # edge; convex rows pad by REPEATING their first plane/edge — a
+    # duplicate constraint/candidate is exact, so no validity mask is
+    # needed on device.
+    Pmax = max([1] + [h[0].shape[0] for h in hulls.values()])
+    Emax = max([1] + [h[1].shape[0] for h in hulls.values()])
+    planes = np.zeros((A, Pmax, 4), np.float32)
+    planes[:, :, 3] = 1.0
+    edges = np.zeros((A, Emax, 2, 3), np.float32)
+    for i, (pl, ed) in hulls.items():
+        planes[i] = np.concatenate(
+            [pl, np.repeat(pl[:1], Pmax - pl.shape[0], axis=0)]
+        ).astype(np.float32)
+        edges[i] = np.concatenate(
+            [ed, np.repeat(ed[:1], Emax - ed.shape[0], axis=0)]
+        ).astype(np.float32)
     return dict(
         area_center=center,
         area_half=half,
@@ -143,6 +217,8 @@ def pack_areas(
         area_reverb_amount=amount,
         area_reverb_uniformity=uniformity,
         area_active=active,
+        area_planes=planes,
+        area_edges=edges,
     )
 
 

@@ -380,9 +380,15 @@ class Listener:
 @dataclass
 class AreaBox:
     """Area3D stand-in for reverb / bus-override routing: oriented box,
-    sphere (shape="sphere", radius = half_extents[0]) or capsule
+    sphere (shape="sphere", radius = half_extents[0]), capsule
     (shape="capsule", radius = half_extents[0], TOTAL half-height incl.
-    caps = half_extents[1], axis = local Y — Godot CapsuleShape3D).
+    caps = half_extents[1], axis = local Y — Godot CapsuleShape3D),
+    cylinder (shape="cylinder", radius = half_extents[0], half-height =
+    half_extents[1], axis = local Y — Godot CylinderShape3D) or convex
+    polytope (shape="convex", `points` [K,3] in the local frame — Godot
+    ConvexPolygonShape3D; the hull itself comes from the shared
+    engine.scene.convex_hull_data so both sides test the same polytope,
+    but containment/closest-point below are independent scalar math).
 
     Models the physics point query at reference audio_spatializer_3d.cpp:208-245
     (first matching area wins, collision-mask filtered) and
@@ -398,8 +404,9 @@ class AreaBox:
     reverb_bus: Optional[str] = None  # is_using_reverb_bus when set
     reverb_amount: float = 0.0
     reverb_uniformity: float = 0.0
-    shape: str = "box"  # "box" | "sphere" | "capsule"
+    shape: str = "box"  # "box" | "sphere" | "capsule" | "cylinder" | "convex"
     basis: Optional[np.ndarray] = None  # [3,3] local axes as columns
+    points: Optional[np.ndarray] = None  # [K,3] local points (convex only)
 
     def _to_local(self, point: np.ndarray) -> np.ndarray:
         rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
@@ -414,6 +421,16 @@ class AreaBox:
         seg = np.array([0.0, np.clip(local[1], -hs, hs), 0.0])
         return seg, local - seg, r
 
+    def _hull(self):
+        """(planes [P,4], edges [E,2,3]) of the convex shape, f64, cached."""
+        h = self.__dict__.get("_hull_cache")
+        if h is None:
+            from ..engine.scene import convex_hull_data
+
+            h = convex_hull_data(self.points)
+            self.__dict__["_hull_cache"] = h
+        return h
+
     def contains(self, point: np.ndarray) -> bool:
         if self.shape == "sphere":
             rel = np.asarray(point, np.float64) - np.asarray(self.center, np.float64)
@@ -421,6 +438,17 @@ class AreaBox:
         if self.shape == "capsule":
             _, d, r = self._capsule_seg(self._to_local(point))
             return bool(d @ d <= r * r)
+        if self.shape == "cylinder":
+            local = self._to_local(point)
+            r = float(self.half_extents[0])
+            return bool(
+                local[0] * local[0] + local[2] * local[2] <= r * r
+                and abs(local[1]) <= float(self.half_extents[1])
+            )
+        if self.shape == "convex":
+            planes, _ = self._hull()
+            local = self._to_local(point)
+            return bool(np.all(planes[:, :3] @ local <= planes[:, 3]))
         return bool(np.all(np.abs(self._to_local(point)) <= self.half_extents))
 
     def _from_local(self, local: np.ndarray) -> np.ndarray:
@@ -445,6 +473,35 @@ class AreaBox:
             if dn <= r or dn == 0.0:
                 return np.asarray(point, np.float64)
             return self._from_local(seg + d * (r / dn))
+        if self.shape == "cylinder":
+            local = self._to_local(point)
+            r = float(self.half_extents[0])
+            h = float(self.half_extents[1])
+            rad = math.sqrt(local[0] * local[0] + local[2] * local[2])
+            s = r / rad if rad > r else 1.0
+            cp = np.array([local[0] * s, np.clip(local[1], -h, h), local[2] * s])
+            return self._from_local(cp)
+        if self.shape == "convex":
+            planes, edges = self._hull()
+            local = self._to_local(point)
+            sd = planes[:, :3] @ local - planes[:, 3]
+            if np.all(sd <= 0.0):
+                return np.asarray(point, np.float64)
+            best, best_d2 = None, math.inf
+            for k in range(planes.shape[0]):
+                q = local - sd[k] * planes[k, :3]
+                if np.all(planes[:, :3] @ q - planes[:, 3] <= 1e-9):
+                    d2 = float((q - local) @ (q - local))
+                    if d2 < best_d2:
+                        best, best_d2 = q, d2
+            for a, b in edges:
+                ab = b - a
+                t = float(np.clip((local - a) @ ab / max(ab @ ab, 1e-300), 0.0, 1.0))
+                q = a + t * ab
+                d2 = float((q - local) @ (q - local))
+                if d2 < best_d2:
+                    best, best_d2 = q, d2
+            return self._from_local(best)
         local = self._to_local(point)
         clamped = np.clip(local, -np.asarray(self.half_extents, np.float64),
                           np.asarray(self.half_extents, np.float64))

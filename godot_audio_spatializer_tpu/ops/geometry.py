@@ -77,10 +77,10 @@ class SceneState:
     listener_origin: jnp.ndarray  # [L,3]
     listener_vel: jnp.ndarray  # [L,3]
     listener_active: jnp.ndarray  # [L] bool
-    # areas (Area3D shapes: oriented box or sphere, first match wins)
+    # areas (Area3D physics shapes, first match wins; see engine.scene.AreaDesc)
     area_center: jnp.ndarray  # [A,3]
-    area_half: jnp.ndarray  # [A,3] box half-extents; sphere radius in [.,0]
-    area_shape: jnp.ndarray  # [A] int32: 0 = box, 1 = sphere
+    area_half: jnp.ndarray  # [A,3] box half-extents; radius in [.,0]
+    area_shape: jnp.ndarray  # [A] int32: 0 box, 1 sphere, 2 capsule, 3 cylinder, 4 convex
     area_rot: jnp.ndarray  # [A,3,3] world→local rotation (basisᵀ); identity = AA
     area_mask: jnp.ndarray  # [A] int32
     area_override_bus: jnp.ndarray  # [A] int32, -1 = none
@@ -88,6 +88,13 @@ class SceneState:
     area_reverb_amount: jnp.ndarray  # [A] f32
     area_reverb_uniformity: jnp.ndarray  # [A] f32
     area_active: jnp.ndarray  # [A] bool
+    # convex-hull lanes (engine.scene.pack_areas): local-frame half-space
+    # planes (unit n, d) with containment n·x ≤ d, and the hull's edge
+    # segments for the closest-point search.  Padded per scene to the max
+    # plane/edge counts; P = E = 1 when no convex area exists, which
+    # statically elides the convex math below at trace time.
+    area_planes: jnp.ndarray  # [A,P,4]
+    area_edges: jnp.ndarray  # [A,E,2,3]
 
 
 @struct.dataclass
@@ -149,8 +156,9 @@ def _select_area(scene: SceneState, params: SourceParams):
     """_get_overriding_area (reference audio_spatializer_3d.cpp:208-245):
     first active area containing the source point, mask-matched, that
     overrides the bus or provides reverb.  Shapes: oriented box (world→
-    local rotation, per-axis extent test), sphere (radius test) or
-    capsule (distance to the Y-axis core segment ≤ radius)."""
+    local rotation, per-axis extent test), sphere (radius test), capsule
+    (distance to the Y-axis core segment ≤ radius), cylinder (radial +
+    half-height test) or convex hull (all half-space planes satisfied)."""
     rel = scene.source_pos[:, None, :] - scene.area_center[None, :, :]  # [N,A,3]
     local = jnp.einsum("aij,naj->nai", scene.area_rot, rel)
     box_in = jnp.all(jnp.abs(local) <= scene.area_half[None, :, :], axis=-1)
@@ -158,16 +166,74 @@ def _select_area(scene: SceneState, params: SourceParams):
     sph_in = jnp.sum(rel * rel, axis=-1) <= r2
     _, cap_d = _capsule_seg_rel(local, scene.area_half[None, :, :])
     cap_in = jnp.sum(cap_d * cap_d, axis=-1) <= r2
+    cyl_in = (local[..., 0] ** 2 + local[..., 2] ** 2 <= r2) & (
+        jnp.abs(local[..., 1]) <= scene.area_half[None, :, 1]
+    )
     shape = scene.area_shape[None, :]
     contains = jnp.where(
-        shape == 2, cap_in, jnp.where(shape == 1, sph_in, box_in)
+        shape == 3,
+        cyl_in,
+        jnp.where(shape == 2, cap_in, jnp.where(shape == 1, sph_in, box_in)),
     )  # [N,A]
+    if scene.area_planes.shape[1] > 1:  # static: scene has a convex area
+        pn = scene.area_planes[..., :3]  # [A,P,3]
+        pd = scene.area_planes[..., 3]  # [A,P]
+        conv_in = jnp.all(
+            jnp.einsum("api,nai->nap", pn, local) <= pd[None, :, :], axis=-1
+        )
+        contains = jnp.where(shape == 4, conv_in, contains)
     mask_match = (scene.area_mask[None, :] & params.area_mask[:, None]) != 0
     relevant = (scene.area_override_bus >= 0) | (scene.area_reverb_bus >= 0)
     found = contains & mask_match & relevant[None, :] & scene.area_active[None, :]
     has_area = jnp.any(found, axis=1)  # [N]
     area_idx = jnp.argmax(found, axis=1)  # first True (or 0 when none)
     return has_area, area_idx
+
+
+def _convex_closest_points(scene: SceneState):
+    """Closest point of every convex area's hull to every listener, [A,L,3]
+    world frame (inside points stay put — same semantics as the physics
+    `get_closest_point_to_object_volume` the reference queries,
+    audio_spatializer_3d.cpp:350-353).
+
+    Computed per (area, listener) — NOT per source — so the per-source cost
+    is one [N,L,3]-row gather by area index; the candidate search (face-
+    plane projections kept when they satisfy every plane, plus clamped
+    edge-segment projections; the nearest wins) runs on the tiny [A,L,P+E]
+    lattice.  Only traced when the scene actually holds a convex hull
+    (area_planes P > 1)."""
+    rel = scene.listener_origin[None, :, :] - scene.area_center[:, None, :]
+    loc = jnp.einsum("aij,alj->ali", scene.area_rot, rel)  # [A,L,3] local
+    pn = scene.area_planes[..., :3]  # [A,P,3] unit normals
+    pd = scene.area_planes[..., 3]  # [A,P]
+    sd = jnp.einsum("api,ali->alp", pn, loc) - pd[:, None, :]  # signed dist
+    inside = jnp.all(sd <= 0.0, axis=-1)  # [A,L]
+    # face candidates: project onto each plane, valid iff the projection
+    # still satisfies every plane (i.e. lands on that face of the hull)
+    qf = loc[:, :, None, :] - sd[..., None] * pn[:, None, :, :]  # [A,L,P,3]
+    qf_sd = jnp.einsum("aqi,alpi->alpq", pn, qf) - pd[:, None, None, :]
+    # eps covers f32 roundoff of the plane dots (~5e-6 at scene scale ~16)
+    # without admitting far-outside-the-face projections: an eps-accepted
+    # candidate deviates from the true edge minimum by ≤ eps/sin(dihedral)
+    qf_ok = jnp.all(qf_sd <= 3e-5, axis=-1)  # [A,L,P]
+    df2 = jnp.where(qf_ok, jnp.sum((qf - loc[:, :, None, :]) ** 2, -1), jnp.inf)
+    # edge candidates (cover the true minimum when it sits on an edge or
+    # vertex, where every face projection is invalid)
+    ea = scene.area_edges[:, :, 0]  # [A,E,3]
+    ab = scene.area_edges[:, :, 1] - ea  # [A,E,3]
+    ap = loc[:, :, None, :] - ea[:, None, :, :]  # [A,L,E,3]
+    denom = jnp.maximum(jnp.sum(ab * ab, -1), 1e-20)  # [A,E]
+    t = jnp.clip(jnp.sum(ap * ab[:, None], -1) / denom[:, None], 0.0, 1.0)
+    qe = ea[:, None] + t[..., None] * ab[:, None]  # [A,L,E,3]
+    de2 = jnp.sum((qe - loc[:, :, None, :]) ** 2, -1)
+    cand = jnp.concatenate([qf, qe], axis=2)  # [A,L,P+E,3]
+    d2 = jnp.concatenate([df2, de2], axis=2)
+    best = jnp.argmin(d2, axis=2)  # [A,L]
+    q = jnp.take_along_axis(cand, best[..., None, None], axis=2)[:, :, 0]
+    q = jnp.where(inside[..., None], loc, q)
+    return scene.area_center[:, None, :] + jnp.einsum(
+        "aji,alj->ali", scene.area_rot, q
+    )
 
 
 def calculate_spatialization(
@@ -225,11 +291,36 @@ def calculate_spatialization(
     )
     cap_local = cap_seg + cap_d * cap_scale[..., None]
     cap_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cap_local)
-    closest = jnp.where(
-        (a_shape == 2)[:, None, None],
-        cap_cp,
-        jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp),
+    # cylinder = disk (x,z) × interval (y): the closest point on the
+    # product set is the product of the per-factor projections
+    cyl_rad = jnp.sqrt(local_l[..., 0] ** 2 + local_l[..., 2] ** 2)  # [N,L]
+    cyl_r = a_half[:, None, 0]
+    cyl_scale = jnp.where(
+        (cyl_rad > cyl_r) & (cyl_rad > 0),
+        cyl_r / jnp.where(cyl_rad > 0, cyl_rad, 1.0),
+        1.0,
     )
+    cyl_local = jnp.stack(
+        [
+            local_l[..., 0] * cyl_scale,
+            jnp.clip(local_l[..., 1], -a_half[:, None, 1], a_half[:, None, 1]),
+            local_l[..., 2] * cyl_scale,
+        ],
+        axis=-1,
+    )
+    cyl_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cyl_local)
+    closest = jnp.where(
+        (a_shape == 3)[:, None, None],
+        cyl_cp,
+        jnp.where(
+            (a_shape == 2)[:, None, None],
+            cap_cp,
+            jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp),
+        ),
+    )
+    if scene.area_planes.shape[1] > 1:  # static: scene has a convex area
+        conv_cp = _convex_closest_points(scene)[area_idx]  # [N,L,3]
+        closest = jnp.where((a_shape == 4)[:, None, None], conv_cp, closest)
     # full (non-orthonormalized) affine inverse of the listener transform
     lap_diff = closest - scene.listener_origin[None, :, :]
     listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)

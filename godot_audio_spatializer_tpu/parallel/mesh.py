@@ -68,6 +68,8 @@ def shard_scene(mesh: Mesh, scene: SceneState) -> SceneState:
         area_reverb_amount=jax.device_put(scene.area_reverb_amount, r),
         area_reverb_uniformity=jax.device_put(scene.area_reverb_uniformity, r),
         area_active=jax.device_put(scene.area_active, r),
+        area_planes=jax.device_put(scene.area_planes, r),
+        area_edges=jax.device_put(scene.area_edges, r),
     )
 
 

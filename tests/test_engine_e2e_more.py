@@ -134,6 +134,36 @@ def test_area_bus_override_and_reverb_engine():
              areas_g, areas_e, buses=("Ambient", "Reverb"), n_blocks=10)
 
 
+def test_convex_and_cylinder_area_engine():
+    """Engine e2e with the pack-time hull path: a convex area (override +
+    uniform reverb, so the hull closest-point feeds listener_area_pos) and
+    a cylinder reverb area, flight path crossing both."""
+    pts = np.array(
+        [[-4, -2, -4], [4, -2, -4], [4, -2, 4], [-4, -2, 4],
+         [-2, 3, -2], [2, 3, 2], [0, 4, 0]], np.float64
+    )  # irregular frustum-ish hull around the origin
+    conv_kw = dict(shape="convex", points=pts)
+    cyl_kw = dict(shape="cylinder")
+    areas_g = [
+        g.AreaBox(np.zeros(3), np.full(3, 4.0), 1, "Ambient", "Reverb",
+                  0.5, 0.7, **conv_kw),
+        g.AreaBox(np.array([7.0, 0.0, -1.0]), np.array([2.5, 3.0, 0.0]), 1,
+                  None, "Reverb", 0.8, 0.4, **cyl_kw),
+    ]
+    areas_e = [
+        AreaDesc(np.zeros(3), np.full(3, 4.0), 1, "Ambient", "Reverb",
+                 0.5, 0.7, **conv_kw),
+        AreaDesc(np.array([7.0, 0.0, -1.0]), np.array([2.5, 3.0, 0.0]), 1,
+                 None, "Reverb", 0.8, 0.4, **cyl_kw),
+    ]
+    positions = [np.array([x, 0.0, -1.0]) for x in np.linspace(-8, 9, 10)]
+    gcfg = g.Spatializer3DConfigG()
+    spat = AudioSpatializer3D()
+    run_pair(positions, SpeakerMode.STEREO, gcfg, spat,
+             [g.Listener()], [ListenerDesc()],
+             areas_g, areas_e, buses=("Ambient", "Reverb"), n_blocks=10)
+
+
 def test_emission_cone_engine():
     positions = [np.array([0.0, 0.0, -5.0])] * 6
     gcfg = g.Spatializer3DConfigG(

@@ -38,17 +38,22 @@ def _random_scene(rng, n_sources, n_listeners, n_areas, speaker_mode, with_doppl
             reverb = "Reverb"
         amount = float(rng.uniform(0, 1))
         uniformity = float(rng.uniform(0, 1)) if rng.random() < 0.7 else 0.0
-        # mix of shapes: axis-aligned box, rotated box, sphere, capsule
+        # mix of shapes: axis-aligned box, rotated box, sphere, capsule,
+        # cylinder, convex hull
         roll = rng.random()
-        shape, basis = "box", None
-        if roll < 0.25:
-            shape = "sphere"
-        elif roll < 0.5:
+        shape, basis, points = "box", None, None
+
+        def _rand_rot():
             q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
             if np.linalg.det(q) < 0:
                 q[:, 0] *= -1
-            basis = q
-        elif roll < 0.75:
+            return q
+
+        if roll < 0.17:
+            shape = "sphere"
+        elif roll < 0.34:
+            basis = _rand_rot()
+        elif roll < 0.51:
             # capsule: half[0] = radius, half[1] = TOTAL half-height
             # (occasionally degenerate h/2 < r → sphere-like core);
             # rotated half the time
@@ -57,17 +62,25 @@ def _random_scene(rng, n_sources, n_listeners, n_areas, speaker_mode, with_doppl
                 [half[0], half[0] * float(rng.uniform(0.5, 3.0)), half[2]]
             )
             if rng.random() < 0.5:
-                q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
-                if np.linalg.det(q) < 0:
-                    q[:, 0] *= -1
-                basis = q
+                basis = _rand_rot()
+        elif roll < 0.68:
+            # cylinder: half[0] = radius, half[1] = half-height
+            shape = "cylinder"
+            if rng.random() < 0.5:
+                basis = _rand_rot()
+        elif roll < 0.85:
+            # convex hull of random local points spanning the half-extents
+            shape = "convex"
+            points = rng.uniform(-1, 1, (int(rng.integers(6, 14)), 3)) * half
+            if rng.random() < 0.5:
+                basis = _rand_rot()
         areas_g.append(
             g.AreaBox(center, half, 1, override, reverb, amount, uniformity,
-                      shape=shape, basis=basis)
+                      shape=shape, basis=basis, points=points)
         )
         areas_d.append(
             sc.AreaDesc(center, half, 1, override, reverb, amount, uniformity,
-                        shape=shape, basis=basis)
+                        shape=shape, basis=basis, points=points)
         )
 
     configs = []
@@ -218,6 +231,77 @@ def test_geometry_parity(speaker_mode, with_doppler):
                 got_buses[b], golden_buses[b], rtol=2e-4, atol=1e-5,
                 err_msg=f"bus {b} source {i}",
             )
+
+
+@pytest.mark.parametrize("shape", ["cylinder", "convex"])
+def test_new_shape_contains_closest_parity(shape):
+    """Direct containment + closest-point parity for the cylinder/convex
+    area shapes (reference queries arbitrary physics shapes by point,
+    audio_spatializer_3d.cpp:208-245, 350-353): device [N,A]/[A,L] batched
+    math vs the golden scalar oracle, probes inside AND outside."""
+    from godot_audio_spatializer_tpu.ops.geometry import (
+        _convex_closest_points,
+        _select_area,
+    )
+
+    rng = np.random.default_rng(11 if shape == "convex" else 12)
+    for trial in range(4):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        basis = q if trial % 2 else None
+        center = rng.uniform(-3, 3, 3)
+        half = rng.uniform(1, 5, 3)
+        points = None
+        if shape == "convex":
+            points = rng.uniform(-1, 1, (10, 3)) * half
+        kw = dict(shape=shape, basis=basis, points=points)
+        area_g = g.AreaBox(center, half, 1, None, "Reverb", 0.5, 1.0, **kw)
+        area_d = sc.AreaDesc(center, half, 1, None, "Reverb", 0.5, 1.0, **kw)
+
+        # probe points spanning inside, near-surface and far outside
+        probes = center + rng.uniform(-1.5, 1.5, (64, 3)) * np.max(half)
+        if shape == "convex":
+            # half the probes are convex combinations of the hull points
+            # (guaranteed interior), mapped local→world
+            w = rng.dirichlet(np.ones(10), size=32)
+            loc = 0.9 * (w @ points)
+            if basis is not None:
+                loc = loc @ np.asarray(basis).T
+            probes[:32] = center + loc
+        listeners = [sc.ListenerDesc(origin=p) for p in probes]
+        scene = sc.build_scene_state(
+            probes.astype(np.float32), listeners, [area_d],
+            {"Master": 0, "Reverb": 1},
+        )
+        params = sc.default_source_params(64)
+
+        # containment: the area is reverb-relevant for every source, so
+        # has_area ⇔ contains
+        has_area, _ = _select_area(scene, params)
+        got_in = np.asarray(has_area)
+        want_in = np.array([area_g.contains(p) for p in probes])
+        np.testing.assert_array_equal(got_in, want_in, err_msg=f"trial {trial}")
+        assert want_in.any() and not want_in.all()  # both sides exercised
+
+        if shape != "convex":
+            # cylinder closest-point runs inline in calculate_spatialization
+            # and is covered by the randomized e2e parity above
+            continue
+        got_cp = np.asarray(_convex_closest_points(scene))[0]  # [L,3]
+        want_cp = np.stack([area_g.closest_point(p) for p in probes])
+        np.testing.assert_allclose(
+            got_cp, want_cp, atol=2e-4, rtol=1e-5, err_msg=f"trial {trial}"
+        )
+        # the device closest point must itself lie in the hull (nudged
+        # toward the vertex mean — a guaranteed interior point — to absorb
+        # f32 surface roundoff)
+        interior = points.mean(axis=0)
+        if basis is not None:
+            interior = np.asarray(basis) @ interior
+        interior = center + interior
+        for p, cp in zip(probes, got_cp):
+            assert area_g.contains(cp + 1e-3 * (interior - cp))
 
 
 def test_out_of_range_hysteresis_carry():
