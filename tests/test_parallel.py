@@ -198,12 +198,14 @@ def test_streaming_engine_sharded_matches_single_device():
     players shard over sources; Stage A all-gathers, the sibling ramp
     pool pmax-combines, the bus input psums.  Must match the plain
     single-device engine through a lifecycle scenario (plays, a stop, a
-    same-tick sibling start, pause/unpause, motion)."""
+    same-tick sibling start, pause/unpause, motion) with area routing
+    (a convex-hull override area + a cylinder reverb area — the hull
+    plane/edge lanes are replicated scene state inside the shard_map)."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     from godot_audio_spatializer_tpu.engine.player import (
         AudioStreamPlayerSpatial,
     )
-    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+    from godot_audio_spatializer_tpu.engine.scene import AreaDesc, ListenerDesc
     from godot_audio_spatializer_tpu.engine.server import AudioEngine
     from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
     from godot_audio_spatializer_tpu.models.spatializer3d import (
@@ -213,13 +215,27 @@ def test_streaming_engine_sharded_matches_single_device():
     rng = np.random.default_rng(17)
     clip_a = (rng.standard_normal(6000) * 0.4).astype(np.float32)
     clip_b = (rng.standard_normal(2500) * 0.4).astype(np.float32)
+    hull_pts = np.array(
+        [[-3, -2, -4], [3, -2, -4], [3, -2, 1], [-3, -2, 1],
+         [-1, 2, -3], [1, 2, -1], [0, 3, -2]], np.float64
+    )
 
     def run(mesh):
         eng = AudioEngine(
             mix_rate=48000.0, block_size=512, max_sources=16, mesh=mesh,
             speaker_mode=SpeakerMode.SURROUND_51,
         )
+        eng.add_bus("Ambient", volume_db=-4.0)
+        eng.add_bus("Reverb", volume_db=-6.0)
         eng.add_listener(ListenerDesc())
+        eng.add_area(AreaDesc(
+            np.array([0.0, 0.0, -2.0]), np.full(3, 4.0), 1, "Ambient",
+            "Reverb", 0.6, 0.5, shape="convex", points=hull_pts,
+        ))
+        eng.add_area(AreaDesc(
+            np.array([-2.0, 0.0, -2.0]), np.array([1.5, 2.0, 0.0]), 1,
+            None, "Reverb", 0.7, 0.0, shape="cylinder",
+        ))
         pls = []
         for i in range(6):  # pads to 8 lanes on the mesh
             pl = AudioStreamPlayerSpatial(
