@@ -108,6 +108,10 @@ class AudioStreamPlayerSpatial:
         if math.isnan(v):
             raise ValueError("Volume can't be set to NaN.")
         self._volume_db = v
+        # live property writes must invalidate the engine's device-resident
+        # SourceParams cache (the reference re-reads node properties every
+        # tick; we rebuild the param lanes only on change)
+        self.engine.mark_params_dirty()
 
     @property
     def volume_linear(self) -> float:
@@ -116,6 +120,26 @@ class AudioStreamPlayerSpatial:
     @volume_linear.setter
     def volume_linear(self, v: float):
         self.volume_db = 20.0 * math.log10(v)
+
+    @property
+    def max_db(self) -> float:
+        return self._max_db
+
+    @max_db.setter
+    def max_db(self, v: float):
+        self._max_db = float(v)
+        self.engine.mark_params_dirty()
+
+    @property
+    def pitch_scale(self) -> float:
+        return self._pitch_scale
+
+    @pitch_scale.setter
+    def pitch_scale(self, v: float):
+        if v <= 0:
+            raise ValueError("Pitch scale must be a positive number.")
+        self._pitch_scale = float(v)
+        self.engine.mark_params_dirty()
 
     @property
     def max_polyphony(self) -> int:
@@ -140,6 +164,7 @@ class AudioStreamPlayerSpatial:
     @bus.setter
     def bus(self, name: str):
         self._bus = name
+        self.engine.mark_params_dirty()  # bus_index lane re-resolves
 
     # --- transform / velocity ---
     # Transforms write through to the engine-owned scene lanes

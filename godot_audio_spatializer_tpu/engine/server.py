@@ -493,6 +493,10 @@ class AudioEngine:
 
         self._source_params_cache: Optional[SourceParams] = None
         self._params_dirty = True
+        # spatializer3d.params_generation stamps at each cache's build
+        self._params_gen = -1
+        self._vel_gen = -1
+        self._custom_gen = -1
         self._last_peaks = None
         # -- streaming-path device residency (round-3) --------------------
         # The tunnel charges ~0.2 ms PER host→device transfer; a naive
@@ -872,9 +876,19 @@ class AudioEngine:
 
     def _vel_players(self) -> List:
         """Players needing per-tick velocity tracking (doppler enabled) —
-        cached under the params_dirty flag (doppler_tracking changes
-        already require mark_params_dirty to reach Stage A)."""
-        if self._velocity_players is None or self._params_dirty:
+        cached under the params_dirty flag / resource generation (a live
+        `doppler_tracking` edit must start velocity tracking next tick).
+        Each derived cache carries its OWN generation stamp so rebuild
+        order within a tick can't mask staleness."""
+        from ..models.spatializer3d import params_generation
+
+        gen = params_generation()
+        if (
+            self._velocity_players is None
+            or self._params_dirty
+            or self._vel_gen != gen
+        ):
+            self._vel_gen = gen
             self._velocity_players = [
                 pl for pl in self.players
                 if not pl._deregistered
@@ -885,7 +899,15 @@ class AudioEngine:
         return self._velocity_players
 
     def _has_custom(self) -> bool:
-        if self._has_custom_cache is None or self._params_dirty:
+        from ..models.spatializer3d import params_generation
+
+        gen = params_generation()
+        if (
+            self._has_custom_cache is None
+            or self._params_dirty
+            or self._custom_gen != gen
+        ):
+            self._custom_gen = gen
             from ..models.custom import AudioSpatializerCustom
 
             self._has_custom_cache = self.stage_a_override is not None or any(
@@ -994,12 +1016,24 @@ class AudioEngine:
 
     def _params_dev(self) -> SourceParams:
         """Device-resident SourceParams, rebuilt only when params_dirty —
-        18 per-player lanes that would otherwise re-upload every step."""
+        18 per-player lanes that would otherwise re-upload every step.
+
+        Invalidation: mark_params_dirty (player property setters,
+        bus/listener/area/resource-swap changes) OR the global spatializer
+        resource generation — live field edits on a shared
+        AudioSpatializer3D/Effect/Custom resource bump it
+        (models/spatializer3d._LiveEditResource), mirroring the
+        reference's `changed`-signal re-reads."""
+        from ..models.spatializer3d import params_generation
+
+        gen = params_generation()
         if (
             self._params_dirty
+            or self._params_gen != gen
             or self._source_params_cache is None
             or self._source_params_dev is None
         ):
+            self._params_gen = gen
             self._source_params_cache = self._player_params()
             params = self._source_params_cache
             if self.mesh is not None:

@@ -32,11 +32,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
-from .spatializer3d import AudioSpatializer3D
+from .spatializer3d import AudioSpatializer3D, _LiveEditResource
 
 
 @dataclass
-class AudioSpatializerCustom:
+class AudioSpatializerCustom(_LiveEditResource):
     """Spatializer resource driven by a user-supplied batched Stage A.
 
     calculate_spatialization: (scene: SceneState, params: SourceParams,

@@ -18,9 +18,31 @@ from typing import Optional
 
 from ..constants import AttenuationModel, DopplerTracking
 
+# Live-edit generation counter: every field write on ANY spatializer
+# resource bumps this; AudioEngine._params_dev compares it to the
+# generation its device-resident SourceParams cache was built at, so
+# mutating a shared resource mid-session (the reference's resources emit
+# `changed` and the nodes re-read them, audio_spatializer_3d.cpp property
+# bindings cpp:767-835) reaches Stage A on the next tick without an
+# O(players) per-tick scan.
+_PARAMS_GENERATION = 0
+
+
+def params_generation() -> int:
+    return _PARAMS_GENERATION
+
+
+class _LiveEditResource:
+    """Mixin: any attribute write invalidates engine SourceParams caches."""
+
+    def __setattr__(self, name, value):
+        global _PARAMS_GENERATION
+        _PARAMS_GENERATION += 1
+        object.__setattr__(self, name, value)
+
 
 @dataclass
-class AudioSpatializer3D:
+class AudioSpatializer3D(_LiveEditResource):
     mix_channel_mode: bool = False
     attenuation_model: AttenuationModel = AttenuationModel.INVERSE_DISTANCE
     unit_size: float = 10.0

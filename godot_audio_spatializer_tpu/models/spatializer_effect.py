@@ -22,11 +22,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import List, Optional
 
-from .spatializer3d import AudioSpatializer3D
+from .spatializer3d import AudioSpatializer3D, _LiveEditResource
 
 
 @dataclass
-class AudioSpatializerEffect:
+class AudioSpatializerEffect(_LiveEditResource):
     """Effect-chain spatializer resource.
 
     audio_effects: the chain (models/effects.py source effects).  Players

@@ -1,0 +1,414 @@
+"""Combination differential fuzz: whole-engine randomized scenarios vs golden.
+
+Each seed builds a random FULL scenario — speaker mode, 1-2 rotated
+listeners, 0-3 areas over all five physics shapes (override/reverb
+routing), 2-4 players with independent random AudioSpatializer3D configs
+(attenuation model, cone, distance filter, max_distance gating, panning
+strength, area mask), random player properties (volume/max_db/pitch/bus/
+polyphony/orientation), and a random event schedule (play-from-position,
+stop, seek, pause/unpause, volume changes) — and runs it through both the
+TPU engine (`AudioEngine` + `AudioStreamPlayerSpatial`) and the golden
+scalar oracle, asserting master-output parity at −80 dBFS.
+
+This is the cross-product adversary of the hand-written e2e tests: the
+single-feature parity suites (test_engine_e2e*, test_geometry,
+test_stress_lifecycle) each pin one axis; this module samples the joint
+space where feature interactions live (a seek during an area crossing
+while paused-siblings hold ramp state, a polyphony trim on an
+out-of-range hysteresis frame, ...).  Reference behaviors being modeled:
+the physics-tick update loop (audio_spatializer.cpp:74-93), the mix/GC
+loop (audio_spatializer.cpp:326-527), and Stage A
+(audio_spatializer_3d.cpp:277-489).
+
+Importable by tests (pinned seeds in test_fuzz_combo.py) and runnable as
+a campaign via tools/fuzz_campaign.py (seed sweeps in parallel
+subprocesses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from godot_audio_spatializer_tpu.constants import AttenuationModel, SpeakerMode
+from godot_audio_spatializer_tpu.engine.player import AudioStreamPlayerSpatial
+from godot_audio_spatializer_tpu.engine.scene import AreaDesc, ListenerDesc
+from godot_audio_spatializer_tpu.engine.server import AudioEngine
+from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+from godot_audio_spatializer_tpu.golden import reference as g
+from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
+
+MIX_RATE = 44100.0
+F = 512
+DB80 = 1e-4
+
+_MODES = [
+    SpeakerMode.STEREO,
+    SpeakerMode.SURROUND_31,
+    SpeakerMode.SURROUND_51,
+    SpeakerMode.SURROUND_71,
+]
+
+
+def _rand_rot(rng):
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+def make_scenario(seed: int, n_blocks: int = 40) -> dict:
+    rng = np.random.default_rng(seed)
+    speaker_mode = _MODES[int(rng.integers(len(_MODES)))]
+    mix_channel = bool(rng.random() < 0.3)
+    # SPCAP quirk constraint (pinned reference behavior,
+    # audio_spatializer_3d.cpp:926-938 + golden/reference.py:146-152):
+    # pow(1+d, tightness) gets NEGATIVE bases for sources >1 unit behind a
+    # speaker, so any non-integer tightness = panning_strength ×
+    # global_panning_strength yields NaN output — in the reference too.
+    # The fuzz samples integer products (the reference's sane operating
+    # points); the NaN-parity itself is pinned in test_geometry.
+    gps = 2.0 if rng.random() < 0.25 else 1.0
+
+    listeners = []
+    for _ in range(1 + int(rng.random() < 0.3)):
+        listeners.append(
+            dict(
+                basis=_rand_rot(rng) if rng.random() < 0.5 else np.eye(3),
+                origin=rng.uniform(-3, 3, 3),
+            )
+        )
+
+    areas = []
+    for _ in range(int(rng.integers(0, 4))):
+        shape = ["box", "sphere", "capsule", "cylinder", "convex"][
+            int(rng.integers(5))
+        ]
+        half = rng.uniform(1.5, 6, 3)
+        override = "Ambient" if rng.random() < 0.5 else None
+        reverb = "Reverb" if (override is None or rng.random() < 0.6) else None
+        areas.append(
+            dict(
+                center=rng.uniform(-6, 6, 3),
+                half_extents=half,
+                mask=int(rng.choice([1, 1, 1, 2])),
+                override=override,
+                reverb=reverb,
+                amount=float(rng.uniform(0.1, 1.0)),
+                uniformity=float(rng.uniform(0, 1)) if rng.random() < 0.6 else 0.0,
+                shape=shape,
+                basis=_rand_rot(rng) if rng.random() < 0.4 else None,
+                points=(rng.uniform(-1, 1, (int(rng.integers(6, 12)), 3)) * half)
+                if shape == "convex"
+                else None,
+            )
+        )
+
+    players = []
+    n_players = int(rng.integers(2, 5))
+    for _ in range(n_players):
+        cone = bool(rng.random() < 0.3)
+        cfg = dict(
+            attenuation_model=AttenuationModel(int(rng.integers(4))),
+            unit_size=float(rng.uniform(3, 20)),
+            max_distance=float(rng.uniform(6, 25)) if rng.random() < 0.4 else 0.0,
+            panning_strength=float(rng.choice([1.0, 1.0, 2.0, 3.0])),
+            area_mask=int(rng.choice([1, 1, 1, 3])),
+            emission_angle_enabled=cone,
+            emission_angle=float(rng.uniform(15, 80)),
+            emission_angle_filter_attenuation_db=float(rng.uniform(-30, -3)),
+            attenuation_filter_cutoff_hz=float(rng.uniform(1000, 15000)),
+            attenuation_filter_db=float(rng.uniform(-40, -6)),
+        )
+        # random walk with per-player velocity scale; mostly in front of
+        # the listener cluster, crossing area volumes
+        start = rng.uniform(-7, 7, 3)
+        steps = rng.normal(scale=rng.uniform(0.1, 0.9), size=(n_blocks, 3))
+        traj = start + np.cumsum(steps, axis=0)
+        traj = np.clip(traj, [-9, -4, -9], [9, 4, 9])
+        players.append(
+            dict(
+                clip_len=int(rng.integers(3000, 50000)),
+                clip_gain=float(rng.uniform(0.15, 0.4)),
+                loop=bool(rng.random() < 0.5),
+                volume_db=float(rng.uniform(-12, 6)),
+                max_db=float(rng.uniform(0, 6)),
+                pitch=float(rng.uniform(0.6, 1.8)) if rng.random() < 0.5 else 1.0,
+                bus="Ambient" if rng.random() < 0.2 else "Master",
+                polyphony=int(rng.integers(1, 4)),
+                basis=_rand_rot(rng) if rng.random() < 0.4 else np.eye(3),
+                cfg=cfg,
+                traj=traj,
+            )
+        )
+
+    schedule = []
+    for b in range(n_blocks):
+        evs = []
+        for p in players:
+            e = []
+            r = rng.random()
+            if b == 0 or r < 0.12:
+                # play, sometimes from a mid-clip position (seconds,
+                # sample-aligned so both sides round identically)
+                pos = 0.0
+                if rng.random() < 0.4:
+                    pos = int(rng.integers(0, p["clip_len"])) / MIX_RATE
+                e.append(("play", pos))
+            elif r < 0.18:
+                e.append(("stop",))
+            elif r < 0.22:
+                e.append(("seek", int(rng.integers(0, p["clip_len"])) / MIX_RATE))
+            elif r < 0.27:
+                e.append(("pause",))
+            elif r < 0.32:
+                e.append(("unpause",))
+            elif r < 0.38:
+                e.append(("volume", float(rng.uniform(-12, 6))))
+            evs.append(e)
+        schedule.append(evs)
+
+    clip_rng = np.random.default_rng(seed + 1_000_000)
+    for p in players:
+        p["clip"] = (
+            clip_rng.standard_normal(p["clip_len"]) * p["clip_gain"]
+        ).astype(np.float32)
+
+    return dict(
+        seed=seed,
+        n_blocks=n_blocks,
+        speaker_mode=speaker_mode,
+        mix_channel=mix_channel,
+        gps=gps,
+        listeners=listeners,
+        areas=areas,
+        players=players,
+        schedule=schedule,
+    )
+
+
+class _GoldenPlayer:
+    """Scripted golden twin of one engine player (event-driven, mirrors
+    the GoldenPlayerSim structure of test_stress_lifecycle with areas,
+    listeners, per-player config, multi-channel registration and
+    update_parameters gating)."""
+
+    def __init__(self, server, p, listeners, areas, speaker_mode, gps):
+        self.server = server
+        self.p = p
+        self.listeners = listeners
+        self.areas = areas
+        self.speaker_mode = speaker_mode
+        self.gps = gps
+        cfgd = p["cfg"]
+        self.cfg = g.Spatializer3DConfigG(
+            mix_channel_mode=p["mix_channel"],
+            attenuation_model=cfgd["attenuation_model"],
+            unit_size=cfgd["unit_size"],
+            max_distance=cfgd["max_distance"],
+            panning_strength=cfgd["panning_strength"],
+            area_mask=cfgd["area_mask"],
+            emission_angle_enabled=cfgd["emission_angle_enabled"],
+            emission_angle=cfgd["emission_angle"],
+            emission_angle_filter_attenuation_db=cfgd[
+                "emission_angle_filter_attenuation_db"
+            ],
+            attenuation_filter_cutoff_hz=cfgd["attenuation_filter_cutoff_hz"],
+            attenuation_filter_db=cfgd["attenuation_filter_db"],
+        )
+        self.inst = g.GoldenSpatializerInstance(self.cfg, speaker_mode, MIX_RATE)
+        self.volume_db = p["volume_db"]
+        self.was_out = False
+        self.registered = False
+        self.voices = []
+
+    def _register_or_update(self, params, force_register=False):
+        if not self.registered or force_register:
+            for c in range(self.inst.channel_count):
+                self.server.start_playback_stream(
+                    self.inst, c, g.get_bus_map(params, c, self.inst._should_mix)
+                )
+            self.registered = True
+
+    def _start_voice(self, params, from_pos_sec):
+        node = self.inst.start_playback_stream(
+            g.BufferStream(self.p["clip"], loop=self.p["loop"]),
+            from_pos=int(from_pos_sec * MIX_RATE),
+        )
+        self.voices.append(node)
+        self._register_or_update(params)
+
+    def tick(self, pos, events):
+        # property writes land BEFORE the tick reads them (the engine loop
+        # sets player attributes, then physics_step snapshots them)
+        for ev in events:
+            if ev[0] == "volume":
+                self.volume_db = ev[1]
+        # order matches the engine physics step: params first, then
+        # play/stop events (reference audio_spatializer.cpp:74-93)
+        t = g.Transform3D(np.asarray(self.p["basis"], np.float64), np.asarray(pos, np.float64))
+        params, self.was_out = g.calculate_spatialization(
+            self.cfg, t, np.zeros(3), self.volume_db, self.p["max_db"],
+            self.p["pitch"], self.p["bus"], self.listeners, self.areas,
+            self.speaker_mode, self.was_out, self.gps,
+        )
+        self.inst.set_spatializer_parameters(params)
+        self.voices = [v for v in self.voices if v.active]
+        for ev in events:
+            kind = ev[0]
+            if kind == "play":
+                self._start_voice(params, ev[1])
+            elif kind == "stop":
+                for v in list(self.voices):
+                    self.inst.stop_playback_stream(v)
+                self.voices.clear()
+            elif kind == "seek":
+                # engine seek() = stop + play(to_pos) when playing; no-op
+                # when stopped (engine/player.py:214-219)
+                if self.voices:
+                    for v in list(self.voices):
+                        self.inst.stop_playback_stream(v)
+                    self.voices.clear()
+                    self._start_voice(params, ev[1])
+            elif kind == "pause":
+                self.server.set_playback_paused(self.inst, True)
+            elif kind == "unpause":
+                self.server.set_playback_paused(self.inst, False)
+            elif kind == "volume":
+                pass  # applied at tick start (property-write ordering)
+        while len(self.voices) > self.p["polyphony"]:
+            self.inst.stop_playback_stream(self.voices.pop(0))
+        if self.registered and params.update_parameters:
+            for c in range(self.inst.channel_count):
+                self.server.set_playback_bus_volumes_linear(
+                    self.inst, c, g.get_bus_map(params, c, self.inst._should_mix)
+                )
+
+
+def run_golden(sc: dict) -> np.ndarray:
+    listeners = [
+        g.Listener(g.Transform3D(l["basis"], l["origin"])) for l in sc["listeners"]
+    ]
+    areas = [
+        g.AreaBox(
+            a["center"], a["half_extents"], a["mask"], a["override"],
+            a["reverb"], a["amount"], a["uniformity"], shape=a["shape"],
+            basis=a["basis"], points=a["points"],
+        )
+        for a in sc["areas"]
+    ]
+    server = g.GoldenAudioServer(sc["speaker_mode"], MIX_RATE, F)
+    server.add_bus("Ambient")
+    server.add_bus("Reverb")
+    sims = []
+    for p in sc["players"]:
+        p = dict(p, mix_channel=sc["mix_channel"])
+        sims.append(
+            _GoldenPlayer(server, p, listeners, areas, sc["speaker_mode"], sc["gps"])
+        )
+    blocks = []
+    for b in range(sc["n_blocks"]):
+        for pi, sim in enumerate(sims):
+            sim.tick(sc["players"][pi]["traj"][b], sc["schedule"][b][pi])
+        blocks.append(server.mix_block())
+        # proxy teardown when the playback list empties during an unpaused
+        # mix (reference _manage_playback_state, audio_spatializer.cpp:484-491)
+        for sim in sims:
+            if sim.registered and not sim.inst.playbacks:
+                for c in range(sim.inst.channel_count):
+                    server.stop_playback_stream(sim.inst, c)
+                sim.registered = False
+    return np.concatenate(blocks, axis=1)
+
+
+def run_engine(sc: dict) -> np.ndarray:
+    eng = AudioEngine(
+        mix_rate=MIX_RATE,
+        block_size=F,
+        speaker_mode=sc["speaker_mode"],
+        max_sources=16,
+        mix_channel_enabled=sc["mix_channel"],
+        global_panning_strength=sc["gps"],
+    )
+    eng.add_bus("Ambient")
+    eng.add_bus("Reverb")
+    for l in sc["listeners"]:
+        eng.add_listener(ListenerDesc(basis=l["basis"], origin=l["origin"]))
+    for a in sc["areas"]:
+        eng.add_area(
+            AreaDesc(
+                a["center"], a["half_extents"], a["mask"], a["override"],
+                a["reverb"], a["amount"], a["uniformity"], shape=a["shape"],
+                basis=a["basis"], points=a["points"],
+            )
+        )
+    players = []
+    for p in sc["players"]:
+        cfgd = p["cfg"]
+        spat = AudioSpatializer3D(
+            mix_channel_mode=sc["mix_channel"],
+            attenuation_model=cfgd["attenuation_model"],
+            unit_size=cfgd["unit_size"],
+            max_distance=cfgd["max_distance"],
+            panning_strength=cfgd["panning_strength"],
+            area_mask=cfgd["area_mask"],
+            emission_angle_enabled=cfgd["emission_angle_enabled"],
+            emission_angle_degrees=cfgd["emission_angle"],
+            emission_angle_filter_attenuation_db=cfgd[
+                "emission_angle_filter_attenuation_db"
+            ],
+            attenuation_filter_cutoff_hz=cfgd["attenuation_filter_cutoff_hz"],
+            attenuation_filter_db=cfgd["attenuation_filter_db"],
+        )
+        pl = AudioStreamPlayerSpatial(
+            eng,
+            stream=AudioStreamSample(p["clip"], loop=p["loop"], sample_rate=MIX_RATE),
+            spatializer=spat,
+            volume_db=p["volume_db"],
+            max_db=p["max_db"],
+            pitch_scale=p["pitch"],
+            bus=p["bus"],
+            max_polyphony=p["polyphony"],
+        )
+        pl.basis = p["basis"]
+        players.append(pl)
+    blocks = []
+    for b in range(sc["n_blocks"]):
+        for pi, pl in enumerate(players):
+            pl.set_position(sc["players"][pi]["traj"][b])
+            for ev in sc["schedule"][b][pi]:
+                kind = ev[0]
+                if kind == "play":
+                    pl.play(ev[1])
+                elif kind == "stop":
+                    pl.stop()
+                elif kind == "seek":
+                    pl.seek(ev[1])
+                elif kind == "pause":
+                    pl.set_stream_paused(True)
+                elif kind == "unpause":
+                    pl.set_stream_paused(False)
+                elif kind == "volume":
+                    pl.volume_db = ev[1]
+        eng.physics_step()
+        blocks.append(eng.render_block())
+    return np.concatenate(blocks, axis=1)
+
+
+def run_scenario(seed: int, n_blocks: int = 40) -> dict:
+    sc = make_scenario(seed, n_blocks)
+    ref = run_golden(sc)
+    got = run_engine(sc)
+    c = ref.shape[0]
+    err = float(np.abs(got[:c] - ref).max())
+    peak = float(np.abs(ref).max())
+    return dict(
+        seed=seed,
+        err=err,
+        peak=peak,
+        ok=bool(err <= DB80 * max(peak, 1.0)),
+        silent=bool(peak <= 1e-3),
+        mode=int(sc["speaker_mode"]),
+        mix_channel=sc["mix_channel"],
+        n_areas=len(sc["areas"]),
+        n_players=len(sc["players"]),
+    )
