@@ -158,9 +158,10 @@ def engine_step(
         "bus_psum_axis",
         "fused_bus",
         "planar",
+        "fx_cfg",
     ),
 )
-def render_trajectory(
+def _render_trajectory_jit(
     mix_state: MixState,
     was_out: jnp.ndarray,
     scene0: SceneState,
@@ -189,6 +190,7 @@ def render_trajectory(
     bus_psum_axis: str = None,
     fused_bus: bool = None,
     planar: bool = None,
+    fx_cfg: Tuple = None,  # live-value effect snapshot; see render_trajectory
 ):
     """Render K blocks with per-block source motion, one device dispatch.
 
@@ -313,3 +315,19 @@ def render_trajectory(
     if collect_master:
         outs = outs.reshape((K,) + outs.shape[2:])
     return state, out[-1], outs
+
+
+def render_trajectory(*args, fx_cfg=None, **kwargs):
+    """Jitted trajectory renderer (see `_render_trajectory_jit` for the
+    full contract).  This thin wrapper snapshots the live field values of
+    every effect in `chain` into the jit cache key: effect objects enter
+    the program as static arguments, and jit never notices an in-place
+    field edit on a stored static (the cached key IS the mutated object,
+    equal to itself) — without the snapshot, editing an effect between
+    renders would silently replay the stale trace
+    (ops/effect_chain.live_config)."""
+    if fx_cfg is None:
+        from ..ops.effect_chain import live_config
+
+        fx_cfg = live_config(kwargs.get("chain", ()))
+    return _render_trajectory_jit(*args, fx_cfg=fx_cfg, **kwargs)

@@ -260,6 +260,7 @@ _STEP_STATICS = (
     "max_pitch",
     "bus_flags",
     "mc_chain",
+    "fx_cfg",
     "axis_name",
 )
 
@@ -301,6 +302,7 @@ def _step_impl(
     max_pitch,
     bus_flags=None,
     mc_chain=(),
+    fx_cfg=None,
     axis_name=None,
 ):
     """One fused physics tick + audio block: Stage A, slot/param
@@ -1426,6 +1428,7 @@ class AudioEngine:
             mc_chain=tuple(self._mc_groups),
             max_pitch=self.max_pitch,
             bus_flags=self._bus_flags(),
+            fx_cfg=self._fx_cfg(effects),
         )
         if self.mesh is not None:
             from ..parallel.streaming import sharded_step_fn
@@ -1508,8 +1511,11 @@ class AudioEngine:
         effects = tuple(effects)
         if not effects and self.source_effects:
             return 0  # back-compat: engine-level chain
-        if not self._chain_keys:
-            self._chain_keys = [chain_key(g) for g in self._chain_groups]
+        # keys are recomputed from the LIVE group objects on every call
+        # (cheap — play-event rate): a live effect-param edit changes a
+        # group's key, so a later play carrying the edited config rejoins
+        # that group instead of minting a duplicate
+        self._chain_keys = [chain_key(g) for g in self._chain_groups]
         key = chain_key(effects)
         for gi, k in enumerate(self._chain_keys):
             if k == key:
@@ -1652,6 +1658,17 @@ class AudioEngine:
         self._post_mix_proxy_gc()
         return np.asarray(master)
 
+    def _fx_cfg(self, bus_effects) -> tuple:
+        """Live-value snapshot of every effect object that enters the
+        jitted programs as a static arg (source chains, bus effects,
+        mix-channel processors) — see ops/effect_chain.live_config for
+        why the objects alone can't key the cache."""
+        from ..ops.effect_chain import live_config
+
+        return live_config(
+            (tuple(self._chain_groups), bus_effects, tuple(self._mc_groups))
+        )
+
     def _render(self, state: MixState, bp: BlockParams):
         bank = self._bank()
         sends = tuple(
@@ -1677,6 +1694,7 @@ class AudioEngine:
             mc_chain=tuple(self._mc_groups),
             max_pitch=self.max_pitch,
             bus_flags=self._bus_flags(),
+            fx_cfg=self._fx_cfg(effects),
         )
         self._bus_fx_states = fx_states
         return new_state, master, peaks
@@ -1857,6 +1875,7 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states,
         "max_pitch",
         "bus_flags",
         "mc_chain",
+        "fx_cfg",
     ),
 )
 def _render_jit(
@@ -1878,6 +1897,11 @@ def _render_jit(
     resample_gather="xla",
     bus_flags=None,
     mc_chain=(),
+    # value snapshot of every effect's live fields (ops/effect_chain.py
+    # live_config): unused in the body — it exists purely to break the
+    # jit cache when an effect object is edited in place, so the retrace
+    # reads the new field values
+    fx_cfg=None,
 ):
     new_state, bus_in, peaks = mix_block(
         state,

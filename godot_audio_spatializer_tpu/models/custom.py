@@ -25,6 +25,17 @@ points but *batched*:
 
 ops-tier composition (bring your own pipeline around mix_block) remains
 fully open — see examples/custom_spatializer.py.
+
+Live-edit semantics: numeric tunables read through `geometry` flow into
+the programs as SourceParams ARRAY lanes, so editing them mid-playback
+applies on the next physics tick (reference resources emit `changed` and
+are re-read every tick).  `frame_processor`/`mix_channel_processor`
+objects are value-snapshotted into the jit cache key each block
+(ops/effect_chain.live_config), so editing their public fields applies on
+the next block.  The `calculate_spatialization` CALLABLE itself is the
+program: Python values captured in its closure bake in at trace time
+(standard jit semantics) — swap the function object to change them, or
+route them through `geometry`.
 """
 
 from __future__ import annotations

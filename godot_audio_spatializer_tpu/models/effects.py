@@ -28,12 +28,12 @@ import jax.numpy as jnp
 
 from ..constants import HIGHSHELF_GAIN_EPSILON
 from ..ops.biquad import biquad_interp_block
-from ..ops.effect_chain import EffectCtx
+from ..ops.effect_chain import AudioEffectBase, EffectCtx
 from ..ops.filters import FilterMode, filter_coeffs
 from ..utils.dsp import db_to_linear
 
 
-class AudioEffectFilter:
+class AudioEffectFilter(AudioEffectBase):
     """Biquad filter effect (lowpass/highpass/bandpass/notch/peak/shelves)
     with per-block coefficient interpolation, one stereo-pair state per
     source.
@@ -139,7 +139,7 @@ class AudioEffectFilter:
         )
 
 
-class AudioEffectAmplify:
+class AudioEffectAmplify(AudioEffectBase):
     """Gain effect (Godot AudioEffectAmplify equivalent)."""
 
     def __init__(self, volume_db: float = 0.0):
@@ -152,7 +152,7 @@ class AudioEffectAmplify:
         return state, x * db_to_linear(jnp.float32(self.volume_db))
 
 
-class AudioEffectDelay:
+class AudioEffectDelay(AudioEffectBase):
     """Feedback delay (echo).  Per-source ring buffer [N, D, 2].
 
     y = dry·x + tap(delay) with feedback."""
@@ -189,7 +189,7 @@ class AudioEffectDelay:
 # --------------------------------------------------------------------- buses
 
 
-class BusEffectFilter:
+class BusEffectFilter(AudioEffectBase):
     """Stateful biquad on a bus's 4 channel pairs."""
 
     def __init__(self, mode: FilterMode = FilterMode.LOWPASS,
@@ -225,7 +225,7 @@ class BusEffectFilter:
         return {"coeffs": coeffs, "hist": hist}, jnp.moveaxis(y, 1, 2)
 
 
-class BusEffectReverb:
+class BusEffectReverb(AudioEffectBase):
     """Feedback-delay-network reverb bus effect (the role of Godot's
     AudioEffectReverb on a Reverb bus — e.g. the demo's Area3D reverb
     routing, reference examples default_bus_layout.tres:10-17).
@@ -358,7 +358,7 @@ class BusEffectReverb:
 # ---------------------------------------------------------------------------
 
 
-class AudioEffectPanner:
+class AudioEffectPanner(AudioEffectBase):
     """Stereo balance (Godot AudioEffectPanner): pan ∈ [−1, 1];
     lvol = clamp(1−pan, 0, 1), rvol = clamp(1+pan, 0, 1)."""
 
@@ -375,7 +375,7 @@ class AudioEffectPanner:
         return state, x * vol[None, None, :]
 
 
-class AudioEffectDistortion:
+class AudioEffectDistortion(AudioEffectBase):
     """Waveshaping distortion (Godot AudioEffectDistortion modes).
 
     mode: "clip" | "atan" | "lofi" | "overdrive" | "waveshape";
@@ -416,7 +416,7 @@ class AudioEffectDistortion:
         return state, y * db_to_linear(jnp.float32(self.post_gain_db))
 
 
-class AudioEffectStereoEnhance:
+class AudioEffectStereoEnhance(AudioEffectBase):
     """Mid/side width control (Godot AudioEffectStereoEnhance's
     pan_pullout): side gain > 1 widens, < 1 narrows, 0 = mono."""
 
@@ -469,7 +469,7 @@ def _one_pole_scan(x, alpha, y_prev):
     return y
 
 
-class BusEffectCompressor:
+class BusEffectCompressor(AudioEffectBase):
     """Feed-forward compressor on a bus (Godot AudioEffectCompressor role).
 
     Detector = per-frame peak across the bus's channels; release is a
@@ -510,7 +510,7 @@ class BusEffectCompressor:
         return {"env": env[-1], "att": sm[-1]}, y
 
 
-class BusEffectLimiter:
+class BusEffectLimiter(AudioEffectBase):
     """Soft-knee ceiling limiter (Godot AudioEffectLimiter role): unity
     below threshold, smooth compression into the ceiling above it."""
 
@@ -535,7 +535,7 @@ class BusEffectLimiter:
         return state, jnp.sign(buf) * mag
 
 
-class BusEffectEQ:
+class BusEffectEQ(AudioEffectBase):
     """Graphic EQ: cascade of peaking biquads at fixed band centers
     (Godot AudioEffectEQ6/10/21 roles)."""
 
@@ -599,7 +599,7 @@ class BusEffectEQ:
         )
 
 
-class BusEffectChorus:
+class BusEffectChorus(AudioEffectBase):
     """Multi-voice chorus (Godot AudioEffectChorus role): each voice reads
     the input through a fractionally interpolated delay line whose length
     is modulated by a per-voice LFO.
@@ -664,7 +664,7 @@ class BusEffectChorus:
         )
 
 
-class BusEffectSpectrumAnalyzer:
+class BusEffectSpectrumAnalyzer(AudioEffectBase):
     """Audio-tap spectrum analyzer (Godot AudioEffectSpectrumAnalyzer
     role): passthrough that keeps the magnitude spectrum of the last
     `fft_size` samples.  Query via `magnitudes(state)` /
@@ -712,7 +712,7 @@ class BusEffectSpectrumAnalyzer:
         return mags[:, sel].max(axis=1)
 
 
-class BusEffectRecord:
+class BusEffectRecord(AudioEffectBase):
     """Bus capture (Godot AudioEffectRecord role): passthrough that writes
     the bus's front L/R pair into a device-resident ring of
     `max_seconds`.  Fetch with `recording(state)` (trimmed, oldest
@@ -830,7 +830,7 @@ def _phaser_block(state, x, *, mix_rate, range_min_hz, range_max_hz,
     )
 
 
-class BusEffectPhaser:
+class BusEffectPhaser(AudioEffectBase):
     """Phaser bus effect (Godot AudioEffectPhaser role): LFO-swept 6-stage
     allpass cascade with feedback, vectorized over the bus's channels."""
 
@@ -864,7 +864,7 @@ class BusEffectPhaser:
         )
 
 
-class AudioEffectPhaser:
+class AudioEffectPhaser(AudioEffectBase):
     """Per-source batched phaser (source-effect variant of
     BusEffectPhaser for AudioSpatializerEffect chains)."""
 
@@ -896,7 +896,7 @@ class AudioEffectPhaser:
         )
 
 
-class BusEffectHardLimiter:
+class BusEffectHardLimiter(AudioEffectBase):
     """Lookahead brickwall limiter (Godot AudioEffectHardLimiter role).
 
     The signal is delayed by the lookahead window; gain is the inverse of
@@ -1038,7 +1038,7 @@ def _pitch_shift_block(state, x, *, ratio, window, hop, remap):
     )
 
 
-class BusEffectPitchShift:
+class BusEffectPitchShift(AudioEffectBase):
     """Phase-vocoder pitch shifter (Godot AudioEffectPitchShift role).
 
     `pitch_scale` > 1 shifts up.  Window/hop follow the block size
@@ -1079,7 +1079,7 @@ class BusEffectPitchShift:
         )
 
 
-class AudioEffectPitchShift:
+class AudioEffectPitchShift(AudioEffectBase):
     """Per-source batched phase-vocoder pitch shifter (source-effect
     variant for AudioSpatializerEffect chains)."""
 

@@ -32,6 +32,90 @@ class EffectCtx:
     mix_volumes: Any = None  # [N,4,2]
 
 
+class AudioEffectBase:
+    """Base for all effect config objects: hash/eq BY VALUE (public
+    fields), not identity.
+
+    Effects enter the jitted mix programs as STATIC arguments with their
+    parameters baked into the trace.  Value hashing makes a live field
+    edit (`fx.cutoff_hz = 500.0` mid-playback) a NEW jit cache key, so
+    the next block retraces with the new parameters — the same
+    static-flag-recompile model the bus mute/solo/fader toggles use.
+    This mirrors the reference, where AudioEffectInstances read their
+    base resource every process call (L0 AudioEffectInstance contract;
+    the module chains them at audio_spatializer_effect.cpp:33-88).
+    Edits that change STATE SHAPES (delay length, EQ band count, FFT
+    size) are not supported live — the next block fails loudly with a
+    state-shape mismatch; re-add the effect instead."""
+
+    def _config(self) -> tuple:
+        return (
+            type(self).__name__,
+            tuple(
+                sorted(
+                    (k, repr(v))
+                    for k, v in vars(self).items()
+                    # private attrs are derived caches (e.g. precomputed
+                    # remap matrices) — identity follows the public config
+                    if not k.startswith("_")
+                )
+            ),
+        )
+
+    def __hash__(self):
+        return hash(self._config())
+
+    def __eq__(self, other):
+        return type(other) is type(self) and other._config() == self._config()
+
+
+def _effect_config(e) -> tuple:
+    """Value snapshot of one effect's public config (AudioEffectBase's
+    `_config`, with the same structural fallback for user-supplied
+    processors that don't subclass it)."""
+    if isinstance(e, AudioEffectBase):
+        return e._config()
+    return (
+        type(e).__name__,
+        tuple(
+            sorted(
+                (k, repr(v))
+                for k, v in vars(e).items()
+                if not k.startswith("_")
+            )
+        ),
+    )
+
+
+def live_config(effect_tree) -> tuple:
+    """Fresh immutable snapshot of every effect's live field values in an
+    arbitrarily nested tuple/list of effect objects.
+
+    Pass this as an EXTRA static jit argument alongside the effect
+    objects themselves.  jit's static-arg cache stores the effect
+    OBJECTS as the key; after an in-place field edit the stored key is
+    still the same object — equal to itself — so the cache hits and
+    silently replays the stale trace (value-based `__hash__` on the
+    effect does NOT help: jax compares the stored key against the
+    incoming one, and they are the same mutated object).  A fresh value
+    snapshot in the key forces the retrace, and the new trace reads the
+    edited fields — the reference re-reads the base resource every
+    process call (audio_spatializer_effect.cpp:33-88), so live edits
+    must land on the next block.  Same trap class as the round-5
+    env-knob trace-cache bug (PERF.md)."""
+    out = []
+
+    def walk(x):
+        if isinstance(x, (tuple, list)):
+            for y in x:
+                walk(y)
+        elif x is not None:
+            out.append(_effect_config(x))
+
+    walk(effect_tree)
+    return tuple(out)
+
+
 def chain_init_state(effects: Sequence, n: int) -> Tuple:
     """Zero state for each effect — valid both at engine start and as the
     play()-reset value (fresh AudioEffectInstances per playback, reference
@@ -61,22 +145,11 @@ def chains_init_state(chain, n: int) -> Tuple:
 
 def chain_key(effects: Sequence) -> Tuple:
     """Structural identity of a chain (type + static config per effect) —
-    players whose chains are configured identically share one group."""
-    return tuple(
-        (
-            type(e).__name__,
-            tuple(
-                sorted(
-                    (k, repr(v))
-                    for k, v in vars(e).items()
-                    # private attrs are derived caches (e.g. precomputed
-                    # remap matrices) — identity follows the public config
-                    if not k.startswith("_")
-                )
-            ),
-        )
-        for e in effects
-    )
+    players whose chains are configured identically share one group.
+    Uses the same value identity as AudioEffectBase.__hash__, with a
+    structural fallback for user-supplied processors that don't subclass
+    it."""
+    return tuple(_effect_config(e) for e in effects)
 
 
 def chain_process(effects: Sequence, states: Tuple, x, ctx: EffectCtx):

@@ -86,6 +86,132 @@ def test_live_resource_field_edit_reaches_next_block():
     assert quiet < 0.5 * base
 
 
+def test_live_effect_param_edit_reaches_next_block():
+    """Effect configs are value-hashed static jit args: a live field edit
+    retraces the mix with the new parameters (reference: the chained
+    AudioEffectInstances read their base resource every process call)."""
+    from godot_audio_spatializer_tpu.models.effects import AudioEffectFilter
+    from godot_audio_spatializer_tpu.models.spatializer_effect import (
+        AudioSpatializerEffect,
+    )
+    from godot_audio_spatializer_tpu.ops.filters import FilterMode
+
+    flt = AudioEffectFilter(mode=FilterMode.LOWPASS, cutoff_hz=20000.0)
+    spat = AudioSpatializerEffect(audio_effects=[flt])
+    eng, pl = _engine_one_player(spatializer=spat)
+    open_rms = max(_rms(eng) for _ in range(3))
+    flt.cutoff_hz = 120.0  # live edit on the shared effect resource
+    # one coefficient-ramp block + the transition transient's decay (a
+    # 20 kHz→120 Hz jump rings through the interpolated coefficients,
+    # exactly as the reference's per-block coefficient interpolation does)
+    for _ in range(3):
+        _ = _rms(eng)
+    closed = _rms(eng)
+    assert closed < 0.2 * open_rms, (closed, open_rms)
+    # a NEW voice started with the edited config must REJOIN the player's
+    # existing (re-keyed) chain group, not mint a duplicate
+    n_groups = len(eng._chain_groups)
+    pl.play()
+    _ = _rms(eng)
+    assert len(eng._chain_groups) == n_groups
+
+
+def test_live_bus_effect_edit_reaches_next_block():
+    from godot_audio_spatializer_tpu.models.effects import BusEffectFilter
+    from godot_audio_spatializer_tpu.ops.filters import FilterMode
+
+    flt = BusEffectFilter(mode=FilterMode.LOWPASS, cutoff_hz=20000.0)
+    eng, pl = _engine_one_player()
+    eng.add_bus_effect("Master", flt)
+    open_rms = max(_rms(eng) for _ in range(3))
+    flt.cutoff_hz = 120.0
+    for _ in range(3):  # coefficient ramp + transition-transient decay
+        _ = _rms(eng)
+    closed = _rms(eng)
+    assert closed < 0.2 * open_rms, (closed, open_rms)
+
+
+def test_live_effect_edit_reaches_fused_step_path():
+    """Same live-edit contract through the fused AudioEngine.step()
+    dispatch (_step_jit is a SEPARATE jit cache from the split
+    physics_step+render_block path — pin both spellings, round-6
+    lesson)."""
+    from godot_audio_spatializer_tpu.models.effects import AudioEffectFilter
+    from godot_audio_spatializer_tpu.models.spatializer_effect import (
+        AudioSpatializerEffect,
+    )
+    from godot_audio_spatializer_tpu.ops.filters import FilterMode
+
+    flt = AudioEffectFilter(mode=FilterMode.LOWPASS, cutoff_hz=20000.0)
+    spat = AudioSpatializerEffect(audio_effects=[flt])
+    eng, pl = _engine_one_player(spatializer=spat)
+
+    def step_rms():
+        return float(np.sqrt((np.asarray(eng.step()) ** 2).mean()))
+
+    open_rms = max(step_rms() for _ in range(3))
+    assert open_rms > 1e-3
+    flt.cutoff_hz = 120.0
+    for _ in range(3):
+        _ = step_rms()
+    closed = step_rms()
+    assert closed < 0.2 * open_rms, (closed, open_rms)
+
+
+def test_live_effect_edit_reaches_offline_render():
+    """render_trajectory snapshots live effect configs into its jit key:
+    an edit between two offline renders must not replay the stale trace."""
+    import jax.numpy as jnp
+
+    from godot_audio_spatializer_tpu.engine.offline import (
+        default_slot_config, render_trajectory,
+    )
+    from godot_audio_spatializer_tpu.models.effects import AudioEffectFilter
+    from godot_audio_spatializer_tpu.ops.filters import FilterMode
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.scene import ListenerDesc
+    from godot_audio_spatializer_tpu.engine.server import AudioEngine
+    from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+
+    rng = np.random.default_rng(5)
+    clip = (rng.standard_normal(40000) * 0.3).astype(np.float32)
+    eng = AudioEngine(block_size=512, max_sources=1)
+    eng.add_listener(ListenerDesc())
+    pl = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=True),
+        spatializer=AudioSpatializer3D(),
+    )
+    pl.set_position([0.0, 0.0, -2.0])
+    pl.play()
+    eng.physics_step()  # seeds slots/cursors
+    K, N = 6, 1  # offline path is sources==slots 1:1; engine has 1 player
+    pos = np.tile(np.array([[0.0, 0.0, -2.0]], np.float32), (K, 1, 1))
+    vel = np.zeros((K, N, 3), np.float32)
+    flt = AudioEffectFilter(mode=FilterMode.LOWPASS, cutoff_hz=20000.0)
+    slot_cfg = default_slot_config(N, use_chain=True)
+    kw = dict(
+        speaker_mode=SpeakerMode.STEREO, mix_rate=float(eng.mix_rate),
+        frame_count=512, chain=((flt,),),
+    )
+    # the engine's state lacks chain lanes (it has no chain groups); graft
+    # zero lanes for the offline chain onto it
+    from godot_audio_spatializer_tpu.ops.effect_chain import chains_init_state
+
+    state = eng.mix_state.replace(
+        chain_state=chains_init_state(((flt,),), N)
+    )
+    args = (state, eng._was_out_lanes(), eng._build_scene(),
+            jnp.asarray(pos), jnp.asarray(vel), eng._params_dev(),
+            slot_cfg, eng._bank())
+    _, _, open_m = render_trajectory(*args, **kw)
+    flt.cutoff_hz = 120.0
+    _, _, closed_m = render_trajectory(*args, **kw)
+    open_rms = float(np.sqrt((np.asarray(open_m[-1]) ** 2).mean()))
+    closed_rms = float(np.sqrt((np.asarray(closed_m[-1]) ** 2).mean()))
+    assert open_rms > 1e-4
+    assert closed_rms < 0.2 * open_rms, (closed_rms, open_rms)
+
+
 def test_live_doppler_enable_starts_velocity_tracking():
     spat = AudioSpatializer3D()
     eng, pl = _engine_one_player(spatializer=spat)
