@@ -306,10 +306,14 @@ class AudioStreamPlayerSpatial:
     def set_stream_paused(self, paused: bool) -> None:
         if self._freed:  # inert (would re-park the lane as a zombie
             return       # forever and block its reclamation)
-        self.stream_paused = paused
         # applies to live proxies immediately (reference cpp:115-122);
         # playbacks started later begin unpaused
         self.engine.apply_player_pause(self, paused)
+        # the node property mirrors the proxies, not the request: the
+        # reference's get_stream_paused reads the first LIVE proxy and
+        # returns false for an empty pool (cpp:378-386), so pausing a
+        # torn-down pool doesn't stick (fuzz seeds 45/49/71)
+        self.stream_paused = bool(paused) and self._proxies_alive
 
     # --- node lifecycle (reference _notification handlers) ---
     def exit_tree(self) -> None:

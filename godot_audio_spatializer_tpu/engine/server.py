@@ -940,6 +940,25 @@ class AudioEngine:
             for s in slots:
                 pl.slots.remove(s)
                 self._release_slot(s)
+            if pl._proxy_paused and not pl.slots and not pl._zombie_slots:
+                # These voices finished during an UNPAUSED mix (paused
+                # lanes freeze and can never finish), so in the reference
+                # the playback list emptied and _manage_playback_state
+                # tore the proxies down DURING that mix — before this
+                # player's pause could attach to anything
+                # (set_playback_paused loops the live proxy list,
+                # audio_spatializer.cpp:115-122: pausing an empty pool is
+                # a no-op, and get_stream_paused reads false).  Drop the
+                # stale pause and the pool so a later play() registers
+                # fresh, UNPAUSED proxies with start volumes (no sibling
+                # ramp seed).  Found by fuzz seed 49: play() after
+                # pause-after-natural-finish stayed silent.  Zombie lanes
+                # veto this: they mean the list emptied by an explicit
+                # stop WHILE paused, where the reference keeps the paused
+                # proxies (no mix runs to tear them down).
+                pl._proxy_paused = False
+                pl.stream_paused = False
+                pl._proxies_alive = False
             pl._emit_finished()
             self._note_proxy_candidate(pl)
 
@@ -1844,6 +1863,11 @@ def bus_graph_reduce(bus_in, sends, bus_volumes_db, effects, fx_states,
             ):
                 new_states[b][i] = fx_states[b][i]  # disabled: state frozen
                 continue
+            from ..ops.effect_chain import check_effect_state
+
+            check_effect_state(
+                eff, fx_states[b][i], lambda e=eff: e.init_state()
+            )
             new_states[b][i], buf = eff.process(fx_states[b][i], buf)
         buf = buf * db_to_linear(bus_volumes_db[b])
         # mute, and solo-elsewhere, silence this bus's contribution

@@ -713,6 +713,15 @@ def get_bus_map(
     mix_channels=True: mask to the requested channel and divide bus volume
     by mix volume (so AudioServer undoes the pre-mix gain before applying
     per-bus routing).  mix_channels=False: pass mix volumes for every bus.
+
+    Precision note (reference audio_spatializer.cpp:304-308): for reverb
+    sends the numerator carries center-value terms NOT proportional to
+    the per-channel mix volume, so when SPCAP's (1+dot)/2 cancels toward
+    zero the ratio diverges and even the >0 gate flips between f32 and
+    f64 evaluations of the same geometry — a knife edge of the reference
+    semantics itself (its own f32 result is compiler-flag dependent
+    there).  The combination fuzz excludes mix_channel+reverb for this
+    reason (tests/fuzz_scenarios.py).
     """
     bus_map: Dict[str, np.ndarray] = {}
     for idx, (key, bus_volume) in enumerate(params.bus_volumes.items()):
@@ -780,7 +789,14 @@ class BufferStream:
         """Fill out[:n] (n, 2) float32; return number of frames mixed."""
         if not self.playing:
             return 0
-        pitch_fp = int(round(pitch_scale * FP_LEN))
+        # quantize from the f32 product exactly like the device
+        # (ops/resample.quantize_pitch: jnp.round of an f32 multiply,
+        # half-even) — the reference's pitch pipeline is float (real_t),
+        # so f64 rounding here would be MORE precise than the reference
+        # and flips the fixed-point step when f32 collapses the product
+        # onto a half-integer (fuzz seed 192: pitch 1.5204849... → f64
+        # round 99647 vs f32 half-even 99646, a cursor-phase drift)
+        pitch_fp = int(np.round(np.float32(pitch_scale) * np.float32(FP_LEN)))
         s = self.data.shape[0]
         b = self.loop_begin
         span = max(s - b, 1)

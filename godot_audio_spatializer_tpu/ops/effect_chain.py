@@ -152,13 +152,62 @@ def chain_key(effects: Sequence) -> Tuple:
     return tuple(_effect_config(e) for e in effects)
 
 
+def _tree_desc(tree) -> str:
+    import jax
+
+    import jax.numpy as jnp
+
+    return str(
+        jax.tree.map(
+            lambda l: f"{jnp.result_type(l)}{tuple(jnp.shape(l))}", tree
+        )
+    )
+
+
+def check_effect_state(effect, state, init_thunk) -> None:
+    """Trace-time guard: the carried per-playback state must match the
+    shapes the effect's CURRENT config would instantiate.
+
+    A live edit that changes a state SHAPE (delay length, EQ band count,
+    FFT size) cannot apply to state mid-playback — and without this
+    check it does NOT fail on its own: e.g. growing a delay ring makes
+    the read indices exceed the carried ring, and XLA CLAMPS
+    out-of-bounds gathers, producing silently wrong audio.  Runs at
+    trace time only (`jax.eval_shape` — no allocation, no device work);
+    an edited config is a new trace (live_config), so the mismatch is
+    caught on the first block after the edit."""
+    import jax
+
+    expect = jax.eval_shape(init_thunk)
+    exp_l, exp_d = jax.tree.flatten(expect)
+    got_l, got_d = jax.tree.flatten(state)
+    import jax.numpy as jnp
+
+    ok = exp_d == got_d and all(
+        tuple(jnp.shape(e)) == tuple(jnp.shape(g))
+        and jnp.result_type(e) == jnp.result_type(g)
+        for e, g in zip(exp_l, got_l)
+    )
+    if not ok:
+        raise ValueError(
+            f"{type(effect).__name__}: carried effect state "
+            f"{_tree_desc(state)} does not match what the effect's current "
+            f"config instantiates {_tree_desc(expect)}. A live edit changed "
+            "a state shape (delay length, EQ band count, FFT size, ...), "
+            "which cannot apply to in-flight playback state — re-add the "
+            "effect (or stop/start the voice) to re-instantiate its state."
+        )
+
+
 def chain_process(effects: Sequence, states: Tuple, x, ctx: EffectCtx):
     """Run x [N,F,2] through the chain; returns (new_states, y).
 
     Zero effects → passthrough (reference audio_spatializer_effect.cpp:41-46).
     """
+    n = x.shape[0]
     new_states = []
     for e, s in zip(effects, states):
+        check_effect_state(e, s, lambda e=e: e.init_state(n))
         s, x = e.process(s, x, ctx)
         new_states.append(s)
     return tuple(new_states), x

@@ -470,7 +470,7 @@ def mix_block(
         # the raw buffer; volumes come from params) and produces the
         # full per-channel output for its lanes ----
         if mc_chain:
-            from .effect_chain import EffectCtx as _Ctx
+            from .effect_chain import EffectCtx as _Ctx, check_effect_state
 
             mctx = _Ctx(
                 mix_rate=mix_rate,
@@ -481,6 +481,10 @@ def mix_block(
             )
             new_mc = []
             for gidx, proc in enumerate(mc_chain):
+                check_effect_state(
+                    proc, state.mc_state[gidx],
+                    lambda p=proc: p.init_state(N),
+                )
                 nst_g, sig_g = proc.process(
                     state.mc_state[gidx], combined, vol, mctx
                 )

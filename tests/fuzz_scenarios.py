@@ -56,6 +56,48 @@ def _rand_rot(rng):
     return q
 
 
+# live-editable AudioSpatializer3D tunables: fuzz name → (engine attr,
+# golden Spatializer3DConfigG attr, sampler).  panning_strength stays in
+# the integer-product set (SPCAP NaN quirk, see gps note above);
+# mix_channel_mode/doppler are structural and scheduled-elsewhere.
+_EDIT_FIELDS = {
+    "unit_size": ("unit_size", "unit_size",
+                  lambda rng: float(rng.uniform(3, 20))),
+    "max_distance": ("max_distance", "max_distance",
+                     lambda rng: 0.0 if rng.random() < 0.3
+                     else float(rng.uniform(6, 25))),
+    "cutoff": ("attenuation_filter_cutoff_hz", "attenuation_filter_cutoff_hz",
+               lambda rng: float(rng.uniform(1000, 15000))),
+    "filter_db": ("attenuation_filter_db", "attenuation_filter_db",
+                  lambda rng: float(rng.uniform(-40, -6))),
+    "emission_angle": ("emission_angle_degrees", "emission_angle",
+                       lambda rng: float(rng.uniform(15, 80))),
+    "atten_model": ("attenuation_model", "attenuation_model",
+                    lambda rng: AttenuationModel(int(rng.integers(4)))),
+    "panning_strength": ("panning_strength", "panning_strength",
+                         lambda rng: float(rng.choice([1.0, 2.0, 3.0]))),
+}
+
+
+def _sample_edit(rng):
+    name = list(_EDIT_FIELDS)[int(rng.integers(len(_EDIT_FIELDS)))]
+    return ("edit", name, _EDIT_FIELDS[name][2](rng))
+
+
+# live player PROPERTY writes (engine: plain attribute sets on the node,
+# reference re-reads node properties every physics tick)
+_PROP_FIELDS = {
+    "pitch": lambda rng: float(rng.uniform(0.6, 1.8)),
+    "max_db": lambda rng: float(rng.uniform(0, 6)),
+    "bus": lambda rng: str(rng.choice(["Master", "Ambient"])),
+}
+
+
+def _sample_prop(rng):
+    name = list(_PROP_FIELDS)[int(rng.integers(len(_PROP_FIELDS)))]
+    return ("prop", name, _PROP_FIELDS[name](rng))
+
+
 def make_scenario(seed: int, n_blocks: int = 40) -> dict:
     rng = np.random.default_rng(seed)
     speaker_mode = _MODES[int(rng.integers(len(_MODES)))]
@@ -86,6 +128,22 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         half = rng.uniform(1.5, 6, 3)
         override = "Ambient" if rng.random() < 0.5 else None
         reverb = "Reverb" if (override is None or rng.random() < 0.6) else None
+        # Mix-channel + reverb is a genuine KNIFE EDGE of the reference's
+        # ratio semantics, excluded from the differential fuzz: get_bus_map
+        # divides the reverb send (center-value terms, NOT proportional to
+        # per-channel mix volume) by the per-channel mix volume
+        # (audio_spatializer.cpp:304-308).  When SPCAP's (1+dot)/2
+        # catastrophically cancels (source opposite a speaker), the mv>0
+        # gate itself flips between f32 (engine, like the reference) and
+        # f64 (golden oracle), the ratio diverges unboundedly, and the
+        # removed-bus fade-out ramp amplifies it into e10-scale transients
+        # — seeds 22/43 measured a 1.5e11 golden-side spike the f32 engine
+        # rounds away.  Parity there is ill-defined in the reference's own
+        # f32 as well (compiler-flag dependent); the primary/override bus
+        # ratios are exactly 1 by construction and stay fuzzed.  Benign
+        # mix-channel reverb geometry is pinned by the e2e suites.
+        if mix_channel:
+            reverb = None
         areas.append(
             dict(
                 center=rng.uniform(-6, 6, 3),
@@ -164,6 +222,14 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 e.append(("unpause",))
             elif r < 0.38:
                 e.append(("volume", float(rng.uniform(-12, 6))))
+            elif r < 0.46:
+                # live edit of the SHARED spatializer resource mid-playback
+                # (the reference re-reads resources every physics tick; the
+                # engine must invalidate its device-resident SourceParams
+                # cache — the bug class commit e1899e5 fixed)
+                e.append(_sample_edit(rng))
+            elif r < 0.52:
+                e.append(_sample_prop(rng))
             evs.append(e)
         schedule.append(evs)
 
@@ -217,6 +283,9 @@ class _GoldenPlayer:
         )
         self.inst = g.GoldenSpatializerInstance(self.cfg, speaker_mode, MIX_RATE)
         self.volume_db = p["volume_db"]
+        self.pitch = p["pitch"]
+        self.max_db = p["max_db"]
+        self.bus = p["bus"]
         self.was_out = False
         self.registered = False
         self.voices = []
@@ -243,16 +312,22 @@ class _GoldenPlayer:
         for ev in events:
             if ev[0] == "volume":
                 self.volume_db = ev[1]
+            elif ev[0] == "edit":
+                # self.cfg IS inst.config (shared mutable object) — the
+                # golden re-reads it at every tick, like the reference
+                setattr(self.cfg, _EDIT_FIELDS[ev[1]][1], ev[2])
+            elif ev[0] == "prop":
+                setattr(self, {"pitch": "pitch", "max_db": "max_db",
+                               "bus": "bus"}[ev[1]], ev[2])
         # order matches the engine physics step: params first, then
         # play/stop events (reference audio_spatializer.cpp:74-93)
         t = g.Transform3D(np.asarray(self.p["basis"], np.float64), np.asarray(pos, np.float64))
         params, self.was_out = g.calculate_spatialization(
-            self.cfg, t, np.zeros(3), self.volume_db, self.p["max_db"],
-            self.p["pitch"], self.p["bus"], self.listeners, self.areas,
+            self.cfg, t, np.zeros(3), self.volume_db, self.max_db,
+            self.pitch, self.bus, self.listeners, self.areas,
             self.speaker_mode, self.was_out, self.gps,
         )
         self.inst.set_spatializer_parameters(params)
-        self.voices = [v for v in self.voices if v.active]
         for ev in events:
             kind = ev[0]
             if kind == "play":
@@ -273,8 +348,16 @@ class _GoldenPlayer:
                 self.server.set_playback_paused(self.inst, True)
             elif kind == "unpause":
                 self.server.set_playback_paused(self.inst, False)
-            elif kind == "volume":
+            elif kind in ("volume", "edit", "prop"):
                 pass  # applied at tick start (property-write ordering)
+        # poll-prune finished playbacks AFTER the script events: the
+        # reference's seek()/is_playing() read the UN-polled
+        # stream_playbacks list (audio_stream_player_spatial.cpp:292-299,
+        # 393), which process_playbacks() prunes only in the node's own
+        # physics processing (cpp:120-140) — a seek landing between the
+        # audio-thread finish and that poll restarts the voice (fuzz seed
+        # 84 found the golden twin pruning a block early)
+        self.voices = [v for v in self.voices if v.active]
         while len(self.voices) > self.p["polyphony"]:
             self.inst.stop_playback_stream(self.voices.pop(0))
         if self.registered and params.update_parameters:
@@ -389,6 +472,17 @@ def run_engine(sc: dict) -> np.ndarray:
                     pl.set_stream_paused(False)
                 elif kind == "volume":
                     pl.volume_db = ev[1]
+                elif kind == "edit":
+                    setattr(
+                        pl.spatializer_base, _EDIT_FIELDS[ev[1]][0], ev[2]
+                    )
+                elif kind == "prop":
+                    setattr(
+                        pl,
+                        {"pitch": "pitch_scale", "max_db": "max_db",
+                         "bus": "bus"}[ev[1]],
+                        ev[2],
+                    )
         eng.physics_step()
         blocks.append(eng.render_block())
     return np.concatenate(blocks, axis=1)

@@ -18,8 +18,21 @@ from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
 from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, 1, 2, 22, 43, 45, 49, 71, 84, 192])
 def test_fuzz_scenario_parity(seed):
+    # 192: pitch quantization must happen on the f32 product on BOTH
+    # sides (f64 rounding in the golden flipped the fixed-point step at
+    # an f32-collapsed half-integer → cursor-phase drift)
+    # 45/49/71: pause AFTER a voice finished naturally is a no-op in the
+    # reference (set_playback_paused loops an already-torn-down proxy
+    # list) — a later play() must be audible (engine bug fixed in
+    # _gc_finished)
+    # 22/43: the seeds that exposed the mix-channel+reverb ratio knife
+    # edge (now excluded from scenario generation by construction — see
+    # fuzz_scenarios.make_scenario's area comment)
+    # 84: seek between a one-shot voice's audio-thread finish and the
+    # node's poll must RESTART the voice (un-polled stream_playbacks,
+    # reference cpp:292-299/393 — the golden twin pruned a block early)
     r = fs.run_scenario(seed)
     assert not r["silent"], r
     assert r["ok"], r
@@ -210,6 +223,89 @@ def test_live_effect_edit_reaches_offline_render():
     closed_rms = float(np.sqrt((np.asarray(closed_m[-1]) ** 2).mean()))
     assert open_rms > 1e-4
     assert closed_rms < 0.2 * open_rms, (closed_rms, open_rms)
+
+
+def test_live_state_shape_edit_fails_loudly():
+    """A live edit that changes an effect's STATE SHAPE (delay length,
+    EQ band count) cannot apply to in-flight playback state; without the
+    trace-time guard, XLA CLAMPS the resulting out-of-bounds gathers and
+    the audio is silently wrong (found by probing: growing delay_frames
+    4410→8000 produced no error and a truncated ring)."""
+    from godot_audio_spatializer_tpu.models.effects import (
+        AudioEffectDelay, BusEffectEQ,
+    )
+    from godot_audio_spatializer_tpu.models.spatializer_effect import (
+        AudioSpatializerEffect,
+    )
+
+    dly = AudioEffectDelay(delay_frames=4410)
+    eng, pl = _engine_one_player(
+        spatializer=AudioSpatializerEffect(audio_effects=[dly])
+    )
+    _ = _rms(eng)
+    dly.delay_frames = 8000
+    with pytest.raises(ValueError, match="state shape"):
+        _rms(eng)
+
+    eq = BusEffectEQ()
+    eng2, _ = _engine_one_player()
+    eng2.add_bus_effect("Master", eq)
+    _ = _rms(eng2)
+    eq.band_hz = eq.band_hz + (16000.0,)
+    eq.gains_db = eq.gains_db + (0.0,)
+    with pytest.raises(ValueError, match="state shape"):
+        _rms(eng2)
+
+
+def test_pause_after_natural_finish_is_noop():
+    """Pausing a player whose last voice already finished naturally is a
+    no-op: the reference's _manage_playback_state tore the proxies down
+    during the finishing mix, so set_playback_paused loops an empty list
+    (audio_spatializer.cpp:115-122, 473-492) and a later play() registers
+    fresh UNPAUSED proxies.  Found by fuzz seeds 45/49/71."""
+    rng = np.random.default_rng(7)
+    clip = (rng.standard_normal(600) * 0.3).astype(np.float32)  # ~1.2 blocks
+    eng = AudioEngine(block_size=512, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    pl = AudioStreamPlayerSpatial(
+        eng, stream=AudioStreamSample(clip, loop=False),
+        spatializer=AudioSpatializer3D(),
+    )
+    pl.set_position([0.0, 0.0, -2.0])
+    pl.play()
+    for _ in range(4):  # voice finishes + engine reaps it (one-tick lag)
+        _rms(eng)
+    assert not pl.slots
+    pl.set_stream_paused(True)  # attaches to nothing — reference no-op
+    _rms(eng)
+    pl.play()
+    _rms(eng)  # play event lands this tick
+    assert _rms(eng) > 1e-3  # audible — the stale pause must not stick
+    assert pl.stream_paused is False  # get_stream_paused property mirror
+
+    # counterpart (zombie semantics preserved): pause WHILE live, stop,
+    # play — the paused proxies outlive their voices and the new voice
+    # rides them silently until unpause
+    pl2 = AudioStreamPlayerSpatial(
+        eng,
+        stream=AudioStreamSample(
+            (rng.standard_normal(40000) * 0.3).astype(np.float32), loop=True
+        ),
+        spatializer=AudioSpatializer3D(),
+    )
+    pl2.set_position([0.0, 0.0, -2.0])
+    pl2.play()
+    _rms(eng)
+    pl2.set_stream_paused(True)  # live voice: pause attaches
+    _rms(eng)
+    pl2.stop()  # list empties while paused: proxies persist (zombies)
+    _rms(eng)
+    pl2.play()
+    _rms(eng)
+    assert _rms(eng) < 1e-6  # still riding the paused proxies
+    pl2.set_stream_paused(False)
+    _rms(eng)
+    assert _rms(eng) > 1e-3
 
 
 def test_live_doppler_enable_starts_velocity_tracking():
