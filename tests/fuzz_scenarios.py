@@ -27,9 +27,15 @@ subprocesses).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
-from godot_audio_spatializer_tpu.constants import AttenuationModel, SpeakerMode
+from godot_audio_spatializer_tpu.constants import (
+    AttenuationModel,
+    DopplerTracking,
+    SpeakerMode,
+)
 from godot_audio_spatializer_tpu.engine.player import AudioStreamPlayerSpatial
 from godot_audio_spatializer_tpu.engine.scene import AreaDesc, ListenerDesc
 from godot_audio_spatializer_tpu.engine.server import AudioEngine
@@ -54,6 +60,27 @@ def _rand_rot(rng):
     if np.linalg.det(q) < 0:
         q[:, 0] *= -1
     return q
+
+
+def _rot_step(rng, scale):
+    """Small random rotation (Rodrigues) for basis random walks."""
+    axis = rng.normal(size=3)
+    axis /= max(np.linalg.norm(axis), 1e-9)
+    ang = float(rng.normal() * scale)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + math.sin(ang) * K + (1.0 - math.cos(ang)) * (K @ K)
+
+
+def _rot_walk(rng, base, n_blocks, scale):
+    """[n_blocks, 3, 3] basis trajectory: cumulative small rotations."""
+    out = np.empty((n_blocks, 3, 3))
+    cur = np.asarray(base, np.float64)
+    for b in range(n_blocks):
+        cur = cur @ _rot_step(rng, scale)
+        out[b] = cur
+    return out
 
 
 # live-editable AudioSpatializer3D tunables: fuzz name → (engine attr,
@@ -119,11 +146,28 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         steps = rng.normal(scale=rng.uniform(0.0, 0.4), size=(n_blocks, 3))
         traj = np.clip(origin + np.cumsum(steps, axis=0),
                        [-6, -3, -6], [6, 3, 6])
+        basis = _rand_rot(rng) if rng.random() < 0.5 else np.eye(3)
+        # 30%: the camera also TURNS (basis random walk) — rotation reaches
+        # panning direction, doppler's basis_xform_inv, and area closest-
+        # point frames every tick
+        b_traj = (
+            _rot_walk(rng, basis, n_blocks, rng.uniform(0.02, 0.15))
+            if rng.random() < 0.3
+            else None
+        )
         listeners.append(
             dict(
-                basis=_rand_rot(rng) if rng.random() < 0.5 else np.eye(3),
+                basis=basis,
                 origin=origin,
                 traj=traj,
+                b_traj=b_traj,
+                # listener velocity feeds doppler's relative-velocity term
+                # (reference camera doppler tracking) — an independent
+                # input, passed identically to both sides
+                velocity=(
+                    rng.uniform(-15, 15, 3) if rng.random() < 0.4
+                    else np.zeros(3)
+                ),
             )
         )
 
@@ -156,6 +200,14 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         # point-queries whatever the physics space holds each tick)
         a_steps = rng.normal(scale=rng.uniform(0.0, 0.25), size=(n_blocks, 3))
         a_traj = center + np.cumsum(a_steps, axis=0)
+        a_basis = _rand_rot(rng) if rng.random() < 0.4 else None
+        # oriented areas may also TUMBLE (basis walk) — the per-tick
+        # closest-point query sees a different local frame every block
+        ab_traj = (
+            _rot_walk(rng, a_basis, n_blocks, rng.uniform(0.02, 0.12))
+            if a_basis is not None and rng.random() < 0.4
+            else None
+        )
         areas.append(
             dict(
                 center=center,
@@ -167,7 +219,8 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 amount=float(rng.uniform(0.1, 1.0)),
                 uniformity=float(rng.uniform(0, 1)) if rng.random() < 0.6 else 0.0,
                 shape=shape,
-                basis=_rand_rot(rng) if rng.random() < 0.4 else None,
+                basis=a_basis,
+                b_traj=ab_traj,
                 points=(rng.uniform(-1, 1, (int(rng.integers(6, 12)), 3)) * half)
                 if shape == "convex"
                 else None,
@@ -196,6 +249,17 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         steps = rng.normal(scale=rng.uniform(0.1, 0.9), size=(n_blocks, 3))
         traj = start + np.cumsum(steps, axis=0)
         traj = np.clip(traj, [-9, -4, -9], [9, 4, 9])
+        # ~30% of players run with doppler velocity tracking; the walk's
+        # per-tick deltas become source velocities via update_velocity
+        # (reference audio_spatializer_3d.cpp:625-629)
+        doppler = bool(rng.random() < 0.3)
+        # ~20% of players get free()d mid-run (PREDELETE teardown +
+        # engine lane reclamation under whatever pause state is live)
+        free_block = (
+            int(rng.integers(n_blocks // 2, n_blocks - 4))
+            if rng.random() < 0.2
+            else None
+        )
         players.append(
             dict(
                 clip_len=int(rng.integers(3000, 50000)),
@@ -207,6 +271,9 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 bus="Ambient" if rng.random() < 0.2 else "Master",
                 polyphony=int(rng.integers(1, 4)),
                 basis=_rand_rot(rng) if rng.random() < 0.4 else np.eye(3),
+                doppler=doppler,
+                doppler_sos=float(rng.uniform(250, 400)),
+                free_block=free_block,
                 cfg=cfg,
                 traj=traj,
             )
@@ -217,6 +284,15 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         evs = []
         for p in players:
             e = []
+            # free() is terminal: its tick carries ONLY the free event
+            # (engine orders free after a same-tick play by clearing the
+            # pending queue — keeping the tick exclusive pins one ordering
+            # on both sides), and nothing is scheduled after it
+            if p["free_block"] is not None and b >= p["free_block"]:
+                if b == p["free_block"]:
+                    e.append(("free",))
+                evs.append(e)
+                continue
             r = rng.random()
             if b == 0 or r < 0.12:
                 # play, sometimes from a mid-clip position (seconds,
@@ -243,6 +319,13 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 e.append(_sample_edit(rng))
             elif r < 0.52:
                 e.append(_sample_prop(rng))
+            elif r < 0.56:
+                # live doppler_tracking toggle on the shared resource: the
+                # engine's _vel_players cache must rebuild (generation
+                # stamp) and the velocity tracker resumes from the STALE
+                # prev_origin it had when tracking last ran — mirrored in
+                # the golden twin
+                e.append(("doppler", bool(rng.random() < 0.6)))
             evs.append(e)
         schedule.append(evs)
 
@@ -293,6 +376,8 @@ class _GoldenPlayer:
             ],
             attenuation_filter_cutoff_hz=cfgd["attenuation_filter_cutoff_hz"],
             attenuation_filter_db=cfgd["attenuation_filter_db"],
+            doppler_enabled=p["doppler"],
+            doppler_speed_of_sound=p["doppler_sos"],
         )
         self.inst = g.GoldenSpatializerInstance(self.cfg, speaker_mode, MIX_RATE)
         self.volume_db = p["volume_db"]
@@ -302,6 +387,14 @@ class _GoldenPlayer:
         self.was_out = False
         self.registered = False
         self.voices = []
+        self.freed = False
+        # velocity-tracker twin (engine player: prev_origin starts at the
+        # construction-time origin = zeros via reset_velocity_tracker;
+        # update_velocity runs ONLY on ticks where doppler is enabled, so
+        # prev_origin goes stale across disabled spans)
+        self.dt = 1.0 / 60.0  # engine physics_step default (physics_rate)
+        self.prev_origin = np.zeros(3)
+        self.velocity = np.zeros(3)
 
     def _register_or_update(self, params, force_register=False):
         if not self.registered or force_register:
@@ -332,11 +425,26 @@ class _GoldenPlayer:
             elif ev[0] == "prop":
                 setattr(self, {"pitch": "pitch", "max_db": "max_db",
                                "bus": "bus"}[ev[1]], ev[2])
+            elif ev[0] == "doppler":
+                self.cfg.doppler_enabled = ev[1]
+        # velocity tracking first (engine physics_step order: update_velocity
+        # before Stage A), only while doppler is enabled — the estimate is
+        # rounded through the engine's f32 scene lanes (_scene_vel dtype, a
+        # data contract of the device-resident scene, not a f32 mirror of
+        # the math)
+        pos64 = np.asarray(pos, np.float64)
+        if self.cfg.doppler_enabled:
+            self.velocity = (
+                ((pos64 - self.prev_origin) / self.dt)
+                .astype(np.float32)
+                .astype(np.float64)
+            )
+            self.prev_origin = pos64.copy()
         # order matches the engine physics step: params first, then
         # play/stop events (reference audio_spatializer.cpp:74-93)
-        t = g.Transform3D(np.asarray(self.p["basis"], np.float64), np.asarray(pos, np.float64))
+        t = g.Transform3D(np.asarray(self.p["basis"], np.float64), pos64)
         params, self.was_out = g.calculate_spatialization(
-            self.cfg, t, np.zeros(3), self.volume_db, self.max_db,
+            self.cfg, t, self.velocity, self.volume_db, self.max_db,
             self.pitch, self.bus, self.listeners, self.areas,
             self.speaker_mode, self.was_out, self.gps,
         )
@@ -361,7 +469,16 @@ class _GoldenPlayer:
                 self.server.set_playback_paused(self.inst, True)
             elif kind == "unpause":
                 self.server.set_playback_paused(self.inst, False)
-            elif kind in ("volume", "edit", "prop"):
+            elif kind == "free":
+                # PREDELETE: voices drop through the normal stop path
+                # (end-fade when unpaused; silent when paused — a paused
+                # voice is never mixed); proxy teardown happens post-mix
+                # in run_golden, pause state notwithstanding
+                for v in list(self.voices):
+                    self.inst.stop_playback_stream(v)
+                self.voices.clear()
+                self.freed = True
+            elif kind in ("volume", "edit", "prop", "doppler"):
                 pass  # applied at tick start (property-write ordering)
         # poll-prune finished playbacks AFTER the script events: the
         # reference's seek()/is_playing() read the UN-polled
@@ -381,8 +498,14 @@ class _GoldenPlayer:
 
 
 def run_golden(sc: dict) -> np.ndarray:
+    # listener velocity rounds through the engine's f32 scene lane
+    # (pack_listeners dtype) — mirror the data contract, not the math
+    def _lvel(l):
+        return np.asarray(l["velocity"], np.float32).astype(np.float64)
+
     listeners = [
-        g.Listener(g.Transform3D(l["basis"], l["origin"])) for l in sc["listeners"]
+        g.Listener(g.Transform3D(l["basis"], l["origin"]), velocity=_lvel(l))
+        for l in sc["listeners"]
     ]
     areas = [
         g.AreaBox(
@@ -406,18 +529,26 @@ def run_golden(sc: dict) -> np.ndarray:
         # listener/area motion: rebuild IN PLACE — the sims hold these
         # same list objects
         for i, l in enumerate(sc["listeners"]):
-            listeners[i] = g.Listener(g.Transform3D(l["basis"], l["traj"][b]))
+            basis = l["b_traj"][b] if l["b_traj"] is not None else l["basis"]
+            listeners[i] = g.Listener(
+                g.Transform3D(basis, l["traj"][b]), velocity=_lvel(l)
+            )
         for i, a in enumerate(sc["areas"]):
+            basis = a["b_traj"][b] if a["b_traj"] is not None else a["basis"]
             areas[i] = g.AreaBox(
                 a["traj"][b], a["half_extents"], a["mask"], a["override"],
                 a["reverb"], a["amount"], a["uniformity"], shape=a["shape"],
-                basis=a["basis"], points=a["points"],
+                basis=basis, points=a["points"],
             )
         for pi, sim in enumerate(sims):
+            if sim.freed:
+                continue  # freed players take no further ticks
             sim.tick(sc["players"][pi]["traj"][b], sc["schedule"][b][pi])
         blocks.append(server.mix_block())
         # proxy teardown when the playback list empties during an unpaused
         # mix (reference _manage_playback_state, audio_spatializer.cpp:484-491)
+        # — freed players ride the same teardown (voices were cleared at
+        # the free event; the engine GCs freed proxies even while paused)
         for sim in sims:
             if sim.registered and not sim.inst.playbacks:
                 for c in range(sim.inst.channel_count):
@@ -438,7 +569,11 @@ def run_engine(sc: dict) -> np.ndarray:
     eng.add_bus("Ambient")
     eng.add_bus("Reverb")
     eng_listeners = [
-        eng.add_listener(ListenerDesc(basis=l["basis"], origin=l["origin"]))
+        eng.add_listener(
+            ListenerDesc(
+                basis=l["basis"], origin=l["origin"], velocity=l["velocity"]
+            )
+        )
         for l in sc["listeners"]
     ]
     eng_areas = [
@@ -468,6 +603,11 @@ def run_engine(sc: dict) -> np.ndarray:
             ],
             attenuation_filter_cutoff_hz=cfgd["attenuation_filter_cutoff_hz"],
             attenuation_filter_db=cfgd["attenuation_filter_db"],
+            doppler_tracking=(
+                DopplerTracking.PHYSICS_STEP if p["doppler"]
+                else DopplerTracking.DISABLED
+            ),
+            doppler_speed_of_sound=p["doppler_sos"],
         )
         pl = AudioStreamPlayerSpatial(
             eng,
@@ -488,9 +628,15 @@ def run_engine(sc: dict) -> np.ndarray:
         # cache re-uploads on byte change)
         for i, l in enumerate(sc["listeners"]):
             eng_listeners[i].origin = l["traj"][b]
+            if l["b_traj"] is not None:
+                eng_listeners[i].basis = l["b_traj"][b]
         for i, a in enumerate(sc["areas"]):
             eng_areas[i].center = a["traj"][b]
+            if a["b_traj"] is not None:
+                eng_areas[i].basis = a["b_traj"][b]
         for pi, pl in enumerate(players):
+            if pl._freed:
+                continue  # no writes land on a freed node
             pl.set_position(sc["players"][pi]["traj"][b])
             for ev in sc["schedule"][b][pi]:
                 kind = ev[0]
@@ -517,6 +663,13 @@ def run_engine(sc: dict) -> np.ndarray:
                          "bus": "bus"}[ev[1]],
                         ev[2],
                     )
+                elif kind == "doppler":
+                    pl.spatializer_base.doppler_tracking = (
+                        DopplerTracking.PHYSICS_STEP if ev[1]
+                        else DopplerTracking.DISABLED
+                    )
+                elif kind == "free":
+                    pl.free()
         eng.physics_step()
         blocks.append(eng.render_block())
     return np.concatenate(blocks, axis=1)
@@ -540,7 +693,24 @@ def run_scenario(seed: int, n_blocks: int = 40) -> dict:
     # next-tick mix volume — near-silent by walk continuity: the channel
     # sat at mv≈0, and one ≤0.9-unit step moves it by
     # ≲ (step/unit_size)^tightness ≈ −40 dB — observed 1.3e-4 on seed 22.
-    tol = (1e-3 if sc["mix_channel"] else DB80) * max(peak, 1.0)
+    # Doppler scenarios get a −40 dBFS budget: the fixed-point cursor step
+    # round(f32(pitch)·65536) reads a CONTINUOUS doppler pitch that the
+    # engine computes in f32 (like the reference's real_t) and the oracle
+    # in f64 — when the product lands within a few ULP of a rounding
+    # boundary the two sides flip the step (seed 192 block 39: a live
+    # doppler toggle put a voice on the doppler path; one flip leaves a
+    # permanent F/65536 ≈ 0.008-sample cursor offset ≈ −60 dB of noise-
+    # clip error).  Parity at the flip is ill-defined between any two
+    # float builds; −40 dB still catches every structural bug (a mis-
+    # wired velocity shifts the step by tens of units → signal-scale
+    # divergence within a block).  Stage-A doppler WIRING is pinned
+    # tightly by test_geometry's doppler parity instead.
+    dop = any(p["doppler"] for p in sc["players"]) or any(
+        e[0] == "doppler" and e[1]
+        for evs in sc["schedule"] for pevs in evs for e in pevs
+    )
+    rel = max(DB80, 1e-3 if sc["mix_channel"] else 0.0, 1e-2 if dop else 0.0)
+    tol = rel * max(peak, 1.0)
     return dict(
         seed=seed,
         err=err,
@@ -549,6 +719,7 @@ def run_scenario(seed: int, n_blocks: int = 40) -> dict:
         silent=bool(peak <= 1e-3),
         mode=int(sc["speaker_mode"]),
         mix_channel=sc["mix_channel"],
+        doppler=dop,
         n_areas=len(sc["areas"]),
         n_players=len(sc["players"]),
     )

@@ -18,8 +18,17 @@ from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
 from godot_audio_spatializer_tpu.models.spatializer3d import AudioSpatializer3D
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 22, 43, 45, 49, 71, 84, 192])
+@pytest.mark.parametrize("seed", [0, 1, 2, 22, 43, 45, 49, 71, 84, 192, 204])
 def test_fuzz_scenario_parity(seed):
+    # NOTE: scenario GENERATION changed when the fuzz grew doppler
+    # velocity tracking, live doppler toggles, listener/area basis walks,
+    # listener velocities and free() events — the annotations below
+    # describe what each seed found under the generation it was pinned
+    # with; each bug also has a direct regression test in this file or
+    # engine suites.  Under the current generation, 192 and 204 exercise
+    # the doppler fixed-point budget (run_scenario's 1e-2 doppler rel —
+    # one quantize-boundary step flip ≈ −60 dB of permanent cursor-phase
+    # noise, ill-defined between a float build and the f64 oracle).
     # 192: pitch quantization must happen on the f32 product on BOTH
     # sides (f64 rounding in the golden flipped the fixed-point step at
     # an f32-collapsed half-integer → cursor-phase drift)
