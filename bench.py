@@ -149,23 +149,36 @@ def bench_streaming(n_sources):
 
     for _ in range(3):
         np.asarray(_trivial(dummy))  # warm
-    step_ts, floor_ts = [], []
-    for k in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(_trivial(dummy))
-        floor_ts.append(time.perf_counter() - t0)
-        pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
-        t0 = time.perf_counter()
-        eng.step()
-        step_ts.append(time.perf_counter() - t0)
-    ms = min(step_ts) * 1e3
+    # the floor drifts WITHIN a session too (PERF.md: the same commit read
+    # 5.96 and 15.0 ms of "marginal" in two processes) — run SEVERAL
+    # independent interleaved passes and keep the cleanest one: floor
+    # contamination only ever INFLATES a pass's marginal, so min-of-passes
+    # is the drift-robust estimator
+    passes = []
+    pass_detail = []
+    for _p in range(2 if QUICK else 4):
+        step_ts, floor_ts = [], []
+        for k in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(_trivial(dummy))
+            floor_ts.append(time.perf_counter() - t0)
+            pls[0].set_position([np.cos(k * 0.1), 0.0, -2.0])
+            t0 = time.perf_counter()
+            eng.step()
+            step_ts.append(time.perf_counter() - t0)
+        p_ms = min(step_ts) * 1e3
+        p_floor = min(floor_ts) * 1e3
+        passes.append(max(p_ms - p_floor, 0.0))
+        pass_detail.append((p_ms, p_floor))
+    best = int(np.argmin(passes))
+    ms, floor_ms = pass_detail[best]
     rtf = 512 / 48000.0 / (ms * 1e-3)
-    floor_ms = min(floor_ts) * 1e3
-    marginal = max(ms - floor_ms, 0.0)
+    marginal = passes[best]
     out = [{"config": f"streaming_step_{n_sources}src", "sources": n_sources,
             "rtf": round(rtf, 2), "block_ms": round(ms, 4),
             "sync_floor_ms": round(floor_ms, 4),
             "marginal_ms": round(marginal, 4),
+            "marginal_ms_passes": [round(m, 3) for m in passes],
             "marginal_realtime": bool(marginal < 512 / 48000.0 * 1e3)}]
     # double-buffered variant: device computes block k while the host does
     # block k+1's work.  On real hardware this removes device compute from

@@ -38,7 +38,22 @@ from ..constants import (
 )
 from ..ops.geometry import SceneState, SourceParams, SpatializeResult, calculate_spatialization
 from ..ops.mix import BlockParams, MixState, SampleBank, make_mix_state, mix_block
-from ..ops.resample import quantize_pitch
+from ..ops.resample import FP_LEN, quantize_pitch
+
+
+def _quantize_pitch_fp_host(pitch_scale: float, pitch_mul: float) -> int:
+    """Host twin of the device's quantize_pitch(stage_a_pitch *
+    slot_pitch_mul) for a doppler-free lane: one f32 product, an exact
+    power-of-two scale, round-half-even — bit-identical by construction
+    (the f64-vs-f32 rounding mismatch bit the golden once; PERF.md)."""
+    x = np.float32(np.float32(pitch_scale) * np.float32(pitch_mul))
+    return int(np.round(np.float32(x * np.float32(FP_LEN))))
+
+
+# `pitch_bound="auto"` quantizes the live pitch ceiling UP to this menu so
+# the static max_pitch arg (and with it the jitted program) changes only
+# when a voice crosses a step, not on every pitch edit
+_PITCH_BOUND_MENU = (1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
 from ..utils.dsp import db_to_linear
 from .player import AudioStreamPlayerSpatial
 from .scene import AreaDesc, ListenerDesc, build_scene_state, db_to_linear_host
@@ -383,6 +398,7 @@ class AudioEngine:
         physics_rate: float = 60.0,
         source_effects: Sequence = (),
         max_pitch: float = 8.0,
+        pitch_bound="auto",
         stage_a_override: Optional[object] = None,
         mesh=None,
     ):
@@ -406,6 +422,17 @@ class AudioEngine:
         )
         self.physics_rate = float(physics_rate)
         self.max_pitch = float(max_pitch)
+        # static pitch bound fed to the mix programs: `max_pitch` sizes the
+        # resample window (ops/resample.window_rows — 34 rows/source at 8.0
+        # vs 6 at 1.0, F=512), so a non-doppler interactive scene pays
+        # ~5.7x the gather for doppler headroom it cannot use (measured
+        # −2.4 ms/step at N=4096, tools/probe_step_maxpitch.py).
+        # "auto" derives a tight bound from the live slot pitches each
+        # step, quantized UP to a small menu so retraces are rare; a float
+        # pins it (use when retrace hiccups matter more than throughput).
+        # `max_pitch` stays the hard clamp ceiling either way — the bound
+        # never changes audible output (it only shrinks unused window).
+        self.pitch_bound = pitch_bound
         # custom batched Stage A (models/custom.py AudioSpatializerCustom);
         # also auto-adopted from the first custom spatializer attached.
         # A property: assigning it mid-session must invalidate the cached
@@ -474,6 +501,15 @@ class AudioEngine:
         # stream-rate ratio × per-voice random pitch (AudioStreamPlayback
         # resamples stream_rate → mix_rate at L0 in the reference engine)
         self._slot_pitch_mul = np.ones(n, np.float32)
+        # per-lane quantized pitch ceiling (fp units, = what the device's
+        # quantize_pitch(stage_a_pitch * slot_pitch_mul) produces when
+        # doppler is off) — feeds _effective_max_pitch.  Zombie lanes keep
+        # their last value (their fade-out still mixes at that pitch);
+        # freed lanes zero out in _release_slot
+        self._slot_pitch_fp_bound = np.zeros(n, np.int64)
+        self._released_pending: List[int] = []
+        self._pitch_bound_stale = True
+        self._eff_max_pitch: Optional[float] = None  # split path's bound
         self._slot_gain = np.ones(n, np.float32)
         self._slot_stream_rate = np.full(n, self.mix_rate, np.float32)
         self._slot_loop_begin = np.zeros(n, np.int32)
@@ -1056,6 +1092,9 @@ class AudioEngine:
         ):
             self._params_gen = gen
             self._source_params_cache = self._player_params()
+            # player pitch_scale may have changed: lanes' quantized pitch
+            # ceilings must re-derive from the fresh cache
+            self._pitch_bound_stale = True
             params = self._source_params_cache
             if self.mesh is not None:
                 p = len(self.players)
@@ -1129,6 +1168,14 @@ class AudioEngine:
         # sibling snapshot: proxies of lanes stopped THIS tick are still
         # alive for new voices started in the same tick (teardown happens
         # during the next mix, reference audio_spatializer.cpp:484-491)
+        # lanes released in a PREVIOUS tick have finished their teardown
+        # fade — their pitch ceilings drop out of the bound now (unless
+        # the lane was already reused, which overwrote the ceiling)
+        if self._released_pending:
+            for s in self._released_pending:
+                if self.slot_player[s] < 0:
+                    self._slot_pitch_fp_bound[s] = 0
+            self._released_pending = []
         slot_player_sib = self.slot_player.copy()
         # zombie snapshot too: a play that REUSES a zombie lane clears its
         # flag, but the sibling scan must still see the lane's frozen
@@ -1148,6 +1195,12 @@ class AudioEngine:
             if pl._pending_stop:
                 for s in pl.slots:
                     stop_mask[s] = True
+                    # the teardown fade mixes at the player's CURRENT
+                    # pitch — refresh the ceiling in case a live
+                    # pitch_scale edit landed in the same tick
+                    self._slot_pitch_fp_bound[s] = _quantize_pitch_fp_host(
+                        pl.pitch_scale, self._slot_pitch_mul[s]
+                    )
                     if pl._proxy_paused:
                         # paused proxies are never mixed → the stopped
                         # node is never GC'd (reference cpp:473-492): the
@@ -1213,6 +1266,9 @@ class AudioEngine:
                         stream = param_fn(pp)
                 stream_rate = stream.sample_rate or self.mix_rate
                 self._slot_pitch_mul[s] = voice_pitch * stream_rate / self.mix_rate
+                self._slot_pitch_fp_bound[s] = _quantize_pitch_fp_host(
+                    pl.pitch_scale, self._slot_pitch_mul[s]
+                )
                 self._slot_gain[s] = voice_gain
                 self._slot_stream_rate[s] = stream_rate
                 base, length = self.register_stream(stream)
@@ -1261,6 +1317,9 @@ class AudioEngine:
                 s = pl.slots.pop(0)
                 stop_mask[s] = True
                 play_mask[s] = False
+                self._slot_pitch_fp_bound[s] = _quantize_pitch_fp_host(
+                    pl.pitch_scale, self._slot_pitch_mul[s]
+                )
                 if pl._proxy_paused:
                     self._slot_zombie[s] = True
                     pl._zombie_slots.append(s)
@@ -1308,6 +1367,9 @@ class AudioEngine:
         slot_player_sib, slot_zombie_sib, play_mask, play_cursor, stop_mask = (
             self._process_slot_events()
         )
+        # pitch bound for the render_block(s) until the next physics tick
+        # (the split path's blocks reuse this tick's BlockParams snapshot)
+        self._eff_max_pitch = self._effective_max_pitch()
 
         self.mix_state, self._block_params = _tick_update(
             result,
@@ -1365,6 +1427,46 @@ class AudioEngine:
                 (self.channel_count, self.block_size, 2), np.float32
             )
         return self._fetch_packed(*prev)
+
+    def _effective_max_pitch(self) -> float:
+        """Static pitch bound for this tick's mix program.
+
+        The bound sizes the resample gather window (ops/resample.py
+        window_rows); `max_pitch` (the reference's doppler clamp ceiling,
+        audio_spatializer_3d.cpp:421) stays the hard clamp, so any bound
+        ≥ every lane's actual quantized pitch is AUDIBLY IDENTICAL — the
+        clamp never binds.  "auto" takes the max of the per-lane quantized
+        ceilings (exact, incl. zombie fade-outs, which keep their last
+        value until released) and rounds UP to _PITCH_BOUND_MENU.
+        Conservative fallbacks to `max_pitch`: doppler-tracking players
+        (pitch is device-computed) and custom Stage A overrides.
+
+        Call AFTER _params_dev()/_process_slot_events() so the lane
+        ceilings reflect this tick's edits and plays."""
+        if self.pitch_bound != "auto":
+            return min(float(self.pitch_bound), self.max_pitch)
+        if self._has_custom() or self._vel_players():
+            return self.max_pitch
+        if self._pitch_bound_stale:
+            cache = self._source_params_cache
+            if cache is None:
+                return self.max_pitch
+            sp = self.slot_player
+            valid = sp >= 0
+            if valid.any():
+                p32 = cache.pitch_scale[sp[valid]].astype(np.float32)
+                x = (p32 * self._slot_pitch_mul[valid]).astype(np.float32)
+                self._slot_pitch_fp_bound[valid] = np.round(
+                    (x * np.float32(FP_LEN)).astype(np.float32)
+                ).astype(np.int64)
+            self._pitch_bound_stale = False
+        bound_fp = int(self._slot_pitch_fp_bound.max(initial=0))
+        for m in _PITCH_BOUND_MENU:
+            if m >= self.max_pitch:
+                break
+            if round(m * FP_LEN) >= bound_fp:
+                return m
+        return self.max_pitch
 
     def _step_dispatch(self, dt: Optional[float]):
         """Run one fused engine tick asynchronously.  Returns
@@ -1445,7 +1547,7 @@ class AudioEngine:
             effects=effects,
             chain=tuple(self._chain_groups),
             mc_chain=tuple(self._mc_groups),
-            max_pitch=self.max_pitch,
+            max_pitch=self._effective_max_pitch(),
             bus_flags=self._bus_flags(),
             fx_cfg=self._fx_cfg(effects),
         )
@@ -1517,6 +1619,11 @@ class AudioEngine:
 
     def _release_slot(self, s: int) -> None:
         self.slot_player[s] = -1
+        # the lane's pitch ceiling is NOT zeroed here: a lane released by
+        # a stop event still mixes its teardown fade THIS tick (at its old
+        # pitch, via the sibling gather).  It zeroes at the next tick's
+        # event scan, or is overwritten when the lane is reused.
+        self._released_pending.append(s)
         self._free_slots.append(s)
 
     def _ensure_chain_group(self, effects) -> int:
@@ -1711,7 +1818,11 @@ class AudioEngine:
             effects=effects,
             chain=tuple(self._chain_groups),
             mc_chain=tuple(self._mc_groups),
-            max_pitch=self.max_pitch,
+            max_pitch=(
+                self._eff_max_pitch
+                if self._eff_max_pitch is not None
+                else self.max_pitch
+            ),
             bus_flags=self._bus_flags(),
             fx_cfg=self._fx_cfg(effects),
         )
@@ -1777,6 +1888,7 @@ class AudioEngine:
         arrays["slot_stream_rate"] = self._slot_stream_rate
         arrays["slot_loop_begin"] = self._slot_loop_begin
         arrays["slot_pp_end"] = self._slot_pp_end
+        arrays["slot_pitch_fp_bound"] = self._slot_pitch_fp_bound
         if getattr(self, "_was_out", None) is not None:
             arrays["was_out"] = np.asarray(self._was_out)
         np.savez(path, **arrays)
@@ -1821,6 +1933,16 @@ class AudioEngine:
             s for s in range(self.max_sources - 1, -1, -1)
             if self.slot_player[s] < 0
         ]
+        if "slot_pitch_fp_bound" in data:
+            self._slot_pitch_fp_bound = data["slot_pitch_fp_bound"]
+        else:
+            # pre-pitch-bound checkpoint: lanes not derivable here (zombie
+            # fade-outs keep no player ref) — pin every allocated lane to
+            # the ceiling; assigned lanes re-derive on the next stale pass
+            self._slot_pitch_fp_bound = np.where(
+                self.slot_player >= 0, 0, round(self.max_pitch * FP_LEN)
+            ).astype(np.int64)
+        self._pitch_bound_stale = True
         if "was_out" in data:
             self._was_out = jnp.asarray(data["was_out"])
 
