@@ -15,6 +15,7 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
+from ..constants import MAX_CHANNELS_PER_BUS
 from ..models.spatializer3d import AudioSpatializer3D
 from .streams import AudioStream
 
@@ -61,7 +62,14 @@ class AudioStreamPlayerSpatial:
         # an UNPAUSED mix with an empty playback list — so paused proxies
         # outlive their voices and later plays ride their pause state
         self._proxies_alive = False
+        # pause is a per-PROXY AudioServer flag: a live speaker-mode
+        # GROWTH starts fresh UNPAUSED proxies for the added channels
+        # (reference init_channels_and_buffers, cpp:197-207) and nothing
+        # re-applies the node's pause — so the flags can differ per
+        # channel.  _proxy_paused stays the scalar "every live proxy is
+        # paused" view the zombie/GC bookkeeping reasons with.
         self._proxy_paused = False
+        self._proxy_paused_ch = np.zeros(MAX_CHANNELS_PER_BUS, bool)
         self._zombie_slots = []  # stopped-under-pause lanes (see engine)
         # playback bookkeeping
         self.slots: List[int] = []  # engine slot ids, oldest first

@@ -235,6 +235,13 @@ def _tick_update_impl(
         prev_mix_volumes=jnp.where(pm2, 0.0, state.prev_mix_volumes),
         filter_coeffs=jnp.where(pm1, 0.0, state.filter_coeffs),
         filter_state=jnp.where(pm3, 0.0, state.filter_state),
+        # fresh playback = fresh zero-initialized processor array (all
+        # MAX_CHANNELS lanes, incl. those outside the live channel count)
+        filter_coeffs_ch=(
+            jnp.where(pm2, 0.0, state.filter_coeffs_ch)
+            if state.filter_coeffs_ch is not None
+            else None
+        ),
         srv_prev=jnp.where(pm3, start_prev, state.srv_prev),
         srv_target=jnp.where(pm3, start_targ, srv_target),
     )
@@ -475,7 +482,11 @@ class AudioEngine:
         )
         self._chain_keys: List[tuple] = []
         n = self.max_sources
-        filt_ch = self.channel_count if mix_channel_enabled else 1
+        # statically MAX_CHANNELS-shaped in mix-channel engines (the
+        # reference's static per-playback processor array,
+        # audio_spatializer_3d.h:89): live speaker-mode switches never
+        # reshape state — dropped channels freeze, re-grows resume stale
+        filt_ch = MAX_CHANNELS_PER_BUS if mix_channel_enabled else 1
         self.mix_state: MixState = make_mix_state(
             n, self.num_buses, filt_ch, chain_effects=self.source_effects
         )
@@ -516,8 +527,13 @@ class AudioEngine:
         # ping-pong position mapping: original loop_end (0 = not ping-pong)
         self._slot_pp_end = np.zeros(n, np.int32)
         # proxy-level pause state (reference set_playback_paused applies to
-        # the proxies alive at call time; fresh proxies start unpaused)
-        self._slot_paused = np.zeros(n, bool)
+        # the proxies alive at call time; fresh proxies start unpaused).
+        # Per CHANNEL-PAIR proxy: a live speaker-mode growth starts fresh
+        # UNPAUSED proxies for the added channels (init_channels_and_
+        # buffers, cpp:197-207) without re-applying the node's pause, so
+        # one lane's proxies can be paused on some channels and live on
+        # others (mode-A lanes have a single proxy — column 0 rules)
+        self._slot_paused = np.zeros((n, MAX_CHANNELS_PER_BUS), bool)
         # stopped-under-pause lanes kept allocated so their frozen server
         # ramp (the paused proxies' state) survives for future voices
         self._slot_zombie = np.zeros(n, bool)
@@ -597,6 +613,81 @@ class AudioEngine:
     @property
     def bus_names(self) -> List[str]:
         return [b.name for b in self.buses]
+
+    def set_speaker_mode(self, mode: SpeakerMode) -> None:
+        """Live output channel-count change (device/speaker-mode switch
+        mid-playback) — init_channels_and_buffers parity (reference
+        audio_spatializer.cpp:172-216): voices keep playing across the
+        switch.
+
+        NO state migrates — every channel-shaped MixState leaf is
+        statically MAX_CHANNELS_PER_BUS-shaped, mirroring the reference's
+        statically-allocated per-playback structures:
+        - `filter_state` / `filter_coeffs_ch` (mix-channel mode): the
+          reference's per-channel processor array
+          (audio_spatializer_3d.h:89).  Channels above the live count
+          freeze; a growth exposes zero lanes (fresh processors: zero
+          history, zero-coefficient ramp start) or — after an earlier
+          shrink — the STALE lanes the reference also resumes from.
+        - `prev_mix_volumes` / `srv_prev` / `srv_target` are tracked for
+          all four proxy channels every tick, so added channels resume at
+          current targets — the reference seeds fresh proxies at the
+          current bus_map the same way (cpp:197-207).
+        - Bus effect state is statically 4-channel (the bus graph always
+          processes all channel pairs; `channel_count` only selects the
+          master output), so reverb tails etc. survive the switch.
+
+        Everything downstream retraces automatically: `speaker_mode` /
+        `channel_count` enter every jitted program as static args."""
+        mode = SpeakerMode(mode)
+        if mode == self.speaker_mode:
+            return
+        old_c = self.channel_count
+        self.speaker_mode = mode
+        self.channel_count = SPEAKER_MODE_CHANNEL_COUNT[mode]
+        new_c = self.channel_count
+        self.mark_params_dirty()  # Stage A panning table re-specializes
+
+        # Proxy-pool resize for mix-channel instances with live proxies
+        # (init_channels_and_buffers, cpp:181-215).  A GROWTH starts fresh
+        # proxies for the added channels: UNPAUSED (start_playback_stream;
+        # the node's pause is never re-applied — reference quirk: a paused
+        # voice resumes advancing, audible only on the new channels) and
+        # seeded prev=target at the old-mode bus map, which is zero at
+        # channels the old mode never panned to.  A shrink destroys the
+        # dropped proxies, so the surviving pool's pause state alone
+        # decides whether the instance is frozen (e.g. [paused, live]
+        # shrunk to stereo is now FULLY paused).  Process-frames instances
+        # always own exactly one proxy — untouched either way.
+        grow_lanes: List[int] = []
+        for pl in self.players:
+            if pl._freed or not pl._proxies_alive:
+                continue
+            sb = pl.spatializer_base
+            if not (sb is not None and sb.mix_channel_mode):
+                continue
+            if new_c > old_c:
+                pl._proxy_paused_ch[old_c:new_c] = False
+                for s in list(pl.slots) + list(pl._zombie_slots):
+                    self._slot_paused[s, old_c:new_c] = False
+                    grow_lanes.append(s)
+            was_paused = pl._proxy_paused
+            pl._proxy_paused = bool(pl._proxy_paused_ch[:new_c].all())
+            if was_paused and not pl._proxy_paused:
+                # at least one proxy mixes again → an empty playback list
+                # tears the pool down at the next mix
+                # (_manage_playback_state, cpp:473-492)
+                self._note_proxy_candidate(pl)
+        if grow_lanes:
+            lanes = np.asarray(sorted(set(grow_lanes)), np.int32)
+            self.mix_state = self.mix_state.replace(
+                srv_prev=self.mix_state.srv_prev.at[
+                    lanes, :, old_c:new_c, :
+                ].set(0.0),
+                srv_target=self.mix_state.srv_target.at[
+                    lanes, :, old_c:new_c, :
+                ].set(0.0),
+            )
 
     def add_bus(self, name: str, send: str = "Master", volume_db: float = 0.0) -> None:
         if any(b.name == name for b in self.buses):
@@ -993,6 +1084,7 @@ class AudioEngine:
                 # stop WHILE paused, where the reference keeps the paused
                 # proxies (no mix runs to tear them down).
                 pl._proxy_paused = False
+                pl._proxy_paused_ch[:] = False
                 pl.stream_paused = False
                 pl._proxies_alive = False
             pl._emit_finished()
@@ -1008,14 +1100,49 @@ class AudioEngine:
         play() rides them and starts paused, until unpause (found by the
         120-block randomized fuzz: play-after-stop-while-paused audibly
         diverged from golden).  Pausing a player with no proxies is a
-        no-op — fresh proxies start unpaused."""
+        no-op — fresh proxies start unpaused.
+
+        The flag applies to the proxies ALIVE RIGHT NOW — for a
+        mix-channel instance that's one per live channel pair (the
+        reference loops spatial_playbacks.size(), which
+        init_channels_and_buffers keeps at the live channel count);
+        channels beyond the current speaker mode have no proxies, so
+        their columns keep whatever stale value a later growth will
+        overwrite with fresh-unpaused."""
+        span = self._proxy_span(player)
         for s in player.slots:
-            self._slot_paused[s] = paused
+            self._slot_paused[s, :span] = paused
         if player._proxies_alive:
+            player._proxy_paused_ch[:span] = paused
             player._proxy_paused = bool(paused)
         # unpausing makes any zombie lanes / empty playback lists GC-able
         # at the next mix
         self._note_proxy_candidate(player)
+
+    def _proxy_span(self, player) -> int:
+        """Number of live channel-pair proxies a player's instance owns:
+        one per live channel in mix-channel mode, exactly one otherwise
+        (reference init_channels_and_buffers, cpp:175-179)."""
+        sb = player.spatializer_base
+        return (
+            self.channel_count
+            if (sb is not None and sb.mix_channel_mode)
+            else 1
+        )
+
+    def set_player_disable_threshold(self, player, db: float) -> None:
+        """Write-through for the instance's playback_disable_threshold_db.
+
+        The reference reads the member every mix (audio_spatializer.cpp:
+        464-469), so edits reach LIVE playbacks from the next block; the
+        per-slot lane also covers zombie lanes (they resume mixing on
+        unpause with the instance's current threshold)."""
+        if player._freed:
+            return
+        for s in player.slots:
+            self._slot_threshold_db[s] = db
+        for s in player._zombie_slots:
+            self._slot_threshold_db[s] = db
 
     # ------------------------------------------------------------ stage A prep
     def _player_params(self) -> SourceParams:
@@ -1240,7 +1367,8 @@ class AudioEngine:
                 if not pl._proxies_alive:
                     pl._proxies_alive = True
                     pl._proxy_paused = False
-                self._slot_paused[s] = pl._proxy_paused
+                    pl._proxy_paused_ch[:] = False
+                self._slot_paused[s] = pl._proxy_paused_ch
                 self._slot_play_tick[s] = self._tick_no
                 # a randomizer resolves to (stream, pitch, gain) per voice
                 stream = pl.stream
@@ -1280,6 +1408,13 @@ class AudioEngine:
                 self._slot_bank_loop[s] = stream.loop
                 self._slot_mode[s] = bool(
                     pl.spatializer_base and pl.spatializer_base.mix_channel_mode
+                )
+                # per-instance auto-disable threshold (reference
+                # audio_spatializer.cpp:464-469, property cpp:595-598)
+                self._slot_threshold_db[s] = (
+                    pl.spatializer.playback_disable_threshold_db
+                    if pl.spatializer is not None
+                    else PLAYBACK_DISABLE_THRESHOLD_DB
                 )
                 from ..models.custom import AudioSpatializerCustom
                 from ..models.spatializer_effect import AudioSpatializerEffect
@@ -1612,6 +1747,15 @@ class AudioEngine:
                 pl._zombie_slots.clear()
             if pl._proxies_alive and not pl.slots:
                 pl._proxies_alive = False
+                # _manage_playback_state stops EVERY proxy when the list
+                # empties (cpp:485-491): the pool's pause state dies with
+                # it and get_stream_paused reads false on an empty pool.
+                # Reachable with pause still set: a speaker-mode growth
+                # unpauses the fresh channels, whose empty mix tears the
+                # pool down while channel 0 is still paused.
+                pl._proxy_paused = False
+                pl._proxy_paused_ch[:] = False
+                pl.stream_paused = False
             # freed players reclaim their lane once fully torn down
             if pl._freed and not pl.slots and not pl._pending_plays:
                 self._deregister_player(pl)
@@ -1889,12 +2033,20 @@ class AudioEngine:
         arrays["slot_loop_begin"] = self._slot_loop_begin
         arrays["slot_pp_end"] = self._slot_pp_end
         arrays["slot_pitch_fp_bound"] = self._slot_pitch_fp_bound
+        arrays["slot_threshold_db"] = self._slot_threshold_db
+        # a live set_speaker_mode may have changed the channel-shaped
+        # state since construction — record the mode the leaves belong to
+        arrays["speaker_mode"] = np.int64(int(self.speaker_mode))
         if getattr(self, "_was_out", None) is not None:
             arrays["was_out"] = np.asarray(self._was_out)
         np.savez(path, **arrays)
 
     def load_state(self, path: str) -> None:
         data = np.load(path)
+        if "speaker_mode" in data:
+            # align the engine's static mode with the checkpoint's (leaf
+            # shapes are mode-independent; only Stage A statics change)
+            self.set_speaker_mode(SpeakerMode(int(data["speaker_mode"])))
         leaves, treedef = jax.tree.flatten(self.mix_state)
         n_leaves = len(leaves)
         restored = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n_leaves)]
@@ -1926,6 +2078,7 @@ class AudioEngine:
             ("slot_stream_rate", "_slot_stream_rate"),
             ("slot_loop_begin", "_slot_loop_begin"),
             ("slot_pp_end", "_slot_pp_end"),
+            ("slot_threshold_db", "_slot_threshold_db"),
         ):
             if key in data:
                 setattr(self, attr, data[key])

@@ -43,7 +43,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
-from .spatializer3d import AudioSpatializer3D, _LiveEditResource
+from .spatializer3d import (
+    AudioSpatializer3D,
+    SpatializerInstanceBase,
+    _LiveEditResource,
+)
 
 
 @dataclass
@@ -80,7 +84,7 @@ class AudioSpatializerCustom(_LiveEditResource):
 
 
 @dataclass
-class AudioSpatializerInstanceCustom:
+class AudioSpatializerInstanceCustom(SpatializerInstanceBase):
     base: AudioSpatializerCustom
     audio_player: Optional[object] = None
 

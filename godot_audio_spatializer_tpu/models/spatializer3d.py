@@ -16,7 +16,11 @@ import math
 from dataclasses import dataclass, replace
 from typing import Optional
 
-from ..constants import AttenuationModel, DopplerTracking
+from ..constants import (
+    PLAYBACK_DISABLE_THRESHOLD_DB,
+    AttenuationModel,
+    DopplerTracking,
+)
 
 # Live-edit generation counter: every field write on ANY spatializer
 # resource bumps this; AudioEngine._params_dev compares it to the
@@ -78,8 +82,34 @@ class AudioSpatializer3D(_LiveEditResource):
         return replace(self)
 
 
+class SpatializerInstanceBase:
+    """Shared per-instance surface of AudioSpatializerInstance.
+
+    `playback_disable_threshold_db` is the auto-disable peak threshold the
+    mix loop compares each drained playback against (reference
+    audio_spatializer.cpp:464-469, property binding cpp:595-598).  The
+    reference reads the member every mix, so edits apply to LIVE playbacks
+    from the next block — the setter writes through to the player's live
+    slot lanes (engine.set_player_disable_threshold)."""
+
+    # plain class attribute (NOT an annotated field: the dataclass
+    # subclasses must not inherit it as an __init__ parameter)
+    _threshold_db = PLAYBACK_DISABLE_THRESHOLD_DB
+
+    @property
+    def playback_disable_threshold_db(self) -> float:
+        return self._threshold_db
+
+    @playback_disable_threshold_db.setter
+    def playback_disable_threshold_db(self, v: float) -> None:
+        object.__setattr__(self, "_threshold_db", float(v))
+        pl = getattr(self, "audio_player", None)
+        if pl is not None:
+            pl.engine.set_player_disable_threshold(pl, float(v))
+
+
 @dataclass
-class AudioSpatializerInstance3D:
+class AudioSpatializerInstance3D(SpatializerInstanceBase):
     """Per-player instance handle.
 
     The reference's instance owns the playback list and mix buffers

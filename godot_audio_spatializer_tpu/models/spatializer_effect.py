@@ -22,7 +22,11 @@ from __future__ import annotations
 from dataclasses import dataclass, field, replace
 from typing import List, Optional
 
-from .spatializer3d import AudioSpatializer3D, _LiveEditResource
+from .spatializer3d import (
+    AudioSpatializer3D,
+    SpatializerInstanceBase,
+    _LiveEditResource,
+)
 
 
 @dataclass
@@ -63,7 +67,7 @@ class AudioSpatializerEffect(_LiveEditResource):
 
 
 @dataclass
-class AudioSpatializerInstanceEffect:
+class AudioSpatializerInstanceEffect(SpatializerInstanceBase):
     base: AudioSpatializerEffect
     audio_effects: List = field(default_factory=list)
     audio_player: Optional[object] = None

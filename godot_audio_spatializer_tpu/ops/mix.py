@@ -76,6 +76,15 @@ class MixState:
     # custom _mix_channel override state (one pytree per processor group;
     # reference audio_spatializer.h:103-113).  Empty tuple = none.
     mc_state: tuple = ()
+    # [N, C, 5] f32 per-channel mode-B processor coefficient store, or
+    # None for engines without mix_channel mode.  The reference's
+    # per-playback filter processors are a STATICALLY-allocated 4-channel
+    # array (audio_spatializer_3d.h:89), each keeping its own stored
+    # coefficients: channels above the live channel count freeze, and a
+    # later speaker-mode re-growth resumes them from the STALE values
+    # (history lives in the matching filter_state channels).  None
+    # flattens to no pytree leaf, so mode-A-only states are unchanged.
+    filter_coeffs_ch: Optional[jnp.ndarray] = None
 
 
 def make_mix_state(
@@ -97,6 +106,13 @@ def make_mix_state(
         prev_mix_volumes=jnp.zeros((n, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
         filter_coeffs=jnp.zeros((n, 5), jnp.float32),
         filter_state=jnp.zeros((n, filter_channels, 2, 4), jnp.float32),
+        # mode-B engines (filter_channels > 1) carry per-channel
+        # coefficient stores; mode-A-only states carry no extra leaf
+        filter_coeffs_ch=(
+            jnp.zeros((n, filter_channels, 5), jnp.float32)
+            if filter_channels > 1
+            else None
+        ),
         srv_prev=jnp.zeros((n, num_buses, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
         srv_target=jnp.zeros((n, num_buses, MAX_CHANNELS_PER_BUS, 2), jnp.float32),
     )
@@ -113,7 +129,12 @@ class BlockParams:
     attenuation_filter_cutoff_hz: jnp.ndarray  # [N] f32
     mix_channel_mode: jnp.ndarray  # [N] bool
     threshold_db: jnp.ndarray  # [N] f32 playback_disable_threshold_db
-    paused: jnp.ndarray  # [N] bool — AudioServer set_playback_paused
+    # AudioServer proxy pause flags.  [N, MAX_CHANNELS_PER_BUS] bool — one
+    # per channel-pair proxy (reference set_playback_paused pauses each
+    # live proxy, cpp:115-122; a live speaker-mode growth starts fresh
+    # UNPAUSED proxies, cpp:197-207, so the flags can differ per channel).
+    # Legacy [N] callers are broadcast to all channels inside mix_block.
+    paused: jnp.ndarray
     # sources routed through the per-source effect chain instead of the
     # built-in 3D highshelf (AudioSpatializerEffect family).  None → all
     # sources use the built-in path (kept optional so existing callers and
@@ -178,14 +199,45 @@ def mix_block(
     `mix_channel_enabled` statically gates the mode-B (mix_channel) path —
     when False every source uses process_frames semantics
     (mix_channel_mode=false default, reference audio_spatializer_3d.h).
+
+    Live speaker-mode (channel-count) switches need NO special handling
+    here: `state.filter_state`/`state.filter_coeffs_ch` are statically
+    MAX_CHANNELS_PER_BUS-shaped in mode-B engines (the reference's
+    static per-channel processor array, audio_spatializer_3d.h:89), so
+    channels outside the live count simply freeze — a growth exposes
+    zero lanes (fresh processors: zero history, zero-coefficient ramp
+    start) or, after a shrink, the STALE lanes the reference would also
+    resume from.
     """
     F = frame_count
     la = LOOKAHEAD_BUFFER_SIZE
     assert F >= la, "block size must cover the lookahead buffer"
     N = params.mix_volumes.shape[0]
-    # paused playbacks are frozen wholesale (the AudioServer simply stops
-    # pulling the proxies — reference audio_spatializer.cpp:115-122)
-    active0 = state.active & ~params.paused
+    # Pause is a per-PROXY AudioServer flag (reference set_playback_paused
+    # loops the live proxy list, audio_spatializer.cpp:115-122).  A mode-B
+    # (mix-channel) playback owns one proxy per channel pair, and the
+    # flags can genuinely differ: init_channels_and_buffers starts fresh
+    # UNPAUSED proxies for channels added by a live speaker-mode growth
+    # (cpp:197-207) and never re-applies the node's pause.  A lane is
+    # frozen wholesale only when NO live proxy mixes: all live channels
+    # paused (mode B), or the single proxy paused (mode A — a
+    # process-frames instance always has exactly one proxy, cpp:175-179).
+    # When ANY channel mixes, _mix_from_playback_list runs in full —
+    # cursor, filters and prev_mix_volumes advance for ALL channels
+    # (cpp:422-445 loops every channel) — only the paused channels'
+    # AudioServer-side volume ramps freeze and their output contribution
+    # is silence (the server simply never pulls those proxies).
+    pch = params.paused
+    if pch.ndim == 1:  # legacy [N] callers: one flag drives every proxy
+        pch = jnp.broadcast_to(pch[:, None], (N, MAX_CHANNELS_PER_BUS))
+    C = channel_count
+    if mix_channel_enabled:
+        lane_paused = jnp.where(
+            params.mix_channel_mode, pch[:, :C].all(axis=1), pch[:, 0]
+        )
+    else:
+        lane_paused = pch[:, 0]
+    active0 = state.active & ~lane_paused
     has0 = state.has_frames
 
     # 16-bit PCM intermediate path: int16 bank rows flow straight into the
@@ -455,9 +507,22 @@ def mix_block(
         stB = state.filter_state[:, :C]
         stB = jnp.where((justB & apply_f[:, None])[..., None, None], 0.0, stB)
         xBl = jnp.moveaxis(xB, 3, 2)  # [N,C,2,F]
+        # per-channel coefficient ramp starts (the reference's per-channel
+        # processors each keep their own stored coefficients): channels
+        # exposed by a live speaker-mode growth resume from whatever their
+        # store holds — zero if never touched since play() (fresh
+        # processor), STALE values if previously dropped by a shrink
+        if state.filter_coeffs_ch is not None:
+            cpB = jnp.broadcast_to(
+                state.filter_coeffs_ch[:, :C, None, :], (N, C, 2, 5)
+            )
+        else:
+            cpB = jnp.broadcast_to(
+                state.filter_coeffs[:, None, None, :], (N, C, 2, 5)
+            )
         yB, nstB, ncB = biquad_interp_block(
             xBl,
-            jnp.broadcast_to(state.filter_coeffs[:, None, None, :], (N, C, 2, 5)),
+            cpB,
             jnp.broadcast_to(target[:, None, None, :], (N, C, 2, 5)),
             stB,
             jnp.broadcast_to(apply_f[:, None, None], (N, C, 2)),
@@ -505,12 +570,23 @@ def mix_block(
         prevA_full = state.prev_mix_volumes.at[:, 0].set(prevA_new)
         new_prev = jnp.where(mode_b[:, None, None], prevB_new, prevA_full)
 
+        # channels >= C freeze (the reference only touches processors
+        # 0..channel_count-1 each mix; the rest of the static array keeps
+        # stale history + coefficients across live speaker-mode switches)
         new_fstate = jnp.where(
             mode_b[:, None, None, None],
-            nstB,
+            state.filter_state.at[:, :C].set(nstB),
             state.filter_state.at[:, 0].set(nstA),
         )
         new_coeffs = jnp.where(mode_b[:, None], ncB[:, 0, 0], ncA[:, 0])
+        if state.filter_coeffs_ch is not None:
+            new_coeffs_ch = jnp.where(
+                mode_b[:, None, None],
+                state.filter_coeffs_ch.at[:, :C].set(ncB[:, :, 0, :]),
+                state.filter_coeffs_ch,
+            )
+        else:
+            new_coeffs_ch = None
         sigA_m = sigA  # mode/active masks fold into the bus weights below
         sigB_m = sigB
     else:
@@ -519,6 +595,7 @@ def mix_block(
         new_prev = state.prev_mix_volumes.at[:, 0].set(prevA_new)
         new_fstate = state.filter_state.at[:, 0].set(nstA)
         new_coeffs = ncA[:, 0]
+        new_coeffs_ch = state.filter_coeffs_ch
         sigA_m = sigA  # inactive lanes are masked via the bus weights
         sigB_m = None
 
@@ -527,13 +604,17 @@ def mix_block(
     new_prev = jnp.where(inz[:, None, None], new_prev, state.prev_mix_volumes)
     new_fstate = jnp.where(inz[:, None, None, None], new_fstate, state.filter_state)
     new_coeffs = jnp.where(inz[:, None], new_coeffs, state.filter_coeffs)
+    if new_coeffs_ch is not None:
+        new_coeffs_ch = jnp.where(
+            inz[:, None, None], new_coeffs_ch, state.filter_coeffs_ch
+        )
     new_lookahead = jnp.where(inz[:, None, None], new_lookahead, state.lookahead)
     new_has_frames = jnp.where(inz, new_has_frames, has0)
 
     # ---- 5. auto-disable at threshold (cpp:464-469) ----
     thr = db_to_linear(params.threshold_db)
     new_active = active0 & ~((~new_has_frames) & (peak <= thr))
-    new_active = jnp.where(params.paused, state.active, new_active)
+    new_active = jnp.where(lane_paused, state.active, new_active)
 
     # ---- 6. bus contraction with server-side volume ramp (L0 behavior) ----
     # bus[b,c,f,e] = Σ_n sig·(v0·(1−t) + v1·t)
@@ -564,9 +645,15 @@ def mix_block(
         t_e = t[None, None, :, None]
         bus = busA0 * one_t + busA1 * t_e
         if mix_channel_enabled:
-            mB = maskB.astype(jnp.float32)[:, None, None, None]
-            v0b = (state.srv_prev * mB)[:, :, :C]
-            v1b = (state.srv_target * mB)[:, :, :C]
+            # per-channel proxy pause: a paused channel's proxy is never
+            # pulled by the AudioServer → zero contribution (the lane
+            # itself still mixes as long as one channel is live)
+            mB = (
+                (maskB[:, None] & ~pch[:, :C])
+                .astype(jnp.float32)[:, None, :, None]
+            )
+            v0b = (state.srv_prev[:, :, :C]) * mB
+            v1b = (state.srv_target[:, :, :C]) * mB
             busB0 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v0b, preferred_element_type=jnp.float32)
             busB1 = jnp.einsum("ncfe,nbce->bcfe", sigB_m, v1b, preferred_element_type=jnp.float32)
             busB = busB0 * one_t + busB1 * t_e  # [B, C, F, 2]
@@ -587,11 +674,21 @@ def mix_block(
         prev_mix_volumes=new_prev,
         filter_coeffs=new_coeffs,
         filter_state=new_fstate,
+        filter_coeffs_ch=new_coeffs_ch,
         chain_state=new_chain_state,
         mc_state=new_mc_state,
-        # ramp completed → hold at target (frozen while paused/inactive)
+        # ramp completed → hold at target (frozen while paused/inactive).
+        # Mode-B lanes advance per CHANNEL: a paused channel's proxy is
+        # never mixed, so its AudioServer volume ramp freezes while the
+        # live channels' ramps complete (mode-A lanes have one proxy —
+        # all channel lanes follow it).
         srv_prev=jnp.where(
-            active0[:, None, None, None], state.srv_target, state.srv_prev
+            (
+                active0[:, None]
+                & (~pch | ~params.mix_channel_mode[:, None])
+            )[:, None, :, None],
+            state.srv_target,
+            state.srv_prev,
         ),
         srv_target=state.srv_target,
     )

@@ -326,6 +326,12 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 # prev_origin it had when tracking last ran — mirrored in
                 # the golden twin
                 e.append(("doppler", bool(rng.random() < 0.6)))
+            elif r < 0.60:
+                # live edit of the INSTANCE's auto-disable threshold
+                # (reference reads playback_disable_threshold_db every
+                # mix, audio_spatializer.cpp:464-469) — changes when a
+                # drained voice's filter tail gets cut
+                e.append(("ithresh", float(rng.uniform(-60.0, -10.0))))
             evs.append(e)
         schedule.append(evs)
 
@@ -334,6 +340,24 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         p["clip"] = (
             clip_rng.standard_normal(p["clip_len"]) * p["clip_gain"]
         ).astype(np.float32)
+
+    # engine-level events, drawn from a SEPARATE rng stream so adding
+    # them never perturbs the per-player scenario content pinned seeds
+    # were minted with.  "smode" = live output-device speaker-mode switch
+    # (reference init_channels_and_buffers, audio_spatializer.cpp:172-216):
+    # voices keep playing, new channel proxies seed at the old-mode bus
+    # map, dropped proxies stop, fresh mode-B filter processors start
+    # with a zero-coefficient ramp.
+    srng = np.random.default_rng(seed + 2_000_000)
+    engine_schedule = [[] for _ in range(n_blocks)]
+    if srng.random() < 0.35:
+        cur = speaker_mode
+        for b in range(2, n_blocks):
+            if srng.random() < 0.06:
+                choices = [m for m in _MODES if m != cur]
+                m = choices[int(srng.integers(len(choices)))]
+                engine_schedule[b].append(("smode", m))
+                cur = m
 
     return dict(
         seed=seed,
@@ -345,6 +369,7 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         areas=areas,
         players=players,
         schedule=schedule,
+        engine_schedule=engine_schedule,
     )
 
 
@@ -395,6 +420,9 @@ class _GoldenPlayer:
         self.dt = 1.0 / 60.0  # engine physics_step default (physics_rate)
         self.prev_origin = np.zeros(3)
         self.velocity = np.zeros(3)
+        # last tick's params: a live speaker-mode growth seeds the new
+        # channel proxies at THIS map (reference cpp:197-207)
+        self.last_params = None
 
     def _register_or_update(self, params, force_register=False):
         if not self.registered or force_register:
@@ -427,6 +455,8 @@ class _GoldenPlayer:
                                "bus": "bus"}[ev[1]], ev[2])
             elif ev[0] == "doppler":
                 self.cfg.doppler_enabled = ev[1]
+            elif ev[0] == "ithresh":
+                self.inst.playback_disable_threshold_db = ev[1]
         # velocity tracking first (engine physics_step order: update_velocity
         # before Stage A), only while doppler is enabled — the estimate is
         # rounded through the engine's f32 scene lanes (_scene_vel dtype, a
@@ -449,6 +479,7 @@ class _GoldenPlayer:
             self.speaker_mode, self.was_out, self.gps,
         )
         self.inst.set_spatializer_parameters(params)
+        self.last_params = params
         for ev in events:
             kind = ev[0]
             if kind == "play":
@@ -478,7 +509,7 @@ class _GoldenPlayer:
                     self.inst.stop_playback_stream(v)
                 self.voices.clear()
                 self.freed = True
-            elif kind in ("volume", "edit", "prop", "doppler"):
+            elif kind in ("volume", "edit", "prop", "doppler", "ithresh"):
                 pass  # applied at tick start (property-write ordering)
         # poll-prune finished playbacks AFTER the script events: the
         # reference's seek()/is_playing() read the UN-polled
@@ -495,6 +526,18 @@ class _GoldenPlayer:
                 self.server.set_playback_bus_volumes_linear(
                     self.inst, c, g.get_bus_map(params, c, self.inst._should_mix)
                 )
+
+
+def _cat_blocks(blocks):
+    """Concatenate [C_b, F, 2] blocks along time, zero-padding the channel
+    dim to the run's max — a live speaker-mode switch changes C mid-run;
+    padding identically on both sides preserves parity."""
+    C = max(b.shape[0] for b in blocks)
+    return np.concatenate(
+        [np.pad(np.asarray(b), ((0, C - b.shape[0]), (0, 0), (0, 0)))
+         for b in blocks],
+        axis=1,
+    )
 
 
 def run_golden(sc: dict) -> np.ndarray:
@@ -524,8 +567,31 @@ def run_golden(sc: dict) -> np.ndarray:
         sims.append(
             _GoldenPlayer(server, p, listeners, areas, sc["speaker_mode"], sc["gps"])
         )
+    eng_sched = sc.get("engine_schedule") or [[]] * sc["n_blocks"]
     blocks = []
     for b in range(sc["n_blocks"]):
+        # engine-level events first (the engine applies them before the
+        # physics tick): live speaker-mode switch = init_channels_and_buffers
+        # (reference cpp:172-216) — new proxies register at the LAST tick's
+        # bus map, dropped proxies stop, instances re-read the new mode
+        for ev in eng_sched[b]:
+            if ev[0] == "smode":
+                new_mode = ev[1]
+                server.speaker_mode = new_mode
+                for sim in sims:
+                    old_cc = sim.inst.channel_count
+                    sim.speaker_mode = new_mode
+                    sim.inst.speaker_mode = new_mode
+                    new_cc = sim.inst.channel_count
+                    if sim.registered:
+                        for c in range(old_cc, new_cc):
+                            server.start_playback_stream(
+                                sim.inst, c,
+                                g.get_bus_map(sim.last_params, c,
+                                              sim.inst._should_mix),
+                            )
+                        for c in range(new_cc, old_cc):
+                            server.stop_playback_stream(sim.inst, c)
         # listener/area motion: rebuild IN PLACE — the sims hold these
         # same list objects
         for i, l in enumerate(sc["listeners"]):
@@ -554,7 +620,7 @@ def run_golden(sc: dict) -> np.ndarray:
                 for c in range(sim.inst.channel_count):
                     server.stop_playback_stream(sim.inst, c)
                 sim.registered = False
-    return np.concatenate(blocks, axis=1)
+    return _cat_blocks(blocks)
 
 
 def run_engine(sc: dict) -> np.ndarray:
@@ -621,8 +687,14 @@ def run_engine(sc: dict) -> np.ndarray:
         )
         pl.basis = p["basis"]
         players.append(pl)
+    eng_sched = sc.get("engine_schedule") or [[]] * sc["n_blocks"]
     blocks = []
     for b in range(sc["n_blocks"]):
+        # engine-level events first (live output-device switch — the
+        # golden twin applies its proxy resize at the same point)
+        for ev in eng_sched[b]:
+            if ev[0] == "smode":
+                eng.set_speaker_mode(ev[1])
         # live writes on the SAME desc objects the engine registered —
         # the per-tick re-pack must pick them up (device-resident scene
         # cache re-uploads on byte change)
@@ -668,11 +740,13 @@ def run_engine(sc: dict) -> np.ndarray:
                         DopplerTracking.PHYSICS_STEP if ev[1]
                         else DopplerTracking.DISABLED
                     )
+                elif kind == "ithresh":
+                    pl.spatializer.playback_disable_threshold_db = ev[1]
                 elif kind == "free":
                     pl.free()
         eng.physics_step()
         blocks.append(eng.render_block())
-    return np.concatenate(blocks, axis=1)
+    return _cat_blocks(blocks)
 
 
 def run_scenario(seed: int, n_blocks: int = 40) -> dict:

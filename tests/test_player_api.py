@@ -430,3 +430,44 @@ def test_stage_a_override_assignment_reaches_step():
     assert np.abs(silent).max() < 1e-5, (
         "stage_a_override assigned mid-session was ignored by step()"
     )
+
+
+def _blocks_until_stopped(threshold_db=None, set_live_at=None, n_max=12):
+    """Play a 900-sample one-shot; return the first block index where the
+    voice is gone.  threshold_db: set on the instance BEFORE play;
+    set_live_at: block index at which to live-edit the instance property."""
+    eng, player = _mk(volume_db=-20.0)  # drain-block peak ≈ −14 dBFS
+    if threshold_db is not None:
+        player.spatializer.playback_disable_threshold_db = threshold_db
+    player.play()
+    for b in range(n_max):
+        if set_live_at is not None and b == set_live_at:
+            player.spatializer.playback_disable_threshold_db = 0.0
+        eng.physics_step()
+        eng.render_block()
+        if not player.is_playing():
+            return b
+    return n_max
+
+
+def test_playback_disable_threshold_property():
+    """Per-instance playback_disable_threshold_db (reference
+    audio_spatializer.cpp:464-469, property binding cpp:595-598): a high
+    threshold auto-disables the voice on the drain block itself (its
+    end-fade peak is below 0 dB), while the −80 dB default keeps it alive
+    until a genuinely silent block."""
+    default_stop = _blocks_until_stopped()
+    eager_stop = _blocks_until_stopped(threshold_db=0.0)
+    assert eager_stop < default_stop, (
+        f"0 dB threshold should disable earlier ({eager_stop} vs {default_stop})"
+    )
+    # default mirrors the reference constant
+    eng, player = _mk()
+    assert player.spatializer.playback_disable_threshold_db == -80.0
+
+    # live edit reaches the ACTIVE voice (the reference reads the member
+    # every mix): setting 0 dB mid-playback matches setting it up front
+    live_stop = _blocks_until_stopped(set_live_at=0)
+    assert live_stop == eager_stop, (
+        f"live threshold edit ignored ({live_stop} vs {eager_stop})"
+    )
