@@ -623,7 +623,7 @@ def run_golden(sc: dict) -> np.ndarray:
     return _cat_blocks(blocks)
 
 
-def run_engine(sc: dict) -> np.ndarray:
+def run_engine(sc: dict, mesh=None) -> np.ndarray:
     eng = AudioEngine(
         mix_rate=MIX_RATE,
         block_size=F,
@@ -631,6 +631,7 @@ def run_engine(sc: dict) -> np.ndarray:
         max_sources=16,
         mix_channel_enabled=sc["mix_channel"],
         global_panning_strength=sc["gps"],
+        mesh=mesh,
     )
     eng.add_bus("Ambient")
     eng.add_bus("Reverb")
@@ -749,10 +750,20 @@ def run_engine(sc: dict) -> np.ndarray:
     return _cat_blocks(blocks)
 
 
-def run_scenario(seed: int, n_blocks: int = 40) -> dict:
+def make_fuzz_mesh():
+    """8-virtual-device source mesh for the sharded streaming engine
+    (requires the conftest/campaign-driver CPU device-count flags)."""
+    import jax
+
+    from godot_audio_spatializer_tpu.parallel import mesh as pm
+
+    return pm.make_source_mesh(jax.devices()[:8])
+
+
+def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False) -> dict:
     sc = make_scenario(seed, n_blocks)
     ref = run_golden(sc)
-    got = run_engine(sc)
+    got = run_engine(sc, mesh=make_fuzz_mesh() if mesh else None)
     c = ref.shape[0]
     err = float(np.abs(got[:c] - ref).max())
     peak = float(np.abs(ref).max())

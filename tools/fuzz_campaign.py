@@ -4,13 +4,23 @@ Runs scenarios in parallel worker processes on the CPU backend and
 reports any parity failure with its seed (reproduce with
 `fs.run_scenario(seed)`; pin fixed bugs' seeds in tests/test_fuzz_combo).
 
-Usage: python tools/fuzz_campaign.py [first_seed] [n_seeds] [n_workers]
+Usage: python tools/fuzz_campaign.py [first_seed] [n_seeds] [n_workers] [mesh]
+A 4th arg "mesh" runs every scenario on the 8-virtual-device sharded
+streaming engine (AudioEngine(mesh=...)) instead of single-device.
 """
 
 import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+MESH = len(sys.argv) > 4 and sys.argv[4] == "mesh"
+if MESH:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 
 def _worker(seed: int) -> dict:
@@ -27,7 +37,7 @@ def _worker(seed: int) -> dict:
     import fuzz_scenarios as fs
 
     try:
-        return fs.run_scenario(seed)
+        return fs.run_scenario(seed, mesh=MESH)
     except Exception as e:  # a crash is a finding too
         return dict(seed=seed, err=float("inf"), peak=0.0, ok=False,
                     silent=True, crash=f"{type(e).__name__}: {e}")
