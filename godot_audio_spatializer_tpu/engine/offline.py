@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..constants import PLAYBACK_DISABLE_THRESHOLD_DB, SpeakerMode
@@ -317,6 +318,55 @@ def _render_trajectory_jit(
     return state, out[-1], outs
 
 
+def trajectory_pitch_bound(scene0, source_vel_seq, params,
+                           ceiling: float = 8.0) -> float:
+    """Host upper bound on the maximum Stage-A pitch over a trajectory —
+    the `max_pitch="auto"` derivation for `render_trajectory`.
+
+    Mirrors the interactive engine's per-tick doppler bound
+    (engine/server.py:_doppler_pitch_bound) over the WHOLE trajectory:
+    the device's per-listener pitch is clip(ps·sos/(sos + |v_rel|·
+    approach), 1/8, 8) with approach ∈ [−1, 1] and the multi-listener
+    value a weighted log-mean of clipped terms (ops/geometry.py:417-452),
+    so ps·sos/(sos − max_{k,l}|v_src − v_lis|) bounds every tick; the
+    mask-off fallback emits raw pitch_scale.  ×1.002 margin for the
+    device's f32 arithmetic and ~2.6e-4-accurate log2/exp2 (PERF.md).
+    `ceiling` (the reference's 8.0 doppler clamp,
+    audio_spatializer_3d.cpp:421) stays the program's hard clamp, so an
+    under-bound could only clamp pitch, never mis-gather."""
+    from ..constants import DOPPLER_PITCH_MAX, DOPPLER_PITCH_MIN
+
+    ps = np.asarray(params.pitch_scale, np.float64)
+    if ps.size == 0:
+        return min(1.0, float(ceiling))
+    bound = float(ps.max())
+    dop = np.asarray(params.doppler_enabled, bool)
+    if dop.any():
+        sos = np.asarray(params.doppler_speed_of_sound, np.float64)
+        v = np.asarray(source_vel_seq, np.float64)  # [K, N, 3]
+        lv = np.asarray(scene0.listener_vel, np.float64)  # [L, 3]
+        if lv.size:
+            rel = np.linalg.norm(
+                v[:, :, None, :] - lv[None, None, :, :], axis=-1
+            )  # [K, N, L]
+            vmax = rel.max(axis=(0, 2))  # [N]
+        else:
+            vmax = np.zeros(ps.shape)
+        with np.errstate(divide="ignore", over="ignore"):
+            b = np.where(
+                vmax >= sos,
+                DOPPLER_PITCH_MAX,
+                np.minimum(
+                    ps * sos / np.maximum(sos - vmax, 1e-12),
+                    DOPPLER_PITCH_MAX,
+                ),
+            )
+        b = np.maximum(np.maximum(b, ps), DOPPLER_PITCH_MIN) * 1.002
+        b = np.where(vmax > 0.0, b, ps)  # zero rel. velocity: mask off
+        bound = max(bound, float(np.where(dop, b, ps).max()))
+    return min(bound, float(ceiling))
+
+
 def render_trajectory(*args, fx_cfg=None, **kwargs):
     """Jitted trajectory renderer (see `_render_trajectory_jit` for the
     full contract).  This thin wrapper snapshots the live field values of
@@ -325,7 +375,16 @@ def render_trajectory(*args, fx_cfg=None, **kwargs):
     field edit on a stored static (the cached key IS the mutated object,
     equal to itself) — without the snapshot, editing an effect between
     renders would silently replay the stale trace
-    (ops/effect_chain.live_config)."""
+    (ops/effect_chain.live_config).
+
+    `max_pitch="auto"` derives the resample-window bound from the
+    trajectory itself (trajectory_pitch_bound) instead of the 8.0
+    reference-clamp default — bit-exact (the clamp never binds) and up to
+    ~5× less gather for game-speed scenes."""
+    if kwargs.get("max_pitch") == "auto":
+        kwargs["max_pitch"] = trajectory_pitch_bound(
+            args[2], args[4], args[5]
+        )
     if fx_cfg is None:
         from ..ops.effect_chain import live_config
 

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import (
+    DOPPLER_PITCH_MAX,
+    DOPPLER_PITCH_MIN,
     MAX_CHANNELS_PER_BUS,
     PLAYBACK_DISABLE_THRESHOLD_DB,
     SPEAKER_MODE_CHANNEL_COUNT,
@@ -1324,9 +1326,12 @@ class AudioEngine:
                     stop_mask[s] = True
                     # the teardown fade mixes at the player's CURRENT
                     # pitch — refresh the ceiling in case a live
-                    # pitch_scale edit landed in the same tick
+                    # pitch_scale edit landed in the same tick (doppler
+                    # players: the velocity-derived host bound, since the
+                    # released lane leaves pl.slots and the per-tick
+                    # doppler pass won't see it)
                     self._slot_pitch_fp_bound[s] = _quantize_pitch_fp_host(
-                        pl.pitch_scale, self._slot_pitch_mul[s]
+                        self._ceiling_pitch(pl), self._slot_pitch_mul[s]
                     )
                     if pl._proxy_paused:
                         # paused proxies are never mixed → the stopped
@@ -1453,7 +1458,7 @@ class AudioEngine:
                 stop_mask[s] = True
                 play_mask[s] = False
                 self._slot_pitch_fp_bound[s] = _quantize_pitch_fp_host(
-                    pl.pitch_scale, self._slot_pitch_mul[s]
+                    self._ceiling_pitch(pl), self._slot_pitch_mul[s]
                 )
                 if pl._proxy_paused:
                     self._slot_zombie[s] = True
@@ -1563,6 +1568,54 @@ class AudioEngine:
             )
         return self._fetch_packed(*prev)
 
+    def _doppler_pitch_bound(self, pl) -> float:
+        """Host upper bound on this tick's device Stage-A pitch for a
+        doppler-tracking player (feeds _effective_max_pitch).
+
+        Device math (ops/geometry.py:417-452, reference
+        audio_spatializer_3d.cpp:405-434): per listener
+        clip(ps·sos/(sos + |v_rel|·approach), 1/8, 8) with approach ∈
+        [−1, 1], volume-weighted log-mean across listeners, falling back
+        to raw pitch_scale where the doppler mask is off.  The log-mean
+        of clipped per-listener values is ≤ their max, which is ≤
+        ps·sos/(sos − max_l|v_src − v_lis|) — a sound bound computable
+        from the f32 scene-lane velocities the device reads.  The 1.002
+        margin covers the device's f32 Stage-A arithmetic and its
+        ~2.6e-4-accurate log2/exp2 on the multi-listener path (PERF.md);
+        `max_pitch` stays the mix program's hard clamp, so even an
+        under-bound would only clamp, never mis-gather."""
+        ps = float(np.float32(pl.pitch_scale))
+        v = np.asarray(pl.velocity, np.float32).astype(np.float64)
+        vmax = 0.0
+        for l in self.listeners:
+            lv = np.asarray(l.velocity, np.float32).astype(np.float64)
+            vmax = max(vmax, float(np.linalg.norm(v - lv)))
+        if vmax == 0.0:
+            # zero relative velocity against every listener: the device's
+            # nonzero_vel mask is off on every lane → pitch == pitch_scale
+            return ps
+        sos = float(pl.spatializer_base.doppler_speed_of_sound)
+        if vmax >= sos:
+            # denominator can reach 0 (pitch → +inf, clipped to 8) or go
+            # negative (clipped to 1/8) — 8 covers both branches
+            b = DOPPLER_PITCH_MAX
+        else:
+            b = min(ps * sos / (sos - vmax), DOPPLER_PITCH_MAX)
+        return max(b, ps, DOPPLER_PITCH_MIN) * 1.002
+
+    def _ceiling_pitch(self, pl) -> float:
+        """The pitch value a lane's persistent ceiling derives from: raw
+        pitch_scale normally, the host doppler bound for doppler-tracking
+        players (their device pitch is velocity-dependent)."""
+        sb = pl.spatializer_base
+        if (
+            sb is not None
+            and getattr(sb, "doppler_tracking", DopplerTracking.DISABLED)
+            != DopplerTracking.DISABLED
+        ):
+            return self._doppler_pitch_bound(pl)
+        return pl.pitch_scale
+
     def _effective_max_pitch(self) -> float:
         """Static pitch bound for this tick's mix program.
 
@@ -1571,16 +1624,18 @@ class AudioEngine:
         audio_spatializer_3d.cpp:421) stays the hard clamp, so any bound
         ≥ every lane's actual quantized pitch is AUDIBLY IDENTICAL — the
         clamp never binds.  "auto" takes the max of the per-lane quantized
-        ceilings (exact, incl. zombie fade-outs, which keep their last
-        value until released) and rounds UP to _PITCH_BOUND_MENU.
-        Conservative fallbacks to `max_pitch`: doppler-tracking players
-        (pitch is device-computed) and custom Stage A overrides.
+        ceilings (exact for host-pitched lanes, incl. zombie fade-outs,
+        which keep their last value until released; a velocity-derived
+        host upper bound for doppler lanes — _doppler_pitch_bound) and
+        rounds UP to _PITCH_BOUND_MENU.  Conservative fallback to
+        `max_pitch`: custom Stage A overrides (pitch semantics unknown).
 
         Call AFTER _params_dev()/_process_slot_events() so the lane
-        ceilings reflect this tick's edits and plays."""
+        ceilings reflect this tick's edits and plays, and after
+        update_velocity so doppler bounds read this tick's velocities."""
         if self.pitch_bound != "auto":
             return min(float(self.pitch_bound), self.max_pitch)
-        if self._has_custom() or self._vel_players():
+        if self._has_custom():
             return self.max_pitch
         if self._pitch_bound_stale:
             cache = self._source_params_cache
@@ -1596,6 +1651,54 @@ class AudioEngine:
                 ).astype(np.int64)
             self._pitch_bound_stale = False
         bound_fp = int(self._slot_pitch_fp_bound.max(initial=0))
+        # doppler lanes re-derive EVERY tick (their device pitch follows
+        # the live velocities) — zombie lanes included (slot_player stays
+        # mapped): a stopped-under-pause lane still mixes its teardown at
+        # the then-current doppler pitch when its channels unfreeze.
+        # Vectorized over the cached param lanes + the _scene_vel
+        # write-through lanes (a Python per-player loop would cost tens
+        # of ms/step at N=4096 doppler sources); stop-RELEASED lanes
+        # (slot_player == -1) ride the doppler-aware ceiling the stop
+        # event wrote (_ceiling_pitch).
+        cache = self._source_params_cache
+        if self._vel_players() and isinstance(cache, SourceParams):
+            dop = np.asarray(cache.doppler_enabled)
+            sp = self.slot_player
+            msk = (sp >= 0) & dop[np.clip(sp, 0, len(dop) - 1)]
+            if msk.any():
+                v = self._scene_vel[: len(dop)].astype(np.float64)  # [P,3]
+                if self.listeners:
+                    lv = np.asarray(
+                        [l.velocity for l in self.listeners], np.float32
+                    ).astype(np.float64)  # [L,3]
+                    vmax = np.linalg.norm(
+                        v[:, None, :] - lv[None, :, :], axis=-1
+                    ).max(axis=1)  # [P]
+                else:
+                    vmax = np.zeros(len(dop))
+                ps = cache.pitch_scale.astype(np.float64)
+                sos = cache.doppler_speed_of_sound.astype(np.float64)
+                with np.errstate(divide="ignore", over="ignore"):
+                    b = np.where(
+                        vmax >= sos,
+                        DOPPLER_PITCH_MAX,
+                        np.minimum(
+                            ps * sos / np.maximum(sos - vmax, 1e-12),
+                            DOPPLER_PITCH_MAX,
+                        ),
+                    )
+                b = np.maximum(np.maximum(b, ps), DOPPLER_PITCH_MIN) * 1.002
+                b = np.where(vmax > 0.0, b, ps)  # zero rel vel: mask off
+                x = (
+                    b[sp[msk]].astype(np.float32) * self._slot_pitch_mul[msk]
+                ).astype(np.float32)
+                fp = int(
+                    np.round((x * np.float32(FP_LEN)).astype(np.float32))
+                    .astype(np.int64)
+                    .max(initial=0)
+                )
+                if fp > bound_fp:
+                    bound_fp = fp
         for m in _PITCH_BOUND_MENU:
             if m >= self.max_pitch:
                 break
