@@ -382,8 +382,13 @@ def render_trajectory(*args, fx_cfg=None, **kwargs):
     reference-clamp default — bit-exact (the clamp never binds) and up to
     ~5× less gather for game-speed scenes."""
     if kwargs.get("max_pitch") == "auto":
+        # scene0/source_vel_seq/params are positional-or-keyword in
+        # _render_trajectory_jit — resolve either spelling
+        def _arg(i, name):
+            return args[i] if len(args) > i else kwargs[name]
+
         kwargs["max_pitch"] = trajectory_pitch_bound(
-            args[2], args[4], args[5]
+            _arg(2, "scene0"), _arg(4, "source_vel_seq"), _arg(5, "params")
         )
     if fx_cfg is None:
         from ..ops.effect_chain import live_config

@@ -82,6 +82,16 @@ class AudioStreamPlayerSpatial:
         # reference audio_stream_player_spatial.cpp:158-173,425-463): applied
         # to each new playback at start
         self.playback_parameters: dict = {}
+        # discoverable defaults seeded from the stream's parameter list
+        # (reference _update_stream_parameters).  Kept SEPARATE from
+        # playback_parameters: in the reference, forwarding a default to a
+        # playback is a no-op by construction; here some parameters are
+        # only meaningful when explicitly set (`pitch_override` replaces a
+        # randomizer's random draw), so seeded defaults must read back via
+        # get_playback_parameter without flowing into voice starts.
+        self._stream_parameter_defaults: dict = {}
+        self.process_mode = "pausable"  # "pausable" | "always" | "when_paused"
+        self._update_stream_parameters()
         if autoplay:
             self.play(0.0)
 
@@ -106,6 +116,7 @@ class AudioStreamPlayerSpatial:
     def stream(self, s: Optional[AudioStream]):
         self.stop()
         self._stream = s
+        self._update_stream_parameters()
 
     @property
     def volume_db(self) -> float:
@@ -302,8 +313,29 @@ class AudioStreamPlayerSpatial:
         self.playback_parameters[key] = value
 
     def get_playback_parameter(self, name: str):
+        """Read a `parameters/<name>` property: an explicit write wins,
+        else the default the stream's parameter list declared (seeded at
+        stream assignment — reference cpp:158-173 discoverability)."""
         key = name.split("/", 1)[-1]
-        return self.playback_parameters.get(key)
+        if key in self.playback_parameters:
+            return self.playback_parameters[key]
+        return self._stream_parameter_defaults.get(key)
+
+    def get_stream_parameter_list(self):
+        """→ [(name, default)] enumerated from the current stream (the
+        reference's `AudioStream::get_parameter_list` surface; empty when
+        no stream is set)."""
+        s = self._stream
+        if s is None or not hasattr(s, "get_parameter_list"):
+            return []
+        return list(s.get_parameter_list())
+
+    def _update_stream_parameters(self) -> None:
+        """Seed discoverable parameter defaults from the stream (reference
+        _update_stream_parameters, cpp:158-173).  Explicit writes in
+        playback_parameters are preserved across stream swaps, exactly
+        like the reference's insert-if-missing loop."""
+        self._stream_parameter_defaults = dict(self.get_stream_parameter_list())
 
     def get_playback_position(self) -> float:
         """Seconds into the most recent playback (reference cpp:145-159)."""
@@ -324,6 +356,23 @@ class AudioStreamPlayerSpatial:
         self.stream_paused = bool(paused) and self._proxies_alive
 
     # --- node lifecycle (reference _notification handlers) ---
+    def pause_tree(self) -> None:
+        """NOTIFICATION_PAUSED/SUSPENDED parity (reference
+        audio_stream_player_spatial.cpp:99-105): when the SceneTree pauses
+        and this node can't process (process_mode "pausable" — the node
+        default), the stream pauses (proxies fade to silence).  A node
+        with process_mode "always" or "when_paused" keeps playing."""
+        if self.process_mode == "pausable":
+            self.set_stream_paused(True)
+
+    def unpause_tree(self) -> None:
+        """NOTIFICATION_UNPAUSED/UNSUSPENDED parity (reference
+        cpp:107-116): unconditionally unpauses the stream — including one
+        the user paused manually before the tree pause, exactly the
+        reference's quirk (set_stream_paused(false) with no state
+        memory)."""
+        self.set_stream_paused(False)
+
     def exit_tree(self) -> None:
         """NOTIFICATION_EXIT_TREE parity (reference
         audio_stream_player_spatial.cpp:62-65): the node leaves the tree

@@ -902,6 +902,19 @@ class AudioEngine:
         self.areas.append(area)
         return area
 
+    def set_tree_paused(self, paused: bool) -> None:
+        """SceneTree pause broadcast: deliver NOTIFICATION_PAUSED /
+        NOTIFICATION_UNPAUSED to every registered player node (reference
+        audio_stream_player_spatial.cpp:99-116 — per-node `pause_tree()`/
+        `unpause_tree()` honour each node's process_mode)."""
+        for pl in self.players:
+            if pl is None or pl._freed:
+                continue
+            if paused:
+                pl.pause_tree()
+            else:
+                pl.unpause_tree()
+
     def _register_player(self, player: AudioStreamPlayerSpatial) -> int:
         self.mark_params_dirty()  # also invalidates _vel_players/_has_custom
         if self._free_player_idx:
@@ -1664,7 +1677,12 @@ class AudioEngine:
         if self._vel_players() and isinstance(cache, SourceParams):
             dop = np.asarray(cache.doppler_enabled)
             sp = self.slot_player
-            msk = (sp >= 0) & dop[np.clip(sp, 0, len(dop) - 1)]
+            # bounds-guard BOTH the dop lookup and the later b[sp[msk]]
+            # indexing with the same in-range mask (a clipped dop read
+            # paired with an unclipped b gather could mix lanes up if the
+            # cache ever shrank under a live slot)
+            inb = (sp >= 0) & (sp < len(dop))
+            msk = inb & dop[np.where(inb, sp, 0)]
             if msk.any():
                 v = self._scene_vel[: len(dop)].astype(np.float64)  # [P,3]
                 if self.listeners:

@@ -112,6 +112,31 @@ class AudioStream:
     def is_monophonic(self) -> bool:
         return False
 
+    # parameters every stream family honours at play() time (applied by
+    # the engine when a voice starts; see AudioStreamPlayerSpatial.
+    # set_playback_parameter for semantics)
+    UNIVERSAL_PARAMETERS = (("pitch_override", 1.0),
+                            ("volume_offset_db", 0.0))
+
+    def get_parameter_list(self):
+        """Enumerate playback parameters with their default values —
+        `AudioStream::get_parameter_list` parity (the reference player
+        seeds `playback_parameters` from it so `parameters/*` properties
+        are discoverable with defaults before ever being written,
+        audio_stream_player_spatial.cpp:158-173).
+
+        → list of (name, default_value); names are the bare keys the
+        player stores under `parameters/<name>`."""
+        defaults = {
+            "looping": self.loop,
+            "loop_mode": self.loop_mode,
+            "loop_begin": self.loop_begin,
+            "loop_end": self.loop_end,
+        }
+        return list(self.UNIVERSAL_PARAMETERS) + [
+            (k, defaults.get(k)) for k in self.PLAYBACK_PARAMETERS
+        ]
+
     def get_length_seconds(self, mix_rate: float) -> float:
         return self.data.shape[0] / (self.sample_rate or mix_rate)
 
@@ -191,6 +216,13 @@ class AudioStreamRandomizer:
 
     def is_monophonic(self) -> bool:
         return False
+
+    def get_parameter_list(self):
+        """Playback parameters a randomizer voice honours: the universal
+        pair only — `pitch_override` replaces the random pitch draw,
+        `volume_offset_db` stacks on the random gain draw.  Loop-region
+        overrides belong to the POOLED streams, not the randomizer."""
+        return list(AudioStream.UNIVERSAL_PARAMETERS)
 
     @property
     def loop(self) -> bool:

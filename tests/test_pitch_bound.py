@@ -187,9 +187,18 @@ def test_doppler_supersonic_keeps_max_pitch():
     # |v_rel| ≥ sos: the device clips through the pole (→ 8) — the bound
     # must open to max_pitch, output still exact
     speeds = [0.0, 400.0, 400.0, 50.0]
-    a, eng_a = _run_doppler("auto", speeds)
+    seen = []
+
+    def probe(b, eng, p):
+        # at event b=3 the last completed tick ran at 400 m/s — the
+        # per-tick bound derived from that velocity must be wide open
+        if b == 3:
+            seen.append(eng._effective_max_pitch())
+
+    a, eng_a = _run_doppler("auto", speeds, events=probe)
     b, _ = _run_doppler(8.0, speeds)
     np.testing.assert_array_equal(a, b)
+    assert seen == [eng_a.max_pitch]
 
 
 def test_doppler_multi_listener_log_mean_covered():

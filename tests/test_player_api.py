@@ -471,3 +471,111 @@ def test_playback_disable_threshold_property():
     assert live_stop == eager_stop, (
         f"live threshold edit ignored ({live_stop} vs {eager_stop})"
     )
+
+
+def test_stream_parameter_enumeration_with_defaults():
+    """Streams enumerate their playback parameters with defaults, and the
+    player seeds them for discovery before any write (reference
+    _update_stream_parameters, audio_stream_player_spatial.cpp:158-173)."""
+    eng, player = _mk()
+    names = dict(player.get_stream_parameter_list())
+    assert set(names) == {"pitch_override", "volume_offset_db", "looping",
+                          "loop_mode", "loop_begin", "loop_end"}
+    # defaults readable through the parameters/* surface before any set
+    assert player.get_playback_parameter("parameters/looping") is False
+    assert player.get_playback_parameter("parameters/loop_mode") == "forward"
+    assert player.get_playback_parameter("parameters/pitch_override") == 1.0
+    # an explicit write wins over the seeded default
+    player.set_playback_parameter("parameters/looping", True)
+    assert player.get_playback_parameter("parameters/looping") is True
+    # stream swap re-seeds defaults but preserves explicit writes
+    # (the reference's insert-if-missing loop)
+    data = np.zeros(400, np.float32)
+    from godot_audio_spatializer_tpu.engine.streams import AudioStreamSample
+    player.stream = AudioStreamSample(data, loop=True, loop_begin=64,
+                                      sample_rate=RATE)
+    assert player.get_playback_parameter("parameters/loop_begin") == 64
+    assert player.get_playback_parameter("parameters/looping") is True
+
+
+def test_seeded_defaults_do_not_flow_into_voice_starts():
+    """A seeded `pitch_override` default must NOT override a randomizer's
+    random pitch draw — only explicit writes flow to playbacks."""
+    from godot_audio_spatializer_tpu.engine.streams import (
+        AudioStreamRandomizer, AudioStreamSample,
+    )
+    rnd = AudioStreamRandomizer(
+        streams=[AudioStreamSample(np.zeros(600, np.float32), loop=True,
+                                   sample_rate=RATE)],
+        random_pitch=1.5, seed=3,
+    )
+    assert dict(rnd.get_parameter_list()) == {"pitch_override": 1.0,
+                                              "volume_offset_db": 0.0}
+    eng = AudioEngine(mix_rate=RATE, block_size=F, max_sources=4)
+    eng.add_listener(ListenerDesc())
+    pl = AudioStreamPlayerSpatial(eng, stream=rnd,
+                                  spatializer=AudioSpatializer3D())
+    pl.set_position([1.0, 0.0, -1.0])
+    # seeded default present for discovery...
+    assert pl.get_playback_parameter("parameters/pitch_override") == 1.0
+    assert "pitch_override" not in pl.playback_parameters
+    pl.play()
+    eng.physics_step()
+    slot = pl.slots[-1]
+    drawn = float(eng._slot_pitch_mul[slot])
+    assert drawn != 1.0, "random pitch draw suppressed by a seeded default"
+    # ...while an explicit write does reach the next voice
+    pl.stop()
+    pl.set_playback_parameter("parameters/pitch_override", 1.0)
+    pl.play()
+    eng.physics_step()
+    assert float(eng._slot_pitch_mul[pl.slots[-1]]) == 1.0
+
+
+def test_tree_pause_notifications():
+    """SceneTree pause parity (reference cpp:99-116): a pausable node's
+    stream pauses with the tree; process_mode='always' keeps playing; the
+    UNPAUSED broadcast unconditionally unpauses (reference quirk)."""
+    eng, player = _mk()
+    player.set_playback_parameter("parameters/looping", True)
+    player.play()
+    eng.physics_step()
+    eng.render_block()
+    pos_before = player.get_playback_position()
+    eng.set_tree_paused(True)
+    eng.physics_step()
+    eng.render_block()  # pause ramp-out block
+    frozen = player.get_playback_position()
+    eng.physics_step()
+    eng.render_block()
+    assert player.get_playback_position() == frozen
+    assert frozen >= pos_before
+    # unpause resumes — even though the pause came from the tree
+    eng.set_tree_paused(False)
+    eng.physics_step()
+    eng.render_block()
+    # advanced again (position is modulo the 900-sample loop, so assert
+    # change, not order)
+    assert player.get_playback_position() != frozen
+
+    # process_mode="always" is exempt from the tree pause...
+    eng2, p2 = _mk()
+    p2.process_mode = "always"
+    p2.set_playback_parameter("parameters/looping", True)
+    p2.play()
+    eng2.physics_step()
+    eng2.render_block()
+    eng2.set_tree_paused(True)
+    eng2.physics_step()
+    eng2.render_block()
+    pos = p2.get_playback_position()
+    eng2.physics_step()
+    eng2.render_block()
+    assert p2.get_playback_position() > pos
+    # ...but a manual pause followed by tree-unpause resumes it — the
+    # reference's no-state-memory set_stream_paused(false) quirk
+    p2.set_stream_paused(True)
+    eng2.physics_step()
+    eng2.render_block()
+    eng2.set_tree_paused(False)
+    assert p2.stream_paused is False
