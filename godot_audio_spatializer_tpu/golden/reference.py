@@ -129,6 +129,17 @@ def stereo_pan(source_dir: np.ndarray, pan_strength: float) -> np.ndarray:
     )
 
 
+# Knife-edge monitor for the combination fuzz (tests/fuzz_scenarios.py):
+# records how close any pan evaluation of the current run came to the
+# f32-cancellation edge of the `mix_volumes[ch] > 0` gate (see the
+# get_bus_map precision note).  The f32 engine flips the gate only when
+# (a) SPCAP's 1+d rounds to ≤ 0 (|1+d| ≲ 1e-7) or (b) a per-channel
+# volume is so small its f32 square underflows (v ≲ 1e-22); the fuzz
+# resets this dict per scenario and widens its error budget only when a
+# golden evaluation came within safety margin of either edge.
+PAN_EDGE_MONITOR = {"min_abs_1pd": np.inf, "min_vol": np.inf}
+
+
 class SpeakerPlacementConfiguration:
     """SPCAP panner (reference audio_spatializer_3d.cpp:903-938)."""
 
@@ -153,7 +164,16 @@ class SpeakerPlacementConfiguration:
             initial_gain = 0.5 * np.power(1.0 + d, tightness) / self.effective_count
         sq = initial_gain * initial_gain
         total = sq.sum()
-        return np.sqrt(sq / total)
+        v = np.sqrt(sq / total)
+        PAN_EDGE_MONITOR["min_abs_1pd"] = min(
+            PAN_EDGE_MONITOR["min_abs_1pd"], float(np.abs(1.0 + d).min())
+        )
+        finite = v[np.isfinite(v)]
+        if finite.size:
+            PAN_EDGE_MONITOR["min_vol"] = min(
+                PAN_EDGE_MONITOR["min_vol"], float(finite.min())
+            )
+        return v
 
 
 def calc_output_vol(
@@ -171,6 +191,9 @@ def calc_output_vol(
     out = np.zeros((MAX_CHANNELS_PER_BUS, 2), np.float64)
     if speaker_mode == SpeakerMode.STEREO:
         out[0] = stereo_pan(source_dir, global_panning_strength * panning_strength)
+        PAN_EDGE_MONITOR["min_vol"] = min(
+            PAN_EDGE_MONITOR["min_vol"], float(np.abs(out[0]).min())
+        )
         return out
     tightness = global_panning_strength * 2.0 * panning_strength
     count = SPEAKER_MODE_SPEAKER_COUNT[speaker_mode]

@@ -762,22 +762,31 @@ def make_fuzz_mesh():
 
 def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False) -> dict:
     sc = make_scenario(seed, n_blocks)
+    # arm the golden panner's knife-edge monitor for THIS scenario (the
+    # goldens run serially, so module state is safe)
+    g.PAN_EDGE_MONITOR["min_abs_1pd"] = np.inf
+    g.PAN_EDGE_MONITOR["min_vol"] = np.inf
     ref = run_golden(sc)
     got = run_engine(sc, mesh=make_fuzz_mesh() if mesh else None)
     c = ref.shape[0]
     err = float(np.abs(got[:c] - ref).max())
     peak = float(np.abs(ref).max())
-    # Mix-channel scenarios get a −60 dBFS budget instead of −80: the
-    # per-channel ratio gate `mix_volumes[ch] > 0` (reference
-    # audio_spatializer.cpp:304-308) reads a catastrophically-cancellable
-    # SPCAP quantity, and when the f32 engine's mv cancels to EXACT zero
-    # on a tick where the f64 oracle stays tiny-positive, the next
-    # block's server ramp runs 0→1 on that channel where the oracle held
-    # 1 (the reference's own f32 emits the same one-block micro-ramp at
-    # its own flip points).  The error is bounded by that channel's
-    # next-tick mix volume — near-silent by walk continuity: the channel
-    # sat at mv≈0, and one ≤0.9-unit step moves it by
-    # ≲ (step/unit_size)^tightness ≈ −40 dB — observed 1.3e-4 on seed 22.
+    # Mix-channel scenarios that actually APPROACH the gate edge get a
+    # −60 dBFS budget instead of −80: the per-channel ratio gate
+    # `mix_volumes[ch] > 0` (reference audio_spatializer.cpp:304-308)
+    # reads a catastrophically-cancellable SPCAP quantity, and when the
+    # f32 engine's mv cancels to EXACT zero on a tick where the f64
+    # oracle stays tiny-positive, the next block's server ramp runs 0→1
+    # on that channel where the oracle held 1 (the reference's own f32
+    # emits the same one-block micro-ramp at its own flip points).  The
+    # error is bounded by that channel's next-tick mix volume —
+    # near-silent by walk continuity: the channel sat at mv≈0, and one
+    # ≤0.9-unit step moves it by ≲ (step/unit_size)^tightness ≈ −40 dB —
+    # observed 1.3e-4 on seed 22.  The f32 flip needs |1+d| ≲ 1e-7 or a
+    # volume whose f32 square underflows, so only runs whose golden pan
+    # evaluations came within margin of either (PAN_EDGE_MONITOR) take
+    # the wider budget; every other mix-channel scenario stays at −80 so
+    # a real regression can't hide in the slack (VERDICT r3 item 6).
     # Doppler scenarios get a −40 dBFS budget: the fixed-point cursor step
     # round(f32(pitch)·65536) reads a CONTINUOUS doppler pitch that the
     # engine computes in f32 (like the reference's real_t) and the oracle
@@ -794,7 +803,11 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False) -> dict:
         e[0] == "doppler" and e[1]
         for evs in sc["schedule"] for pevs in evs for e in pevs
     )
-    rel = max(DB80, 1e-3 if sc["mix_channel"] else 0.0, 1e-2 if dop else 0.0)
+    edge = sc["mix_channel"] and (
+        g.PAN_EDGE_MONITOR["min_abs_1pd"] < 1e-6
+        or g.PAN_EDGE_MONITOR["min_vol"] < 1e-18
+    )
+    rel = max(DB80, 1e-3 if edge else 0.0, 1e-2 if dop else 0.0)
     tol = rel * max(peak, 1.0)
     return dict(
         seed=seed,
@@ -804,6 +817,7 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False) -> dict:
         silent=bool(peak <= 1e-3),
         mode=int(sc["speaker_mode"]),
         mix_channel=sc["mix_channel"],
+        mix_channel_edge=bool(edge),
         doppler=dop,
         n_areas=len(sc["areas"]),
         n_players=len(sc["players"]),
