@@ -183,6 +183,9 @@ def mix_block(
     unit_row_width: int = 128,
     fused_bus: bool = None,
     planar: bool = None,
+    doppler_wrow: int = 128,  # kernel-path window gather row width (a
+    # real-HW A/B knob: ≤1-ulp-exact, e2e wash on the bench tunnel —
+    # PERF.md round-8 wide-window ledger)
 ) -> Tuple[MixState, jnp.ndarray, jnp.ndarray]:
     """One audio block for all N sources.
 
@@ -329,6 +332,7 @@ def mix_block(
         gather_method=resample_gather, loop_begin=bank.loop_begin,
         dequant=not x16, row_width=unit_row_width,
         layout="planar" if (planar_split or planar_bus) else "interleaved",
+        kernel_wrow=doppler_wrow,
     )
     if planar_split or planar_bus:
         mixed_padded = mixed  # [Np] — the planar wrappers want the pad too

@@ -225,6 +225,7 @@ def resample_block_kernel(
     fchunk: int = None,
     precision: str = None,
     raw: bool = False,
+    wrow: int = ROW,
 ):
     """Kernel-path block read: returns (frames [N, 2, F], mixed [N]).
 
@@ -235,10 +236,22 @@ def resample_block_kernel(
     (y [2, F/fchunk, N_padded, fchunk], mixed [N_padded]) — for consumers
     that accept the frames-on-lanes layout directly (fused_mode_a_planar);
     requires fchunk == 128.
+
+    wrow > 128 (power-of-two multiple of 128): the window is gathered in
+    FEWER, FATTER HBM descriptors — the device's row gather is
+    row-COUNT-bound (PERF.md), and the materialized planar bank
+    [T/128, 2, 128] VIEWED as [T/wrow, 2·wrow/128, 128] (a free reshape)
+    already has each wide chunk's rows in the kernel's (128-row, channel)
+    interleaved order, so the kernel body is untouched.  Alignment is
+    computed bank-ABSOLUTE (base + cursor), so clip bases need no extra
+    alignment and the existing per-clip margins cover every selected
+    sample; extra unselected rows of the wider aligned window are masked
+    by the kernel's one-hot selection.  Cursor math is bit-identical to
+    wrow=128 (sample values: ≤1 f32 ulp through the split2 dot).
     """
     F = frame_count
     N = base.shape[0]
-    R = window_rows(F, max_pitch)
+    R = window_rows(F, max_pitch, wrow=wrow)
     num_rows = bank_t.shape[0]
 
     # knob resolution: explicit arg > GAS_RS_* env > autotune cache >
@@ -248,7 +261,8 @@ def resample_block_kernel(
         try:
             from ...utils.autotune import lookup
 
-            tuned = lookup(F, R)
+            # the autotune cache is keyed on the default-width window
+            tuned = lookup(F, R) if wrow == ROW else None
         except Exception:
             tuned = None
         if tuned:
@@ -263,18 +277,41 @@ def resample_block_kernel(
     assert F % (FCHUNK if fchunk is None else fchunk) == 0, (
         "kernel resampler needs frame_count % 128 == 0")
 
-    start_al = (cursor_idx >> 7) << 7
-    rows = ((base + start_al) >> 7)[:, None] + jnp.arange(R, dtype=jnp.int32)
-    win = jnp.take(bank_t, jnp.clip(rows, 0, num_rows - 1), axis=0)  # [N,R,2,128]
-    win = win.reshape(N, 2 * R, ROW)
+    if wrow == ROW:
+        start_al = (cursor_idx >> 7) << 7
+        rows = ((base + start_al) >> 7)[:, None] + jnp.arange(R, dtype=jnp.int32)
+        win = jnp.take(bank_t, jnp.clip(rows, 0, num_rows - 1), axis=0)
+        win = win.reshape(N, 2 * R, ROW)  # [N, 2R, 128]
+        off = cursor_idx & (ROW - 1)
+        lim = jnp.maximum(length, 1) - 1 - start_al
+        r128 = R
+    else:
+        sh = int(wrow).bit_length() - 1
+        assert wrow == 1 << sh and wrow % ROW == 0
+        H = wrow // ROW
+        # free view: each [2H, 128] wide chunk is already (r128, ch)
+        # interleaved (the planar bank stores rows r128-major, ch-minor)
+        pad_r = (-num_rows) % H
+        bt = (
+            jnp.pad(bank_t, ((0, pad_r), (0, 0), (0, 0))) if pad_r else bank_t
+        )
+        wide = bt.reshape(-1, 2 * H, ROW)
+        abs_c = base + cursor_idx
+        abs_start = (abs_c >> sh) << sh
+        rows = (abs_start >> sh)[:, None] + jnp.arange(R, dtype=jnp.int32)
+        win = jnp.take(wide, jnp.clip(rows, 0, wide.shape[0] - 1), axis=0)
+        win = win.reshape(N, 2 * R * H, ROW)
+        off = abs_c & (wrow - 1)
+        lim = base + jnp.maximum(length, 1) - 1 - abs_start
+        r128 = R * H
 
     params = jnp.stack(
         [
-            cursor_idx & (ROW - 1),
+            off,
             cursor_frac,
             pitch_fp >> FP_BITS,
             pitch_fp & FP_MASK,
-            jnp.maximum(length, 1) - 1 - start_al,
+            lim,
             loop.astype(jnp.int32),
             jnp.zeros_like(cursor_idx),
             jnp.zeros_like(cursor_idx),
@@ -285,9 +322,9 @@ def resample_block_kernel(
     pad = (-N) % (S if s_blk is None else s_blk)
     if pad:
         params = jnp.pad(params, ((0, pad), (0, 0)))
-        win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
+        win = jnp.pad(win, ((0, pad),) + ((0, 0),) * (win.ndim - 1))
     y, mixed = _resample_tiles(
-        params, win, frame_count=F, num_rows=R, interpret=interpret,
+        params, win, frame_count=F, num_rows=r128, interpret=interpret,
         s_blk=s_blk, fchunk=fchunk, precision=precision,
     )
     if raw:

@@ -43,10 +43,14 @@ def quantize_pitch(pitch_scale):
     return jnp.round(pitch_scale * FP_LEN).astype(jnp.int32)
 
 
-def window_rows(frame_count: int, max_pitch: float) -> int:
-    """Rows per source window: offset (<128) + F·max_pitch + interp margin."""
-    need = (ROW - 1) + int(np.ceil(frame_count * max_pitch)) + 2
-    return need // ROW + 1
+def window_rows(frame_count: int, max_pitch: float, wrow: int = ROW) -> int:
+    """Rows per source window: offset (<wrow) + F·max_pitch + interp margin.
+
+    `wrow` is the gather-row width in samples (multiple of 128): the bench
+    device's row gather is row-COUNT-bound, so wider rows read the same
+    window in fewer descriptors (ops/pallas/resample_kernel.py wrow)."""
+    need = (wrow - 1) + int(np.ceil(frame_count * max_pitch)) + 2
+    return need // wrow + 1
 
 
 def margin_samples(frame_count: int, max_pitch: float) -> int:
@@ -155,6 +159,11 @@ def resample_block(
     layout: str = "interleaved",  # "planar": kernel path returns the raw
     # [2, F/128, Np, 128] layout (Np = N padded to 1024) + mixed [Np], for
     # fused_mode_a_planar — no XLA relayout between the kernels
+    kernel_wrow: int = ROW,  # kernel-path window gather row width
+    # (power-of-two multiple of 128): wider rows read the doppler window
+    # in fewer HBM gather descriptors — the device's row gather is
+    # row-count-bound.  Bit-exact vs 128 (bank-absolute alignment; no
+    # bank layout requirements).  See resample_block_kernel docstring.
     row_width: int = ROW,  # unit-pitch gather row width (multiple of 128
     # dividing frame_count).  Wider rows issue fewer gather descriptors —
     # the bench device's row gather is row-count-bound, so row_width ==
@@ -223,6 +232,8 @@ def resample_block(
         from .pallas.resample_kernel import resample_block_kernel
 
         bank_t = bank_rows.transpose(0, 2, 1)  # [T/128, 2, 128] planar view
+        # (kernel_wrow > 128 regroups this SAME materialized array into
+        # fatter gather rows via a free reshape inside the kernel caller)
         if layout == "planar":
             # raw kernel layout [2, F/128, Np, 128] for the planar-input
             # fused mix kernel — skips the XLA relayout between the two
@@ -238,7 +249,7 @@ def resample_block(
                 bank_t, padn(base), padn(length, 1), padn(loop),
                 padn(cursor_idx), padn(cursor_frac), padn(pitch_fp, FP_LEN),
                 F, max_pitch, interpret=jax.default_backend() == "cpu",
-                raw=True,
+                raw=True, wrow=kernel_wrow,
             )
             new_idx, new_frac = _advance(
                 cursor_idx, cursor_frac, pitch_fp, F, length, loop, loop_begin
@@ -247,6 +258,7 @@ def resample_block(
         frames2, mixed = resample_block_kernel(
             bank_t, base, length, loop, cursor_idx, cursor_frac, pitch_fp,
             F, max_pitch, interpret=jax.default_backend() == "cpu",
+            wrow=kernel_wrow,
         )
         frames = jnp.moveaxis(frames2, 1, 2)  # [N, F, 2]
         new_idx, new_frac = _advance(

@@ -183,6 +183,54 @@ def test_kernel_resampler_matches_xla_path():
     assert err <= 1e-5, f"kernel/xla sample mismatch: {err}"
 
 
+def test_kernel_wide_window_widths_match():
+    """kernel_wrow ∈ {256, 512}: the window arrives in fewer, fatter HBM
+    gather rows (bank-absolute alignment, free planar-bank regroup).
+    Cursors/mixed must be IDENTICAL to wrow=128; samples within 1 ulp
+    (the split2 hi/lo dot re-associates at most one rounding)."""
+    import jax.numpy as jnp
+
+    from godot_audio_spatializer_tpu.ops.resample import (
+        build_bank,
+        resample_block,
+    )
+
+    rng = np.random.default_rng(11)
+    F, MAXP = 512, 2.0
+    clips = [
+        (rng.standard_normal((3000, 2)).astype(np.float32), True),
+        (rng.standard_normal((5000, 2)).astype(np.float32), False),
+        (rng.standard_normal((1200, 2)).astype(np.float32), True),
+    ]
+    bank, bases = build_bank(clips, F, MAXP)
+    N = 13  # not a multiple of the kernel tile; bank rows not 512-aligned
+    ci = rng.integers(0, 3, N)
+    base = jnp.asarray(np.array([bases[i] for i in ci], np.int32))
+    length_np = np.array([clips[i][0].shape[0] for i in ci], np.int32)
+    loop = jnp.asarray(np.array([clips[i][1] for i in ci]))
+    cursor_idx = np.array([rng.integers(0, l) for l in length_np], np.int32)
+    cursor_idx[1] = length_np[1] - 100  # one-shot near end-of-clip
+    cursor_frac = jnp.asarray(rng.integers(0, 65536, N).astype(np.int32))
+    pitch = rng.uniform(0.25, 2.0, N).astype(np.float32)
+    pitch_fp = jnp.asarray(np.round(pitch * 65536).astype(np.int32))
+
+    outs = {}
+    for wrow in (128, 256, 512):
+        outs[wrow] = resample_block(
+            jnp.asarray(bank), base, jnp.asarray(length_np), loop,
+            jnp.asarray(cursor_idx), cursor_frac, pitch_fp, F,
+            max_pitch=MAXP, gather_method="kernel", kernel_wrow=wrow,
+        )
+    f0, m0, ni0, nf0 = outs[128]
+    for wrow in (256, 512):
+        f, m, ni, nf = outs[wrow]
+        assert np.array_equal(np.asarray(m0), np.asarray(m))
+        assert np.array_equal(np.asarray(ni0), np.asarray(ni))
+        assert np.array_equal(np.asarray(nf0), np.asarray(nf))
+        err = np.abs(np.asarray(f0) - np.asarray(f)).max()
+        assert err <= 2e-7, f"wrow={wrow} sample mismatch: {err}"
+
+
 # ---- wide-row unit-pitch gather + int16 PCM intermediates (round 4) ----
 
 

@@ -60,6 +60,8 @@ def characterize(n_sources, n_devices):
         else None,
     )
     eng.add_listener(ListenerDesc())
+    for name in ("Ambient", "Reverb", "Music", "SFX", "Voice"):
+        eng.add_bus(name)  # B=6: the VERDICT's representative bus count
     rng = np.random.default_rng(0)
     clip = (rng.standard_normal(4096) * 0.3).astype(np.float32)
     stream = AudioStreamSample(clip, loop=True)
