@@ -286,6 +286,8 @@ _STEP_STATICS = (
     "mc_chain",
     "fx_cfg",
     "axis_name",
+    "has_areas",
+    "any_doppler",
 )
 
 
@@ -328,6 +330,8 @@ def _step_impl(
     mc_chain=(),
     fx_cfg=None,
     axis_name=None,
+    has_areas=True,
+    any_doppler=True,
 ):
     """One fused physics tick + audio block: Stage A, slot/param
     bookkeeping, Stage B mix and the bus-graph reduction in a SINGLE
@@ -342,7 +346,8 @@ def _step_impl(
     per-chip bus contributions psum over ICI before the (replicated)
     bus-graph reduction."""
     result_local = calculate_spatialization(
-        scene, params, was_out, speaker_mode, global_panning_strength
+        scene, params, was_out, speaker_mode, global_panning_strength,
+        has_areas=has_areas, any_doppler=any_doppler,
     )
     if axis_name is not None:
         # slots reference players by GLOBAL index; gather the (small)
@@ -1017,6 +1022,13 @@ class AudioEngine:
         if not player._proxy_gc_pending:
             player._proxy_gc_pending = True
             self._proxy_candidates.append(player)
+
+    def _any_doppler(self) -> bool:
+        """Static Stage-A elider: True iff any live player tracks doppler
+        (conservative upper bound — `doppler_enabled` param lanes are
+        exactly the `_vel_players` set).  A toggle retraces the step,
+        like any other static change."""
+        return bool(self._vel_players())
 
     def _vel_players(self) -> List:
         """Players needing per-tick velocity tracking (doppler enabled) —
@@ -1806,6 +1818,11 @@ class AudioEngine:
             max_pitch=self._effective_max_pitch(),
             bus_flags=self._bus_flags(),
             fx_cfg=self._fx_cfg(effects),
+            # static Stage-A eliders (upper bounds from live host state —
+            # each post-fusion XLA op costs ~7.5 µs on the bench device,
+            # so dead area/doppler subgraphs are real per-step latency)
+            has_areas=bool(self.areas),
+            any_doppler=self._any_doppler(),
         )
         if self.mesh is not None:
             from ..parallel.streaming import sharded_step_fn
@@ -1968,6 +1985,8 @@ class AudioEngine:
                 scene, params, was_out,
                 speaker_mode=self.speaker_mode,
                 global_panning_strength=self.global_panning_strength,
+                has_areas=bool(self.areas),
+                any_doppler=self._any_doppler(),
             )
 
         needs_builtin = bool((group < 0).any()) or not self.players
@@ -2226,11 +2245,15 @@ class AudioEngine:
     static_argnames=(
         "speaker_mode",
         "global_panning_strength",
+        "has_areas",
+        "any_doppler",
     ),
 )
-def _stage_a_jit(scene, params, was_out, *, speaker_mode, global_panning_strength):
+def _stage_a_jit(scene, params, was_out, *, speaker_mode,
+                 global_panning_strength, has_areas=True, any_doppler=True):
     return calculate_spatialization(
-        scene, params, was_out, speaker_mode, global_panning_strength
+        scene, params, was_out, speaker_mode, global_panning_strength,
+        has_areas=has_areas, any_doppler=any_doppler,
     )
 
 

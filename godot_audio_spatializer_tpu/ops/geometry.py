@@ -242,20 +242,43 @@ def calculate_spatialization(
     was_out_of_range: jnp.ndarray,  # [N] bool, carried
     speaker_mode: SpeakerMode,
     global_panning_strength: float = 1.0,
+    *,
+    has_areas: bool = True,
+    any_doppler: bool = True,
 ) -> SpatializeResult:
+    """`has_areas`/`any_doppler` are STATIC trace-time eliders for the
+    interactive step's op count (the bench device pays ~7.5 µs per
+    post-fusion XLA op, so dead subgraphs cost real latency even when
+    their lanes are all-inactive).  They must be conservative UPPER
+    bounds computed from live host state: has_areas = any area exists
+    (scene.area_active would be all-False otherwise — the dummy A=1 pad
+    lane is inactive), any_doppler = any param lane has doppler_enabled
+    (the engine recomputes both every dispatch; a change retraces, which
+    is the same cost any other static change pays).  With the flag False
+    the elided math contributes exactly its all-inactive value (area
+    routing -1/zeros, pitch = pitch_scale), so False-vs-True on a scene
+    with no active areas / no doppler lanes is value-identical."""
     N = scene.source_pos.shape[0]
     L = scene.listener_origin.shape[0]
 
     # ---- area selection (per source) ----
-    has_area, area_idx = _select_area(scene, params)
-    a_center = scene.area_center[area_idx]  # [N,3]
-    a_half = scene.area_half[area_idx]
-    a_override_bus = jnp.where(has_area, scene.area_override_bus[area_idx], -1)
-    a_reverb_bus = jnp.where(has_area, scene.area_reverb_bus[area_idx], -1)
-    a_amount = scene.area_reverb_amount[area_idx]
-    a_uniformity = scene.area_reverb_uniformity[area_idx]
-    use_reverb = has_area & (a_reverb_bus >= 0)
-    reverb_uniform = use_reverb & (a_uniformity > 0)
+    if has_areas:
+        has_area, area_idx = _select_area(scene, params)
+        a_center = scene.area_center[area_idx]  # [N,3]
+        a_half = scene.area_half[area_idx]
+        a_override_bus = jnp.where(
+            has_area, scene.area_override_bus[area_idx], -1
+        )
+        a_reverb_bus = jnp.where(has_area, scene.area_reverb_bus[area_idx], -1)
+        a_amount = scene.area_reverb_amount[area_idx]
+        a_uniformity = scene.area_reverb_uniformity[area_idx]
+        use_reverb = has_area & (a_reverb_bus >= 0)
+        reverb_uniform = use_reverb & (a_uniformity > 0)
+    else:
+        has_area = jnp.zeros((N,), bool)
+        a_override_bus = jnp.full((N,), -1, jnp.int32)
+        a_reverb_bus = jnp.full((N,), -1, jnp.int32)
+        use_reverb = reverb_uniform = has_area
 
     # ---- listener-local position (cpp:342) ----
     diff = scene.source_pos[:, None, :] - scene.listener_origin[None, :, :]  # [N,L,3]
@@ -264,71 +287,75 @@ def calculate_spatialization(
     dist = jnp.linalg.norm(local_pos, axis=-1)  # [N,L]
 
     # ---- listener_area_pos (closest point on area shape, cpp:350-353) ----
-    a_shape = scene.area_shape[area_idx]  # [N]
-    a_rot = scene.area_rot[area_idx]  # [N,3,3] world→local
-    rel_l = scene.listener_origin[None, :, :] - a_center[:, None, :]  # [N,L,3]
-    # oriented box: clamp in the local frame, rotate back
-    local_l = jnp.einsum("nij,nlj->nli", a_rot, rel_l)
-    clamped = jnp.clip(local_l, -a_half[:, None, :], a_half[:, None, :])
-    box_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, clamped)
-    # sphere: pull onto the surface when outside
-    d_l = jnp.linalg.norm(rel_l, axis=-1)  # [N,L]
-    radius = a_half[:, None, 0]
-    scale = jnp.where(
-        (d_l > radius) & (d_l > 0), radius / jnp.where(d_l > 0, d_l, 1.0), 1.0
-    )
-    sph_cp = a_center[:, None, :] + rel_l * scale[..., None]
-    # capsule: clamp onto the Y-axis core segment in the local frame, then
-    # pull onto the surface when outside (inside points stay put — same
-    # semantics as the sphere and the golden's closest_point)
-    cap_seg, cap_d = _capsule_seg_rel(local_l, a_half[:, None, :])
-    cap_dn = jnp.linalg.norm(cap_d, axis=-1)  # [N,L]
-    cap_r = a_half[:, None, 0]
-    cap_scale = jnp.where(
-        (cap_dn > cap_r) & (cap_dn > 0),
-        cap_r / jnp.where(cap_dn > 0, cap_dn, 1.0),
-        1.0,
-    )
-    cap_local = cap_seg + cap_d * cap_scale[..., None]
-    cap_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cap_local)
-    # cylinder = disk (x,z) × interval (y): the closest point on the
-    # product set is the product of the per-factor projections
-    cyl_rad = jnp.sqrt(local_l[..., 0] ** 2 + local_l[..., 2] ** 2)  # [N,L]
-    cyl_r = a_half[:, None, 0]
-    cyl_scale = jnp.where(
-        (cyl_rad > cyl_r) & (cyl_rad > 0),
-        cyl_r / jnp.where(cyl_rad > 0, cyl_rad, 1.0),
-        1.0,
-    )
-    cyl_local = jnp.stack(
-        [
-            local_l[..., 0] * cyl_scale,
-            jnp.clip(local_l[..., 1], -a_half[:, None, 1], a_half[:, None, 1]),
-            local_l[..., 2] * cyl_scale,
-        ],
-        axis=-1,
-    )
-    cyl_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cyl_local)
-    closest = jnp.where(
-        (a_shape == 3)[:, None, None],
-        cyl_cp,
-        jnp.where(
-            (a_shape == 2)[:, None, None],
-            cap_cp,
-            jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp),
-        ),
-    )
-    if scene.area_planes.shape[1] > 1:  # static: scene has a convex area
-        conv_cp = _convex_closest_points(scene)[area_idx]  # [N,L,3]
-        closest = jnp.where((a_shape == 4)[:, None, None], conv_cp, closest)
-    # full (non-orthonormalized) affine inverse of the listener transform
-    lap_diff = closest - scene.listener_origin[None, :, :]
-    listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)
-    lap_len = jnp.linalg.norm(listener_area_pos, axis=-1)  # [N,L]
-    lap_len = jnp.where(reverb_uniform[:, None], lap_len, 0.0)
-    listener_area_pos = jnp.where(
-        reverb_uniform[:, None, None], listener_area_pos, 0.0
-    )
+    if not has_areas:
+        lap_len = jnp.zeros((N, L), jnp.float32)
+        listener_area_pos = jnp.zeros((N, L, 3), jnp.float32)
+    else:
+        a_shape = scene.area_shape[area_idx]  # [N]
+        a_rot = scene.area_rot[area_idx]  # [N,3,3] world→local
+        rel_l = scene.listener_origin[None, :, :] - a_center[:, None, :]  # [N,L,3]
+        # oriented box: clamp in the local frame, rotate back
+        local_l = jnp.einsum("nij,nlj->nli", a_rot, rel_l)
+        clamped = jnp.clip(local_l, -a_half[:, None, :], a_half[:, None, :])
+        box_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, clamped)
+        # sphere: pull onto the surface when outside
+        d_l = jnp.linalg.norm(rel_l, axis=-1)  # [N,L]
+        radius = a_half[:, None, 0]
+        scale = jnp.where(
+            (d_l > radius) & (d_l > 0), radius / jnp.where(d_l > 0, d_l, 1.0), 1.0
+        )
+        sph_cp = a_center[:, None, :] + rel_l * scale[..., None]
+        # capsule: clamp onto the Y-axis core segment in the local frame, then
+        # pull onto the surface when outside (inside points stay put — same
+        # semantics as the sphere and the golden's closest_point)
+        cap_seg, cap_d = _capsule_seg_rel(local_l, a_half[:, None, :])
+        cap_dn = jnp.linalg.norm(cap_d, axis=-1)  # [N,L]
+        cap_r = a_half[:, None, 0]
+        cap_scale = jnp.where(
+            (cap_dn > cap_r) & (cap_dn > 0),
+            cap_r / jnp.where(cap_dn > 0, cap_dn, 1.0),
+            1.0,
+        )
+        cap_local = cap_seg + cap_d * cap_scale[..., None]
+        cap_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cap_local)
+        # cylinder = disk (x,z) × interval (y): the closest point on the
+        # product set is the product of the per-factor projections
+        cyl_rad = jnp.sqrt(local_l[..., 0] ** 2 + local_l[..., 2] ** 2)  # [N,L]
+        cyl_r = a_half[:, None, 0]
+        cyl_scale = jnp.where(
+            (cyl_rad > cyl_r) & (cyl_rad > 0),
+            cyl_r / jnp.where(cyl_rad > 0, cyl_rad, 1.0),
+            1.0,
+        )
+        cyl_local = jnp.stack(
+            [
+                local_l[..., 0] * cyl_scale,
+                jnp.clip(local_l[..., 1], -a_half[:, None, 1], a_half[:, None, 1]),
+                local_l[..., 2] * cyl_scale,
+            ],
+            axis=-1,
+        )
+        cyl_cp = a_center[:, None, :] + jnp.einsum("nji,nlj->nli", a_rot, cyl_local)
+        closest = jnp.where(
+            (a_shape == 3)[:, None, None],
+            cyl_cp,
+            jnp.where(
+                (a_shape == 2)[:, None, None],
+                cap_cp,
+                jnp.where((a_shape == 1)[:, None, None], sph_cp, box_cp),
+            ),
+        )
+        if scene.area_planes.shape[1] > 1:  # static: scene has a convex area
+            conv_cp = _convex_closest_points(scene)[area_idx]  # [N,L,3]
+            closest = jnp.where((a_shape == 4)[:, None, None], conv_cp, closest)
+        # full (non-orthonormalized) affine inverse of the listener transform
+        lap_diff = closest - scene.listener_origin[None, :, :]
+        listener_area_pos = jnp.einsum("lij,nlj->nli", scene.listener_inv, lap_diff)
+        lap_len = jnp.linalg.norm(listener_area_pos, axis=-1)  # [N,L]
+        lap_len = jnp.where(reverb_uniform[:, None], lap_len, 0.0)
+        listener_area_pos = jnp.where(
+            reverb_uniform[:, None, None], listener_area_pos, 0.0
+        )
 
     # ---- attenuation multiplier (cpp:359-373), linear domain ----
     multiplier = attenuation_multiplier(
@@ -340,14 +367,17 @@ def calculate_spatialization(
     )  # [N,L]
 
     has_max = params.max_distance[:, None] > 0
-    total_max = jnp.where(
-        reverb_uniform[:, None],
-        jnp.maximum(params.max_distance[:, None], lap_len),
-        params.max_distance[:, None],
-    )
-    out_of_range = has_max & (
-        (dist > total_max) | (total_max > params.max_distance[:, None])
-    )
+    if has_areas:
+        total_max = jnp.where(
+            reverb_uniform[:, None],
+            jnp.maximum(params.max_distance[:, None], lap_len),
+            params.max_distance[:, None],
+        )
+        out_of_range = has_max & (
+            (dist > total_max) | (total_max > params.max_distance[:, None])
+        )
+    else:  # reverb_uniform is statically all-False: total_max == max_distance
+        out_of_range = has_max & (dist > params.max_distance[:, None])
     rolloff = jnp.maximum(0.0, 1.0 - dist / jnp.where(has_max, params.max_distance[:, None], 1.0))
     multiplier = jnp.where(has_max, multiplier * rolloff, multiplier)
 
@@ -395,77 +425,85 @@ def calculate_spatialization(
     output_volume = tmp_volume.max(axis=1)  # [N,4,2]
 
     # ---- reverb volumes (cpp:399-402) ----
-    reverb_nl = calc_reverb_vol(
-        a_uniformity[:, None],
-        a_amount[:, None],
-        listener_area_pos,
-        lap_len,
-        tmp_volume,
-        params.attenuation_model[:, None],
-        params.unit_size[:, None],
-        params.volume_linear[:, None],
-        params.max_linear[:, None],
-        params.panning_strength[:, None],
-        speaker_mode,
-        global_panning_strength,
-    )  # [N,L,4,2]
-    reverb_nl = jnp.where(
-        (in_range & use_reverb[:, None])[..., None, None], reverb_nl, 0.0
-    )
-    reverb_volume = reverb_nl.max(axis=1)  # [N,4,2]
+    if has_areas:
+        reverb_nl = calc_reverb_vol(
+            a_uniformity[:, None],
+            a_amount[:, None],
+            listener_area_pos,
+            lap_len,
+            tmp_volume,
+            params.attenuation_model[:, None],
+            params.unit_size[:, None],
+            params.volume_linear[:, None],
+            params.max_linear[:, None],
+            params.panning_strength[:, None],
+            speaker_mode,
+            global_panning_strength,
+        )  # [N,L,4,2]
+        reverb_nl = jnp.where(
+            (in_range & use_reverb[:, None])[..., None, None], reverb_nl, 0.0
+        )
+        reverb_volume = reverb_nl.max(axis=1)  # [N,4,2]
+    else:  # use_reverb statically all-False
+        reverb_volume = jnp.zeros_like(output_volume)
 
     # ---- doppler (cpp:405-434) ----
-    rel_vel = scene.source_vel[:, None, :] - scene.listener_vel[None, :, :]
-    local_velocity = jnp.einsum("lij,nli->nlj", scene.listener_rot, rel_vel)
-    lv_norm = jnp.linalg.norm(local_velocity, axis=-1)  # [N,L]
-    nonzero_vel = jnp.any(local_velocity != 0.0, axis=-1)
-    approaching = jnp.einsum(
-        "nli,nli->nl", safe_normalize(local_pos), safe_normalize(local_velocity)
-    )
-    sos = params.doppler_speed_of_sound[:, None]
-    doppler_pitch = params.pitch_scale[:, None] * sos / (sos + lv_norm * approaching)
-    doppler_pitch = jnp.clip(doppler_pitch, DOPPLER_PITCH_MIN, DOPPLER_PITCH_MAX)
-    weight = tmp_volume.max(axis=(2, 3))  # [N,L] — _get_max_volume (cpp:268-275)
-    dop_mask = (
-        params.doppler_enabled[:, None] & nonzero_vel & in_range
-    )
-    if L == 1:
-        # single listener: the volume-weighted log-domain average (cpp:424-434)
-        # degenerates to the listener's own pitch — skip log2/exp2 entirely
-        # (the bench device's log2 is only ~2.6e-4 accurate, which would
-        # perturb the quantized pitch cursor; PERF.md)
-        pitch = jnp.where(
-            dop_mask[:, 0] & (weight[:, 0] > 0),
-            doppler_pitch[:, 0],
-            params.pitch_scale,
-        )
+    if not any_doppler:
+        # statically no doppler-enabled lane: pitch is the raw player
+        # pitch (the dop_mask below would be all-False)
+        pitch = params.pitch_scale
+        rel_vel = None
     else:
-        w = jnp.where(dop_mask, weight, 0.0)
-        log_pitch = (w * jnp.log2(doppler_pitch)).sum(axis=1)
-        w_sum = w.sum(axis=1)
-        pitch = jnp.where(
-            w_sum > 0,
-            jnp.exp2(log_pitch / jnp.where(w_sum > 0, w_sum, 1.0)),
-            params.pitch_scale,
+        rel_vel = scene.source_vel[:, None, :] - scene.listener_vel[None, :, :]
+        local_velocity = jnp.einsum("lij,nli->nlj", scene.listener_rot, rel_vel)
+        lv_norm = jnp.linalg.norm(local_velocity, axis=-1)  # [N,L]
+        nonzero_vel = jnp.any(local_velocity != 0.0, axis=-1)
+        approaching = jnp.einsum(
+            "nli,nli->nl", safe_normalize(local_pos), safe_normalize(local_velocity)
         )
+        sos = params.doppler_speed_of_sound[:, None]
+        doppler_pitch = params.pitch_scale[:, None] * sos / (sos + lv_norm * approaching)
+        doppler_pitch = jnp.clip(doppler_pitch, DOPPLER_PITCH_MIN, DOPPLER_PITCH_MAX)
+        weight = tmp_volume.max(axis=(2, 3))  # [N,L] — _get_max_volume (cpp:268-275)
+        dop_mask = (
+            params.doppler_enabled[:, None] & nonzero_vel & in_range
+        )
+        if L == 1:
+            # single listener: the volume-weighted log-domain average (cpp:424-434)
+            # degenerates to the listener's own pitch — skip log2/exp2 entirely
+            # (the bench device's log2 is only ~2.6e-4 accurate, which would
+            # perturb the quantized pitch cursor; PERF.md)
+            pitch = jnp.where(
+                dop_mask[:, 0] & (weight[:, 0] > 0),
+                doppler_pitch[:, 0],
+                params.pitch_scale,
+            )
+        else:
+            w = jnp.where(dop_mask, weight, 0.0)
+            log_pitch = (w * jnp.log2(doppler_pitch)).sum(axis=1)
+            w_sum = w.sum(axis=1)
+            pitch = jnp.where(
+                w_sum > 0,
+                jnp.exp2(log_pitch / jnp.where(w_sum > 0, w_sum, 1.0)),
+                params.pitch_scale,
+            )
 
     # ---- bus routing (cpp:437-461) ----
-    main_bus = jnp.where(
-        has_area & (a_override_bus >= 0), a_override_bus, params.bus_index
-    )
+    if has_areas:
+        main_bus = jnp.where(
+            has_area & (a_override_bus >= 0), a_override_bus, params.bus_index
+        )
+        rev_idx = jnp.where(has_any & use_reverb, a_reverb_bus, -1)
+    else:
+        main_bus = params.bus_index
+        rev_idx = jnp.full((N,), -1, jnp.int32)
     # slots 0/1 = main/reverb; slots 2..5 open for custom routing
     # (MAX_BUSES_PER_PLAYBACK contract, reference audio_spatializer.h:50)
     S = MAX_BUSES_PER_PLAYBACK
     empty_idx = jnp.full((N, S - 2), -1, jnp.int32)
     bus_index = jnp.concatenate(
         [
-            jnp.stack(
-                [
-                    jnp.where(has_any, main_bus, -1),
-                    jnp.where(has_any & use_reverb, a_reverb_bus, -1),
-                ],
-                axis=1,
-            ),
+            jnp.stack([jnp.where(has_any, main_bus, -1), rev_idx], axis=1),
             empty_idx,
         ],
         axis=1,

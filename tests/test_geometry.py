@@ -353,3 +353,35 @@ def test_spcap_behind_head_nan_parity():
     m = ~np.isnan(golden_v)
     if m.any():
         np.testing.assert_allclose(dev_v[m], golden_v[m], rtol=2e-4, atol=1e-6)
+
+
+def test_static_eliders_value_identical():
+    """has_areas=False / any_doppler=False (the interactive step's static
+    op-count eliders) must be VALUE-IDENTICAL to the full trace on a
+    scene with no areas and no doppler lanes (the eliders are upper
+    bounds the engine derives from live host state)."""
+    rng = np.random.default_rng(77)
+    (configs, players, positions, vels, zaxes, listeners_g, areas_g,
+     scene, params, bus_idx) = _random_scene(
+        rng, n_sources=24, n_listeners=2, n_areas=0,
+        speaker_mode=SpeakerMode.SURROUND_71, with_doppler=False,
+    )
+    was_out = np.zeros(24, bool)
+    full = calculate_spatialization(scene, params, was_out,
+                                    SpeakerMode.SURROUND_71)
+    elided = calculate_spatialization(
+        scene, params, was_out, SpeakerMode.SURROUND_71,
+        has_areas=False, any_doppler=False,
+    )
+    for name in type(full).__dataclass_fields__:
+        a, b = np.asarray(getattr(full, name)), np.asarray(getattr(elided, name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+    # single elider combinations stay identical too
+    for kw in (dict(has_areas=False), dict(any_doppler=False)):
+        r = calculate_spatialization(scene, params, was_out,
+                                     SpeakerMode.SURROUND_71, **kw)
+        for name in type(full).__dataclass_fields__:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, name)), np.asarray(getattr(r, name)),
+                err_msg=f"{kw} {name}")

@@ -67,6 +67,7 @@ def main(n):
         chain=tuple(eng._chain_groups), mc_chain=tuple(eng._mc_groups),
         max_pitch=eng.max_pitch, bus_flags=eng._bus_flags(),
         fx_cfg=eng._fx_cfg(effects),
+        has_areas=bool(eng.areas), any_doppler=eng._any_doppler(),
     )
     lowered = jax.jit(
         _step_impl,
