@@ -70,7 +70,8 @@ def _time(fn, *args, **kw):
 def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
               chain=(), use_chain=False, label="", unit_pitch_aligned=False,
               physics_every=1, max_pitch=2.0, bank_dtype=np.float32,
-              scan_unroll=1, blocks=None, fused_bus=None, planar=None):
+              scan_unroll=1, blocks=None, fused_bus=None, planar=None,
+              doppler_wrow=128):
     blocks = blocks or BLOCKS
     # wide-row gather (round 4): aligned unit-pitch scenes read ONE
     # [frame_count,2] row per source per block instead of F/128 rows —
@@ -89,7 +90,7 @@ def bench_mix(n, speaker_mode, mix_rate, frame_count, *, doppler=True,
         resample_gather="xla" if unit_pitch_aligned else "kernel",
         max_pitch=max_pitch, scan_unroll=scan_unroll,
         unit_row_width=row_align if unit_pitch_aligned else 128,
-        fused_bus=fused_bus, planar=planar,
+        fused_bus=fused_bus, planar=planar, doppler_wrow=doppler_wrow,
     )
     secs = _time(lambda: render_trajectory(*args, **kwargs))
     rtf = blocks * frame_count / mix_rate / secs
@@ -279,6 +280,10 @@ def ab_main():
         ("doppler_planar", dict(fused_bus=False, planar=True)),
         ("doppler_planar_bus", dict(fused_bus=True, planar=True)),
         ("doppler_fused_bus", dict(fused_bus=True, planar=False)),
+        # wide window gather: e2e wash on the tunnel (PERF.md round-8) —
+        # re-decide on hardware where descriptor cost vs VPU rows differs
+        ("doppler_wrow256", dict(fused_bus=False, planar=False,
+                                 doppler_wrow=256)),
     ]
     base = dict(doppler=True, max_pitch=1.4, scan_unroll=2)
     rows = []

@@ -68,6 +68,7 @@ def engine_step(
     unit_row_width: int = 128,
     fused_bus: bool = None,
     planar: bool = None,
+    doppler_wrow: int = 128,
 ):
     """One physics tick + one audio block, sources==slots (1:1).
 
@@ -129,6 +130,7 @@ def engine_step(
         unit_row_width=unit_row_width,
         fused_bus=fused_bus,
         planar=planar,
+        doppler_wrow=doppler_wrow,
     )
     empty = tuple(() for _ in sends)
     master, _ = bus_graph_reduce(
@@ -159,6 +161,7 @@ def engine_step(
         "bus_psum_axis",
         "fused_bus",
         "planar",
+        "doppler_wrow",
         "fx_cfg",
     ),
 )
@@ -191,6 +194,7 @@ def _render_trajectory_jit(
     bus_psum_axis: str = None,
     fused_bus: bool = None,
     planar: bool = None,
+    doppler_wrow: int = 128,
     fx_cfg: Tuple = None,  # live-value effect snapshot; see render_trajectory
 ):
     """Render K blocks with per-block source motion, one device dispatch.
@@ -292,6 +296,7 @@ def _render_trajectory_jit(
                 resample_gather=resample_gather,
                 unit_row_width=unit_row_width,
                 fused_bus=fused_bus, planar=planar,
+                doppler_wrow=doppler_wrow,
             )
             if bus_psum_axis is not None:
                 # cross-shard source reduction rides ICI; every shard then

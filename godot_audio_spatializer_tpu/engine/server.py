@@ -87,15 +87,40 @@ def _bank_patch_jit(bank, seg, offset):
 
 
 def _slot_gather(result: SpatializeResult, slot_player, valid):
+    """Per-slot view of the per-player Stage A lanes.
+
+    Packed as ONE f32 gather + ONE i32 gather instead of seven per-field
+    gathers: each post-fusion op costs ~7.5 µs on the bench device, and
+    the packing concats are CSE'd across this function's two call sites
+    in `_tick_update_impl` (same `result` operand).  Pure value reorder —
+    bit-exact vs the per-field form."""
     sp = jnp.maximum(slot_player, 0)
+    P = result.pitch_scale.shape[0]
+    S = result.bus_index.shape[1]
+    fpack = jnp.concatenate(
+        [
+            result.mix_volumes.reshape(P, 8),
+            result.pitch_scale[:, None],
+            result.linear_attenuation[:, None],
+            result.attenuation_filter_cutoff_hz[:, None],
+            result.bus_volumes.reshape(P, S * 8),
+        ],
+        axis=1,
+    )  # [P, 11 + S·8]
+    ipack = jnp.concatenate(
+        [result.bus_index, result.update_parameters[:, None].astype(jnp.int32)],
+        axis=1,
+    )  # [P, S+1]
+    f = fpack[sp]
+    ii = ipack[sp]
     return (
-        result.mix_volumes[sp],
-        result.pitch_scale[sp],
-        result.linear_attenuation[sp],
-        result.attenuation_filter_cutoff_hz[sp],
-        result.bus_index[sp],
-        result.bus_volumes[sp],
-        result.update_parameters[sp] & valid,
+        f[:, :8].reshape(-1, 4, 2),
+        f[:, 8],
+        f[:, 9],
+        f[:, 10],
+        ii[:, :S],
+        f[:, 11:].reshape(-1, S, 4, 2),
+        (ii[:, S] > 0) & valid,
     )
 
 
@@ -187,21 +212,28 @@ def _tick_update_impl(
     )
     targ_flat = targ_sib.reshape(n_lanes, -1)
     neg = jnp.float32(-jnp.inf)
-    sib_prev = jax.ops.segment_max(
-        jnp.where(alive[:, None], prev_flat, neg), sp, num_segments=P
-    )
-    sib_targ = jax.ops.segment_max(
-        jnp.where(alive[:, None], targ_flat, neg), sp, num_segments=P
-    )
-    has_sib_i = jax.ops.segment_max(alive.astype(jnp.int32), sp, num_segments=P)
+    # ONE packed segment_max (and, sharded, ONE pmax collective) instead
+    # of three: [prev | targ | has] columns — max of identical values is
+    # bit-exact, and the has column (1.0 for alive lanes, −inf otherwise)
+    # reproduces the int segment-max > 0 test
+    K = prev_flat.shape[1]
+    packed = jnp.concatenate(
+        [
+            jnp.where(alive[:, None], jnp.concatenate(
+                [prev_flat, targ_flat], axis=1), neg),
+            jnp.where(alive, 1.0, neg)[:, None],
+        ],
+        axis=1,
+    )  # [N, 2K+1]
+    seg = jax.ops.segment_max(packed, sp, num_segments=P)
     if axis_name is not None:
         # sharded slots: a player's sibling voices may live on another
         # shard — the per-player pool is the max across the mesh (P is
         # global on every device; the segment results are shard-partial)
-        sib_prev = jax.lax.pmax(sib_prev, axis_name)
-        sib_targ = jax.lax.pmax(sib_targ, axis_name)
-        has_sib_i = jax.lax.pmax(has_sib_i, axis_name)
-    has_sib = has_sib_i > 0
+        seg = jax.lax.pmax(seg, axis_name)
+    sib_prev = seg[:, :K]
+    sib_targ = seg[:, K:2 * K]
+    has_sib = seg[:, 2 * K] > 0
     dense_flat = dense.reshape(n_lanes, -1)
     sp_new = jnp.maximum(slot_player, 0)  # played lanes' player indices
     start_prev = jnp.where(

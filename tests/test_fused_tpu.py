@@ -154,6 +154,36 @@ def test_kernel_resampler_matches_xla_on_tpu():
     assert err < 1e-5 * max(np.abs(outs["xla"]).max(), 1.0)
 
 
+def test_wide_window_gather_matches_on_tpu():
+    """doppler_wrow=256/512 (fatter HBM gather descriptors, bank-absolute
+    alignment) vs the default 128-row window on real Mosaic — guards the
+    wide regroup's HBM slicing/layout.  ≤1 f32 ulp through the split2
+    selection dot."""
+    import numpy as np
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(256, 6, 512, 48000.0, doppler=True, seed=5)
+    args = jax.tree.map(
+        lambda x: jax.device_put(jnp.asarray(x)) if hasattr(x, "shape") else x,
+        args,
+    )
+    outs = {}
+    for wrow in (128, 256, 512):
+        kw = dict(
+            speaker_mode=SpeakerMode.SURROUND_71, mix_rate=48000.0,
+            frame_count=512, collect_master=True, biquad_method="pallas",
+            resample_gather="kernel", doppler_wrow=wrow,
+        )
+        _, _, master = render_trajectory(*args, **kw)
+        outs[wrow] = np.asarray(master)
+    peak = max(np.abs(outs[128]).max(), 1.0)
+    for wrow in (256, 512):
+        err = np.abs(outs[wrow] - outs[128]).max()
+        assert err <= 1e-6 * peak, f"wrow={wrow} deviates {err}"
+
+
 def test_engine_tpu_matches_cpu_e2e():
     """Full streaming-engine scenario on the TPU backend vs the same run on
     the host CPU backend (which the golden-parity suite validates) — guards
