@@ -74,6 +74,9 @@ class AudioStreamPlayerSpatial:
         # playback bookkeeping
         self.slots: List[int] = []  # engine slot ids, oldest first
         self._pending_plays: List[float] = []
+        # plays issued while the SceneTree is paused and this node can't
+        # process — started at unpause (see play()/unpause_tree())
+        self._tree_deferred_plays: List[float] = []
         self._pending_stop = False
         self._in_event_queue = False  # enqueued in engine._event_players
         self._proxy_gc_pending = False  # enqueued in _proxy_candidates
@@ -250,6 +253,15 @@ class AudioStreamPlayerSpatial:
             raise RuntimeError("play() on a freed AudioStreamPlayerSpatial")
         if self.spatializer is None or self._stream is None:
             return
+        if getattr(self.engine, "_tree_paused", False) and (
+            self.process_mode == "pausable"
+        ):
+            # SceneTree paused and this node can't process: the reference's
+            # setplay is consumed by physics processing, which a paused
+            # node doesn't run (audio_stream_player_spatial.cpp:74-93) —
+            # the play starts when the tree unpauses (unpause_tree flush)
+            self._tree_deferred_plays.append(float(from_pos))
+            return
         if self._stream.is_monophonic() and self.is_playing():
             self.stop()
         self._pending_plays.append(float(from_pos))
@@ -265,12 +277,13 @@ class AudioStreamPlayerSpatial:
     def stop(self) -> None:
         if self.spatializer is None:
             return
+        self._tree_deferred_plays.clear()
         self._pending_plays.clear()
         self._pending_stop = True
         self.engine._note_event(self)
 
     def is_playing(self) -> bool:
-        if self._pending_plays:
+        if self._pending_plays or self._tree_deferred_plays:
             return True  # play() called this frame, playback not started yet
         return len(self.slots) > 0
 
@@ -370,8 +383,12 @@ class AudioStreamPlayerSpatial:
         cpp:107-116): unconditionally unpauses the stream — including one
         the user paused manually before the tree pause, exactly the
         reference's quirk (set_stream_paused(false) with no state
-        memory)."""
+        memory).  Plays deferred during the pause start now (the node can
+        process again, so its queued setplay is consumed)."""
         self.set_stream_paused(False)
+        deferred, self._tree_deferred_plays = self._tree_deferred_plays, []
+        for pos in deferred:
+            self.play(pos)
 
     def exit_tree(self) -> None:
         """NOTIFICATION_EXIT_TREE parity (reference

@@ -97,16 +97,19 @@ def _slot_gather(result: SpatializeResult, slot_player, valid):
     sp = jnp.maximum(slot_player, 0)
     P = result.pitch_scale.shape[0]
     S = result.bus_index.shape[1]
+    mv_shape = result.mix_volumes.shape[1:]
+    bv_shape = result.bus_volumes.shape[1:]
+    m = int(np.prod(mv_shape))  # channel-pair block width (derived, not 8)
     fpack = jnp.concatenate(
         [
-            result.mix_volumes.reshape(P, 8),
+            result.mix_volumes.reshape(P, m),
             result.pitch_scale[:, None],
             result.linear_attenuation[:, None],
             result.attenuation_filter_cutoff_hz[:, None],
-            result.bus_volumes.reshape(P, S * 8),
+            result.bus_volumes.reshape(P, int(np.prod(bv_shape))),
         ],
         axis=1,
-    )  # [P, 11 + S·8]
+    )  # [P, m + 3 + S·m]
     ipack = jnp.concatenate(
         [result.bus_index, result.update_parameters[:, None].astype(jnp.int32)],
         axis=1,
@@ -114,12 +117,12 @@ def _slot_gather(result: SpatializeResult, slot_player, valid):
     f = fpack[sp]
     ii = ipack[sp]
     return (
-        f[:, :8].reshape(-1, 4, 2),
-        f[:, 8],
-        f[:, 9],
-        f[:, 10],
+        f[:, :m].reshape((-1,) + mv_shape),
+        f[:, m],
+        f[:, m + 1],
+        f[:, m + 2],
         ii[:, :S],
-        f[:, 11:].reshape(-1, S, 4, 2),
+        f[:, m + 3:].reshape((-1,) + bv_shape),
         (ii[:, S] > 0) & valid,
     )
 
@@ -484,6 +487,9 @@ class AudioEngine:
         # A property: assigning it mid-session must invalidate the cached
         # has-custom decision or step() would silently keep the fused path
         self._stage_a_override = stage_a_override
+        # SceneTree pause state (set_tree_paused): pausable nodes defer
+        # play() while True (audio_stream_player_spatial.cpp:74-116)
+        self._tree_paused = False
         # multi-chip streaming (parallel/streaming.py): sources shard over
         # `mesh`'s "src" axis; the fused step runs as one shard_map program
         # per chip with a single bus psum over ICI
@@ -943,7 +949,12 @@ class AudioEngine:
         """SceneTree pause broadcast: deliver NOTIFICATION_PAUSED /
         NOTIFICATION_UNPAUSED to every registered player node (reference
         audio_stream_player_spatial.cpp:99-116 — per-node `pause_tree()`/
-        `unpause_tree()` honour each node's process_mode)."""
+        `unpause_tree()` honour each node's process_mode).  The engine
+        remembers the tree state so pausable nodes created or play()ed
+        DURING the pause stay silent too (their setplay waits for a
+        processing tick the paused node never runs — cpp:74-93); their
+        deferred plays start at the unpause broadcast."""
+        self._tree_paused = bool(paused)
         for pl in self.players:
             if pl is None or pl._freed:
                 continue

@@ -137,6 +137,11 @@ def stereo_pan(source_dir: np.ndarray, pan_strength: float) -> np.ndarray:
 # volume is so small its f32 square underflows (v ≲ 1e-22); the fuzz
 # resets this dict per scenario and widens its error budget only when a
 # golden evaluation came within safety margin of either edge.
+# Residual (accepted): this watches the GOLDEN pan evaluations; an
+# engine-side f32 flip with no golden-side proximity would need the
+# attenuation/volume product to underflow f32 (~1e-38) — out of reach for
+# the fuzz's bounded volumes/distances.  If a mix-channel seed ever fails
+# at −80 dBFS with mix_channel_edge=False, check this assumption first.
 PAN_EDGE_MONITOR = {"min_abs_1pd": np.inf, "min_vol": np.inf}
 
 

@@ -323,6 +323,18 @@ def mix_block(
             "gated off (needs biquad_method='pallas', no mix-channel mode, "
             "no effect chains)"
         )
+    if doppler_wrow != 128 and not (
+        resample_gather == "kernel" and not unit_pitch_aligned
+    ):
+        # explicit knobs that gate off must RAISE (CLAUDE.md family rule):
+        # kernel_wrow is consumed only by the kernel resample path, and a
+        # silently ignored A/B knob measures a program against itself
+        raise ValueError(
+            "doppler_wrow != 128 requested but the kernel resample path is "
+            "not active (needs resample_gather='kernel' and variable "
+            f"pitch; got resample_gather={resample_gather!r}, "
+            f"unit_pitch_aligned={unit_pitch_aligned})"
+        )
     planar_split = planar_base and not fused_bus_env
     planar_bus = planar_base and fused_bus_env
     frames, mixed, nidx, nfrac = resample_block(

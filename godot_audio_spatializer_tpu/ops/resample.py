@@ -100,6 +100,14 @@ def build_bank(
         chunks.append(body)
         pos += body.shape[0]
     bank = np.concatenate(chunks, axis=0) if chunks else np.zeros((align, 2), np.float32)
+    # total length padded to a 512 multiple (lcm of the supported
+    # kernel_wrow widths) so the wide-window regroup is a pure reshape —
+    # a trace-time pad would copy the WHOLE bank in HBM just to append
+    # these few rows.  The pad rows sit beyond every clip's margin, so
+    # they are only ever gathered as masked/unselected window slack.
+    tpad = (-bank.shape[0]) % 512
+    if tpad:
+        bank = np.concatenate([bank, np.zeros((tpad, 2), bank.dtype)])
     if np.dtype(dtype) == np.int16:
         bank = np.clip(np.round(bank * 32767.0), -32768, 32767).astype(np.int16)
     return bank, bases

@@ -14,5 +14,12 @@ set -e
 cd "$(dirname "$0")"
 S1=$(ls tests/test_*.py | awk '$0 <  "tests/test_parallel.py"')
 S2=$(ls tests/test_*.py | awk '$0 >= "tests/test_parallel.py"')
-python -m pytest $S1 -q "$@"
-python -m pytest $S2 -q "$@"
+stage() {
+  # exit code 5 = "no tests collected" — fine for a stage when a -k/-m
+  # filter only matches the other stage
+  rc=0
+  python -m pytest "$@" -q || rc=$?
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 5 ]; then exit "$rc"; fi
+}
+stage $S1 "$@"
+stage $S2 "$@"

@@ -579,3 +579,56 @@ def test_tree_pause_notifications():
     eng2.render_block()
     eng2.set_tree_paused(False)
     assert p2.stream_paused is False
+
+
+def test_tree_pause_defers_plays():
+    """play() while the tree is paused must stay SILENT until unpause —
+    the reference's setplay is consumed by physics processing, which a
+    paused pausable node doesn't run (cpp:74-116)."""
+    eng, player = _mk()
+    eng.set_tree_paused(True)
+    player.set_playback_parameter("parameters/looping", True)
+    player.play()
+    assert player.is_playing()  # queued — mirrors setplay >= 0
+    for _ in range(2):
+        eng.physics_step()
+        b = eng.render_block()
+        assert float((b ** 2).mean()) == 0.0, "audible during tree pause"
+    assert not player.slots  # no voice started
+    eng.set_tree_paused(False)
+    eng.physics_step()
+    b = eng.render_block()
+    assert float((b ** 2).mean()) > 1e-8, "deferred play never started"
+    # a player with process_mode='always' plays immediately during pause
+    eng2, p2 = _mk()
+    eng2.set_tree_paused(True)
+    p2.process_mode = "always"
+    p2.set_playback_parameter("parameters/looping", True)
+    p2.play()
+    eng2.physics_step()
+    assert float((eng2.render_block() ** 2).mean()) > 1e-8
+    # stop() while deferred cancels the queued play
+    eng3, p3 = _mk()
+    eng3.set_tree_paused(True)
+    p3.play()
+    p3.stop()
+    eng3.set_tree_paused(False)
+    eng3.physics_step()
+    assert float((eng3.render_block() ** 2).mean()) == 0.0
+
+
+def test_doppler_wrow_gated_off_raises():
+    """An explicit doppler_wrow on a non-kernel resample path must raise,
+    not silently no-op (the trace-cache A/B trap family rule)."""
+    import pytest as _pytest
+
+    from godot_audio_spatializer_tpu.constants import SpeakerMode
+    from godot_audio_spatializer_tpu.engine.offline import render_trajectory
+    from godot_audio_spatializer_tpu.utils.benchscene import build_bench_scene
+
+    args = build_bench_scene(8, 2, 512, 48000.0, doppler=True, seed=3)
+    with _pytest.raises(ValueError, match="doppler_wrow"):
+        render_trajectory(
+            *args, speaker_mode=SpeakerMode.STEREO, mix_rate=48000.0,
+            frame_count=512, resample_gather="xla", doppler_wrow=256,
+        )

@@ -7,8 +7,8 @@ per-step collective volumes of `_step_impl(axis_name=...)`
 (parallel/streaming.py):
 
   * all_gather of the per-player Stage A lanes (SpatializeResult),
-  * 3× pmax of the sibling volume-ramp pool,
-  * ONE psum of the [B,4,F,2] bus input — the only bulk inter-chip hop,
+  * ONE pmax of the packed sibling volume-ramp pool [P, 2·B·8+1],
+  * ONE psum of the [B,4,F,2] bus input,
   * all_gather of the [N] active flags.
 
 Byte counts are computed from the live pytree shapes (exact — the specs
@@ -92,16 +92,20 @@ def characterize(n_sources, n_devices):
         )
     )
     stage_a_bytes = tree_bytes(result)
-    # sibling-pool pmax: sib_prev/sib_targ [P,4,2] f32 + has_sib [P] bool
+    # sibling-pool pmax: ONE packed segment-max result [P, 2K+1] f32 with
+    # K = B·8 (srv_prev/srv_target are [N, B, 4, 2] per lane — the dense
+    # per-bus server volumes, flattened)
     pl_lanes = result.mix_volumes.shape[0]
-    sib_bytes = 2 * pl_lanes * 8 * 4 + pl_lanes
+    sib_bytes = pl_lanes * (2 * B * 8 + 1) * 4
     bus_psum_bytes = B * 4 * F * 2 * 4
     act_bytes = N  # bool flags
     ag_bytes = stage_a_bytes + act_bytes
 
-    # ring-model on-wire bytes per chip per step
-    wire = (D - 1) / D * (ag_bytes + sib_bytes) + 2 * (D - 1) / D * (
-        bus_psum_bytes
+    # ring-model on-wire bytes per chip per step: all_gather moves
+    # (D−1)/D·bytes; pmax and psum are all-reduces (reduce-scatter +
+    # all-gather) at 2(D−1)/D·bytes
+    wire = (D - 1) / D * ag_bytes + 2 * (D - 1) / D * (
+        sib_bytes + bus_psum_bytes
     ) if D > 1 else 0.0
     return {
         "devices": D,
