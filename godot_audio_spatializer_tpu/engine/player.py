@@ -413,6 +413,7 @@ class AudioStreamPlayerSpatial:
             return
         if self.spatializer is not None:
             self._pending_plays.clear()
+            self._tree_deferred_plays.clear()
             self._pending_stop = True
             self.engine._note_event(self)
         self._freed = True

@@ -358,6 +358,24 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
                 m = choices[int(srng.integers(len(choices)))]
                 engine_schedule[b].append(("smode", m))
                 cur = m
+    # "tpause" = SceneTree pause broadcast (NOTIFICATION_PAUSED/UNPAUSED,
+    # audio_stream_player_spatial.cpp:99-116): every pausable node's
+    # stream pauses; plays issued DURING the pause defer to the unpause
+    # flush (the reference's setplay waits for a processing tick the
+    # paused node never runs); the unpause is the no-state-memory
+    # set_stream_paused(false) — it also resumes manually-paused nodes.
+    # Drawn AFTER the smode draws so previously pinned seeds keep their
+    # smode schedules.
+    if srng.random() < 0.30:
+        tp = False
+        for b in range(1, n_blocks):
+            if srng.random() < 0.08:
+                tp = not tp
+                engine_schedule[b].append(("tpause", tp))
+        if tp and n_blocks > 4:
+            # end unpaused more often than not: the post-pause resume is
+            # where the deferred-play interactions live
+            engine_schedule[n_blocks - 4].append(("tpause", False))
 
     return dict(
         seed=seed,
@@ -569,13 +587,32 @@ def run_golden(sc: dict) -> np.ndarray:
         )
     eng_sched = sc.get("engine_schedule") or [[]] * sc["n_blocks"]
     blocks = []
+    # SceneTree pause twin state: engine-side plays DEFER while the tree
+    # is paused (player.play() queues to _tree_deferred_plays) and flush
+    # at the unpause broadcast — mirrored here by stashing play events
+    # and prepending the released plays to the sim's next event list
+    tree_paused = False
+    tree_deferred = [[] for _ in sims]
     for b in range(sc["n_blocks"]):
+        released = [[] for _ in sims]
         # engine-level events first (the engine applies them before the
         # physics tick): live speaker-mode switch = init_channels_and_buffers
         # (reference cpp:172-216) — new proxies register at the LAST tick's
         # bus map, dropped proxies stop, instances re-read the new mode
         for ev in eng_sched[b]:
-            if ev[0] == "smode":
+            if ev[0] == "tpause":
+                tree_paused = ev[1]
+                for pi, sim in enumerate(sims):
+                    if sim.freed:
+                        continue
+                    # pause_tree/unpause_tree = the per-proxy AudioServer
+                    # pause the "pause"/"unpause" events already mirror;
+                    # the unpause additionally flushes deferred plays
+                    sim.server.set_playback_paused(sim.inst, tree_paused)
+                    if not tree_paused and tree_deferred[pi]:
+                        released[pi].extend(tree_deferred[pi])
+                        tree_deferred[pi] = []
+            elif ev[0] == "smode":
                 new_mode = ev[1]
                 server.speaker_mode = new_mode
                 for sim in sims:
@@ -609,7 +646,48 @@ def run_golden(sc: dict) -> np.ndarray:
         for pi, sim in enumerate(sims):
             if sim.freed:
                 continue  # freed players take no further ticks
-            sim.tick(sc["players"][pi]["traj"][b], sc["schedule"][b][pi])
+            sched = sc["schedule"][b][pi]
+            if tree_paused or released[pi]:
+                # mirror the engine's pending-queue semantics: deferred/
+                # flushed plays live in a queue that a same-tick stop/
+                # seek/free clears, and within one engine tick stops act
+                # on EXISTING voices before pending plays start fresh
+                # lanes — so non-play events keep their order and the
+                # surviving queue appends as trailing plays
+                pend = list(released[pi])
+                out = []
+                for ev in sched:
+                    k = ev[0]
+                    if k == "play":
+                        if tree_paused:
+                            tree_deferred[pi].append(ev[1])
+                        else:
+                            pend.append(ev[1])
+                    elif k == "stop":
+                        pend = []
+                        tree_deferred[pi] = []
+                        out.append(ev)
+                    elif k == "seek":
+                        # engine seek(): no-op unless is_playing(), which
+                        # counts voices AND queued plays; else stop +
+                        # re-queued play at the seek position
+                        if sim.voices or pend or tree_deferred[pi]:
+                            out.append(("stop",))
+                            pend = []
+                            if tree_paused:
+                                tree_deferred[pi] = [ev[1]]
+                            else:
+                                pend = [ev[1]]
+                    elif k == "free":
+                        pend = []
+                        tree_deferred[pi] = []
+                        out.append(ev)
+                    else:
+                        out.append(ev)
+                evs = out + [("play", pos) for pos in pend]
+            else:
+                evs = sched
+            sim.tick(sc["players"][pi]["traj"][b], evs)
         blocks.append(server.mix_block())
         # proxy teardown when the playback list empties during an unpaused
         # mix (reference _manage_playback_state, audio_spatializer.cpp:484-491)
@@ -696,6 +774,8 @@ def run_engine(sc: dict, mesh=None) -> np.ndarray:
         for ev in eng_sched[b]:
             if ev[0] == "smode":
                 eng.set_speaker_mode(ev[1])
+            elif ev[0] == "tpause":
+                eng.set_tree_paused(ev[1])
         # live writes on the SAME desc objects the engine registered —
         # the per-tick re-pack must pick them up (device-resident scene
         # cache re-uploads on byte change)
