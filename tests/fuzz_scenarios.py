@@ -701,7 +701,7 @@ def run_golden(sc: dict) -> np.ndarray:
     return _cat_blocks(blocks)
 
 
-def run_engine(sc: dict, mesh=None) -> np.ndarray:
+def run_engine(sc: dict, mesh=None, fused: bool = False) -> np.ndarray:
     eng = AudioEngine(
         mix_rate=MIX_RATE,
         block_size=F,
@@ -825,8 +825,12 @@ def run_engine(sc: dict, mesh=None) -> np.ndarray:
                     pl.spatializer.playback_disable_threshold_db = ev[1]
                 elif kind == "free":
                     pl.free()
-        eng.physics_step()
-        blocks.append(eng.render_block())
+        if fused:
+            # the flagship interactive path: one fused tick+mix dispatch
+            blocks.append(eng.step())
+        else:
+            eng.physics_step()
+            blocks.append(eng.render_block())
     return _cat_blocks(blocks)
 
 
@@ -840,14 +844,16 @@ def make_fuzz_mesh():
     return pm.make_source_mesh(jax.devices()[:8])
 
 
-def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False) -> dict:
+def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
+                 fused: bool = False) -> dict:
     sc = make_scenario(seed, n_blocks)
     # arm the golden panner's knife-edge monitor for THIS scenario (the
     # goldens run serially, so module state is safe)
     g.PAN_EDGE_MONITOR["min_abs_1pd"] = np.inf
     g.PAN_EDGE_MONITOR["min_vol"] = np.inf
     ref = run_golden(sc)
-    got = run_engine(sc, mesh=make_fuzz_mesh() if mesh else None)
+    got = run_engine(sc, mesh=make_fuzz_mesh() if mesh else None,
+                     fused=fused)
     c = ref.shape[0]
     err = float(np.abs(got[:c] - ref).max())
     peak = float(np.abs(ref).max())

@@ -55,6 +55,19 @@ def test_fuzz_scenario_parity(seed):
     assert r["ok"], r
 
 
+@pytest.mark.parametrize("seed", [0, 45, 310])
+def test_fuzz_scenario_parity_fused_step(seed):
+    """The FUSED interactive path (AudioEngine.step(), the flagship
+    single-dispatch program) must pass the same golden-parity fuzz as the
+    split physics_step()/render_block() path — full event grammar incl.
+    smode switches, tree-pause broadcasts with deferred-play flushes,
+    free()/GC and doppler voices.  Errors measured bit-identical to the
+    split path on these seeds (310's flip-class error included)."""
+    r = fs.run_scenario(seed, fused=True)
+    assert not r["silent"], r
+    assert r["ok"], r
+
+
 @pytest.mark.parametrize("seed", [0, 45])
 def test_fuzz_scenario_parity_mesh(seed):
     """The SHARDED streaming engine (AudioEngine(mesh=...)) must pass the
