@@ -68,14 +68,15 @@ def test_fuzz_scenario_parity_fused_step(seed):
     assert r["ok"], r
 
 
-@pytest.mark.parametrize("seed", [0, 45])
+@pytest.mark.parametrize("seed", [0, 45, 305])
 def test_fuzz_scenario_parity_mesh(seed):
     """The SHARDED streaming engine (AudioEngine(mesh=...)) must pass the
     same golden-parity fuzz as the single-device path: the full lifecycle
     schedule (play/stop/pause/seek/free, live resource and player-prop
     edits, live speaker-mode switches) runs against the 8-virtual-device
     shard_map step program.  Seed 0 carries smode events + per-channel
-    pause; seed 45 carries the pause-after-finish GC edge."""
+    pause; seed 45 carries the pause-after-finish GC edge; seed 305
+    carries tree-pause broadcasts with deferred-play flushes."""
     r = fs.run_scenario(seed, mesh=True)
     assert not r["silent"], r
     assert r["ok"], r
