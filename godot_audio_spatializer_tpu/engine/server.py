@@ -2217,6 +2217,11 @@ class AudioEngine:
         arrays["slot_pp_end"] = self._slot_pp_end
         arrays["slot_pitch_fp_bound"] = self._slot_pitch_fp_bound
         arrays["slot_threshold_db"] = self._slot_threshold_db
+        # per-proxy pause flags + the SceneTree pause state are part of
+        # the carried audio state: a checkpoint taken mid-pause must
+        # resume PAUSED (frozen cursors stay frozen)
+        arrays["slot_paused"] = self._slot_paused
+        arrays["tree_paused"] = np.bool_(self._tree_paused)
         # a live set_speaker_mode may have changed the channel-shaped
         # state since construction — record the mode the leaves belong to
         arrays["speaker_mode"] = np.int64(int(self.speaker_mode))
@@ -2262,9 +2267,12 @@ class AudioEngine:
             ("slot_loop_begin", "_slot_loop_begin"),
             ("slot_pp_end", "_slot_pp_end"),
             ("slot_threshold_db", "_slot_threshold_db"),
+            ("slot_paused", "_slot_paused"),
         ):
             if key in data:
                 setattr(self, attr, data[key])
+        if "tree_paused" in data:
+            self._tree_paused = bool(data["tree_paused"])
         self._free_slots = [
             s for s in range(self.max_sources - 1, -1, -1)
             if self.slot_player[s] < 0

@@ -49,6 +49,36 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_checkpoint_resume_paused(tmp_path):
+    """A checkpoint taken while PAUSED (manual + tree pause) must resume
+    paused: frozen cursors stay frozen, and the loaded engine reports the
+    tree state (the pause lanes are carried audio state)."""
+    eng, player = _engine_with_player()
+    player.play()
+    for _ in range(2):
+        eng.physics_step()
+        eng.render_block()
+    player.set_stream_paused(True)
+    eng.physics_step()
+    eng.render_block()  # ramp-out block — now fully frozen
+    eng.set_tree_paused(True)
+    ckpt = str(tmp_path / "paused.npz")
+    eng.save_state(ckpt)
+
+    eng2, player2 = _engine_with_player()
+    player2.play()
+    eng2.physics_step()
+    eng2.load_state(ckpt)
+    eng2._block_params = eng._block_params
+    assert eng2._tree_paused is True
+    b = eng2.render_block()
+    assert float(np.abs(b).max()) == 0.0, "resumed PAUSED state must be silent"
+    # cursor stays frozen across resumed blocks
+    c0 = np.asarray(eng2.mix_state.cursor_idx).copy()
+    eng2.render_block()
+    np.testing.assert_array_equal(c0, np.asarray(eng2.mix_state.cursor_idx))
+
+
 def test_metrics():
     eng, player = _engine_with_player()
     player.play()
