@@ -46,14 +46,27 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """The cached .so predates the source — honor the Makefile's
+    dependency so an edited gas_runtime.cpp can't silently keep loading
+    the old binary."""
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "gas_runtime.cpp"))
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
+    if _lib is not None:  # lock-free fast path: called per block on the
+        return _lib       # realtime consumer thread (meter/ring)
     with _lock:
         if _lib is not None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
             _build_failed = True
             return None
         try:
@@ -137,7 +150,13 @@ class FrameRing:
 
     def write(self, frames: np.ndarray) -> int:
         frames = np.ascontiguousarray(frames, np.float32)
-        assert frames.ndim == 2 and frames.shape[1] == self.channels
+        if frames.ndim != 2 or frames.shape[1] != self.channels:
+            # a real raise, not `assert`: under python -O a shape mismatch
+            # would memcpy past the numpy allocation in gas_ring_write
+            raise ValueError(
+                f"FrameRing.write expects [N, {self.channels}] frames, "
+                f"got {frames.shape}"
+            )
         return self._lib.gas_ring_write(self._h, _fptr(frames), frames.shape[0])
 
     def read(self, n: int, fill_silence: bool = True) -> Tuple[np.ndarray, int]:
@@ -222,6 +241,10 @@ def write_wav_native(path: str, frames: np.ndarray, sample_rate: int) -> None:
     frames = np.ascontiguousarray(frames, np.float32)
     if frames.ndim == 1:
         frames = frames[:, None]
+    # match the pure-Python fallback, which creates missing parent dirs
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
     rc = lib.gas_wav_write(
         path.encode(), _fptr(frames), frames.shape[0], frames.shape[1],
         int(sample_rate),

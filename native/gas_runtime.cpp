@@ -188,6 +188,40 @@ struct FmtChunk {
 };
 #pragma pack(pop)
 
+// Scan RIFF chunks for fmt + data.  Handles the RIFF pad byte after
+// odd-sized chunks (a DAW metadata chunk with odd length would otherwise
+// misalign every later read) and resolves WAVE_FORMAT_EXTENSIBLE
+// (0xFFFE) to the real format tag carried in the SubFormat GUID.
+// Leaves the file positioned at the start of the data payload.
+static int scan_wav(FILE* f, FmtChunk* fmt, uint32_t* data_size) {
+  ChunkHeader ch;
+  while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
+    uint32_t advance = ch.size + (ch.size & 1);  // odd chunks carry a pad
+    if (!std::memcmp(ch.id, "fmt ", 4)) {
+      uint32_t take = sizeof(FmtChunk) < ch.size ? (uint32_t)sizeof(FmtChunk)
+                                                 : ch.size;
+      if (std::fread(fmt, take, 1, f) != 1) return -2;
+      if (fmt->format == 0xFFFE && ch.size >= sizeof(FmtChunk) + 24) {
+        // extensible header: cbSize(2) + valid_bits(2) + channel_mask(4)
+        // then the 16-byte SubFormat GUID whose first uint16 is the
+        // actual format tag (1 = PCM, 3 = IEEE float)
+        uint8_t ext[10];
+        if (std::fread(ext, sizeof(ext), 1, f) == 1) {
+          fmt->format = (uint16_t)(ext[8] | (ext[9] << 8));
+          take += (uint32_t)sizeof(ext);
+        }
+      }
+      if (advance > take) std::fseek(f, (long)(advance - take), SEEK_CUR);
+    } else if (!std::memcmp(ch.id, "data", 4)) {
+      *data_size = ch.size;
+      return 0;
+    } else {
+      std::fseek(f, (long)advance, SEEK_CUR);
+    }
+  }
+  return -3;
+}
+
 // Probe a wav file: returns 0 on success and fills frames/channels/rate.
 int gas_wav_info(const char* path, uint64_t* frames, uint32_t* channels,
                  uint32_t* rate) {
@@ -201,18 +235,7 @@ int gas_wav_info(const char* path, uint64_t* frames, uint32_t* channels,
   }
   FmtChunk fmt{};
   uint32_t data_size = 0;
-  ChunkHeader ch;
-  while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
-    if (!std::memcmp(ch.id, "fmt ", 4)) {
-      std::fread(&fmt, sizeof(fmt) < ch.size ? sizeof(fmt) : ch.size, 1, f);
-      if (ch.size > sizeof(fmt)) std::fseek(f, ch.size - sizeof(fmt), SEEK_CUR);
-    } else if (!std::memcmp(ch.id, "data", 4)) {
-      data_size = ch.size;
-      break;
-    } else {
-      std::fseek(f, ch.size, SEEK_CUR);
-    }
-  }
+  scan_wav(f, &fmt, &data_size);
   std::fclose(f);
   if (!fmt.channels || !fmt.bits || !data_size) return -3;
   *frames = data_size / (fmt.channels * (fmt.bits / 8));
@@ -227,22 +250,17 @@ int gas_wav_read(const char* path, float* out, uint64_t max_frames) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   WavHeader h;
-  std::fread(&h, sizeof(h), 1, f);
+  if (std::fread(&h, sizeof(h), 1, f) != 1 || std::memcmp(h.riff, "RIFF", 4) ||
+      std::memcmp(h.wave, "WAVE", 4)) {
+    std::fclose(f);
+    return -2;
+  }
   FmtChunk fmt{};
   uint32_t data_size = 0;
-  ChunkHeader ch;
-  while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
-    if (!std::memcmp(ch.id, "fmt ", 4)) {
-      std::fread(&fmt, sizeof(fmt) < ch.size ? sizeof(fmt) : ch.size, 1, f);
-      if (ch.size > sizeof(fmt)) std::fseek(f, ch.size - sizeof(fmt), SEEK_CUR);
-    } else if (!std::memcmp(ch.id, "data", 4)) {
-      data_size = ch.size;
-      break;
-    } else {
-      std::fseek(f, ch.size, SEEK_CUR);
-    }
-  }
-  if (!data_size) {
+  scan_wav(f, &fmt, &data_size);
+  // validate like gas_wav_info — a data chunk with no/zeroed fmt chunk
+  // must fail, not divide by zero below
+  if (!fmt.channels || !fmt.bits || !data_size) {
     std::fclose(f);
     return -3;
   }
