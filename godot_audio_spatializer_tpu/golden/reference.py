@@ -144,6 +144,18 @@ def stereo_pan(source_dir: np.ndarray, pan_strength: float) -> np.ndarray:
 # at −80 dBFS with mix_channel_edge=False, check this assumption first.
 PAN_EDGE_MONITOR = {"min_abs_1pd": np.inf, "min_vol": np.inf}
 
+# Companion monitor for the doppler fixed-point flip class: the cursor
+# step is round(f32(pitch)·65536) and the engine's all-f32 doppler chain
+# can differ from this oracle's f64-chain-then-f32-cast by a few ulp
+# (~0.012 fp units at pitch≈1.5) — when the product lands within that
+# distance of a rounding boundary (x.5), the two sides can flip the step
+# and diverge by a cursor-phase error that scales with signal slope and
+# the number of same-pitch voices (fuzz seed 394: three coherent voices,
+# −30 dB for one block).  Parity at the flip is ill-defined between any
+# two float builds; the fuzz widens its doppler budget only when a mixed
+# tick came within `min_boundary` < a few ulp of the boundary.
+PITCH_EDGE_MONITOR = {"min_boundary": np.inf}
+
 
 class SpeakerPlacementConfiguration:
     """SPCAP panner (reference audio_spatializer_3d.cpp:903-938)."""
@@ -824,7 +836,11 @@ class BufferStream:
         # and flips the fixed-point step when f32 collapses the product
         # onto a half-integer (fuzz seed 192: pitch 1.5204849... → f64
         # round 99647 vs f32 half-even 99646, a cursor-phase drift)
-        pitch_fp = int(np.round(np.float32(pitch_scale) * np.float32(FP_LEN)))
+        x = float(np.float32(pitch_scale) * np.float32(FP_LEN))
+        PITCH_EDGE_MONITOR["min_boundary"] = min(
+            PITCH_EDGE_MONITOR["min_boundary"], abs(x - math.floor(x) - 0.5)
+        )
+        pitch_fp = int(np.round(np.float32(x)))
         s = self.data.shape[0]
         b = self.loop_begin
         span = max(s - b, 1)

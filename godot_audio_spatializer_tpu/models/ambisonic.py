@@ -24,10 +24,11 @@ from ..ops.ambisonic import (
 )
 from ..ops.attenuation import attenuation_multiplier
 from ..ops.geometry import SceneState, SourceParams
-from ..ops.hrtf import fft_size_for
+from ..ops.hrtf import as_complex, conv_sum_mxu, fft_size_for
 from ..ops.mix import SampleBank
 from ..ops.resample import quantize_pitch, resample_block
-from ..utils.dsp import db_to_linear, safe_normalize
+from ..constants import DOPPLER_PITCH_MAX, DOPPLER_PITCH_MIN
+from ..utils.dsp import safe_normalize
 from .hrtf import HrtfDatabase
 
 
@@ -120,7 +121,9 @@ def ambisonic_geometry(
         params.doppler_speed_of_sound + lv_n * appr
     )
     pitch = jnp.where(
-        params.doppler_enabled, jnp.clip(pitch, 1.0 / 8.0, 8.0), params.pitch_scale
+        params.doppler_enabled,
+        jnp.clip(pitch, DOPPLER_PITCH_MIN, DOPPLER_PITCH_MAX),
+        params.pitch_scale,
     )
     return weights, gain, pitch
 
@@ -137,8 +140,12 @@ def ambisonic_mix_block(
     frame_count: int,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    max_pitch: float = 8.0,
 ):
     """One ambisonic audio block from precomputed geometry.
+
+    `max_pitch` must match the bank's build_bank bound (it sizes the
+    resample window AND clamps pitch — same contract as the engine).
 
     Returns (state, out [F,2], sh [K,F])."""
     F = frame_count
@@ -148,8 +155,12 @@ def ambisonic_mix_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), F,
         unit_pitch_aligned=unit_pitch_aligned, gather_method=resample_gather,
+        max_pitch=max_pitch,
     )
-    mono = frames.mean(axis=2)  # [N,F]
+    # inactive lanes are fully silent — NOT a prev_gain fade-out over
+    # frozen-cursor frames, which would replay the same samples again as
+    # a fade-in at reactivation (the HRTF twin zeroes identically)
+    mono = jnp.where(state.active[:, None], frames.mean(axis=2), 0.0)
     t = jnp.arange(F, dtype=jnp.float32) / jnp.float32(F)
     g = state.prev_gain[:, None] * (1.0 - t)[None, :] + gain[:, None] * t[None, :]
     mono = mono * g
@@ -162,8 +173,6 @@ def ambisonic_mix_block(
     #    K SH channels + shear-reshape diagonal sum (conv_sum_mxu) — no
     #    FFTs, no complex intermediates;
     #  * spectra [K, 2, M/2+1(, 2)] -> overlap-save over K channels.
-    from ..ops.hrtf import as_complex, conv_sum_mxu
-
     seg = jnp.concatenate([state.sh_tail, sh], axis=1)  # [K, T-1+F]
     time_domain = (
         not jnp.iscomplexobj(decoder_fft)
@@ -200,6 +209,7 @@ def ambisonic_engine_step(
     frame_count: int,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    max_pitch: float = 8.0,
 ):
     """One binaural block via the SH field.  Returns (state, out [F,2], sh [K,F])."""
     weights, gain, pitch = ambisonic_geometry(scene, params, order=order)
@@ -207,6 +217,7 @@ def ambisonic_engine_step(
         state, weights, gain, pitch, bank, decoder_fft,
         taps=taps, frame_count=frame_count,
         unit_pitch_aligned=unit_pitch_aligned, resample_gather=resample_gather,
+        max_pitch=max_pitch,
     )
 
 
@@ -214,7 +225,7 @@ def ambisonic_engine_step(
     jax.jit,
     static_argnames=(
         "order", "taps", "frame_count", "collect", "unit_pitch_aligned",
-        "resample_gather", "scan_unroll",
+        "resample_gather", "scan_unroll", "max_pitch",
     ),
 )
 def render_ambisonic_trajectory(
@@ -233,6 +244,7 @@ def render_ambisonic_trajectory(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
     scan_unroll: int = 1,
+    max_pitch: float = 8.0,
 ):
     def geom(pos, vel):
         scene = scene0.replace(source_pos=pos, source_vel=vel)
@@ -248,6 +260,7 @@ def render_ambisonic_trajectory(
             taps=taps, frame_count=frame_count,
             unit_pitch_aligned=unit_pitch_aligned,
             resample_gather=resample_gather,
+            max_pitch=max_pitch,
         )
         return st, (out if collect else jnp.sum(out * out))
 

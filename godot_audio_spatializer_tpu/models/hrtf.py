@@ -30,9 +30,10 @@ from ..ops.hrtf import (
     make_hrtf_state,
     render_hrtf_block,
 )
+from ..constants import DB_TO_LINEAR_SCALE, DOPPLER_PITCH_MAX, DOPPLER_PITCH_MIN
 from ..ops.mix import SampleBank
 from ..ops.resample import quantize_pitch, resample_block
-from ..utils.dsp import db_to_linear
+from ..utils.dsp import safe_normalize
 
 
 class HrtfDatabase:
@@ -48,6 +49,21 @@ class HrtfDatabase:
         self.sample_rate = sample_rate
         self._fft_cache = {}
         self._impulse_cache = None
+        # closed-form nearest-index needs the canonical regular grids;
+        # any other direction table (from_array with a measured set's own
+        # grid) falls back to an explicit table search — using the
+        # closed form there would silently select wrong HRIRs
+        self._az_uniform = bool(
+            np.allclose(
+                azimuths,
+                np.linspace(-np.pi, np.pi, self.n_az, endpoint=False),
+            )
+        )
+        steps = np.diff(np.asarray(elevations, np.float64))
+        self._el_uniform = self.n_el == 1 or (
+            steps.size > 0 and bool(np.allclose(steps, steps[0]))
+        )
+        self._el_step = float(steps[0]) if steps.size else 1.0
 
     @staticmethod
     def from_array(hrirs: np.ndarray, azimuths, elevations, sample_rate: float):
@@ -58,7 +74,8 @@ class HrtfDatabase:
 
     @staticmethod
     def from_sofa(path: str, taps: int = 128, n_az: int = 72, n_el: int = 14,
-                  el_range=(-math.pi / 4, math.pi / 2)) -> "HrtfDatabase":
+                  el_range=(-math.pi / 4, math.pi / 2),
+                  mix_rate: float = None) -> "HrtfDatabase":
         """Load a MEASURED HRIR set from a SOFA file (e.g. the MIT KEMAR
         dump) — SOFA is an HDF5 container, read via h5py.
 
@@ -76,6 +93,22 @@ class HrtfDatabase:
             ir = np.asarray(f["Data.IR"], np.float64)  # [M, 2, N]
             sr = float(np.asarray(f["Data.SamplingRate"]).ravel()[0])
             pos = np.asarray(f["SourcePosition"], np.float64)  # [M, 3]
+        if mix_rate is not None and abs(mix_rate - sr) > 1e-3 * sr:
+            # measured sets commonly ship at 44.1 kHz; rendering them
+            # unresampled at another mix rate shifts every spectral cue
+            # and shortens ITDs by the rate ratio — resample the IRs on
+            # the host (linear interp; the IRs are smooth at these rates)
+            n_old = ir.shape[-1]
+            t_new = np.arange(int(round(n_old * mix_rate / sr)))
+            t_old = t_new * (sr / mix_rate)
+            ir = np.stack(
+                [
+                    [np.interp(t_old, np.arange(n_old), ir[m, e])
+                     for e in range(ir.shape[1])]
+                    for m in range(ir.shape[0])
+                ]
+            )
+            sr = float(mix_rate)
         az_m = -np.deg2rad(pos[:, 0])  # SOFA CCW → +right
         az_m = np.mod(az_m + np.pi, 2 * np.pi) - np.pi
         el_m = np.deg2rad(pos[:, 1])
@@ -201,29 +234,57 @@ class HrtfDatabase:
 
     def nearest_index_np(self, az, el):
         """Host-side (numpy) nearest-index twin for decoder design."""
-        az_step = 2 * math.pi / self.n_az
-        ai = np.mod(np.round((np.asarray(az) + math.pi) / az_step).astype(np.int64), self.n_az)
-        el0 = float(self.elevations[0])
-        el_step = float(self.elevations[1] - self.elevations[0])
-        ei = np.clip(
-            np.round((np.asarray(el) - el0) / el_step).astype(np.int64), 0, self.n_el - 1
+        az = np.asarray(az)
+        el = np.asarray(el)
+        if self._az_uniform and self._el_uniform:
+            az_step = 2 * math.pi / self.n_az
+            ai = np.mod(
+                np.round((az + math.pi) / az_step).astype(np.int64), self.n_az
+            )
+            el0 = float(self.elevations[0])
+            ei = np.clip(
+                np.round((el - el0) / self._el_step).astype(np.int64),
+                0, self.n_el - 1,
+            )
+            return ei * self.n_az + ai
+        # table-faithful nearest for irregular grids (wrap-aware azimuth)
+        d_az = np.abs(
+            np.mod(az[..., None] - np.asarray(self.azimuths) + np.pi,
+                   2 * np.pi) - np.pi
         )
+        ai = np.argmin(d_az, axis=-1)
+        ei = np.argmin(np.abs(el[..., None] - np.asarray(self.elevations)), axis=-1)
         return ei * self.n_az + ai
 
     def nearest_index(self, az, el):
-        """Nearest grid HRIR for (az, el) radians — jit-safe."""
-        az_step = 2 * math.pi / self.n_az
-        ai = jnp.mod(jnp.round((az + math.pi) / az_step).astype(jnp.int32), self.n_az)
-        el0 = float(self.elevations[0])
-        el_step = float(self.elevations[1] - self.elevations[0])
-        ei = jnp.clip(
-            jnp.round((el - el0) / el_step).astype(jnp.int32), 0, self.n_el - 1
+        """Nearest grid HRIR for (az, el) radians — jit-safe.
+
+        Closed form on the canonical regular grid; explicit wrap-aware
+        table search otherwise (a measured set loaded via from_array may
+        carry its own direction table)."""
+        if self._az_uniform and self._el_uniform:
+            az_step = 2 * math.pi / self.n_az
+            ai = jnp.mod(
+                jnp.round((az + math.pi) / az_step).astype(jnp.int32), self.n_az
+            )
+            el0 = float(self.elevations[0])
+            ei = jnp.clip(
+                jnp.round((el - el0) / self._el_step).astype(jnp.int32),
+                0, self.n_el - 1,
+            )
+            return ei * self.n_az + ai
+        az_t = jnp.asarray(np.asarray(self.azimuths, np.float32))
+        el_t = jnp.asarray(np.asarray(self.elevations, np.float32))
+        d_az = jnp.abs(
+            jnp.mod(az[..., None] - az_t + jnp.pi, 2 * jnp.pi) - jnp.pi
         )
+        ai = jnp.argmin(d_az, axis=-1).astype(jnp.int32)
+        ei = jnp.argmin(jnp.abs(el[..., None] - el_t), axis=-1).astype(jnp.int32)
         return ei * self.n_az + ai
 
 
 def db_to_linear_np(db: float) -> float:
-    return float(np.exp(db * 0.11512925464970228))
+    return float(np.exp(db * DB_TO_LINEAR_SCALE))
 
 
 @struct.dataclass
@@ -271,16 +332,11 @@ def hrtf_geometry(scene: SceneState, params: SourceParams, db_index_fn):
     rel_vel = scene.source_vel - scene.listener_vel[0][None, :]
     lv = jnp.einsum("ij,ni->nj", rot, rel_vel)
     lv_n = jnp.linalg.norm(lv, axis=-1)
-    ln = jnp.linalg.norm(local, axis=-1)
-    appr = jnp.einsum(
-        "ni,ni->n",
-        local / jnp.where(ln > 0, ln, 1.0)[:, None],
-        lv / jnp.where(lv_n > 0, lv_n, 1.0)[:, None],
-    )
+    appr = jnp.einsum("ni,ni->n", safe_normalize(local), safe_normalize(lv))
     pitch = params.pitch_scale * params.doppler_speed_of_sound / (
         params.doppler_speed_of_sound + lv_n * appr
     )
-    pitch = jnp.clip(pitch, 1.0 / 8.0, 8.0)
+    pitch = jnp.clip(pitch, DOPPLER_PITCH_MIN, DOPPLER_PITCH_MAX)
     pitch = jnp.where(params.doppler_enabled, pitch, params.pitch_scale)
     return idx, gain, pitch
 
@@ -298,18 +354,24 @@ def hrtf_mix_block(
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
     unit_row_width: int = 128,
+    max_pitch: float = 8.0,
 ):
     """One binaural audio block from precomputed geometry.
 
     `unit_row_width` > 128 requires (base + cursor) % unit_row_width == 0
     every block (bank built with build_bank(align=unit_row_width), aligned
     cursors, loop lengths multiples of it); misaligned lanes read silence.
+
+    `max_pitch` must match the bound the bank's margins were built with
+    (build_bank's max_pitch): it sizes the resample window AND clamps the
+    per-lane pitch, so a tighter-margin bank is never read past its
+    per-clip margin (the engine plumbs the same contract).
     """
     frames, mixed, nidx, nfrac = resample_block(
         bank.data, bank.base, bank.length, bank.loop,
         state.cursor_idx, state.cursor_frac, quantize_pitch(pitch), frame_count,
         unit_pitch_aligned=unit_pitch_aligned, gather_method=resample_gather,
-        row_width=unit_row_width,
+        row_width=unit_row_width, max_pitch=max_pitch,
     )
     mono = frames.mean(axis=2)  # [N,F] — HRTF path takes mono sources
     mono = jnp.where(state.active[:, None], mono, 0.0)
@@ -338,6 +400,7 @@ def hrtf_engine_step(
     taps: int,
     unit_pitch_aligned: bool = False,
     resample_gather: str = "xla",
+    max_pitch: float = 8.0,
 ):
     """One binaural block: geometry → resample → HRIR convolve → sum.
 
@@ -347,6 +410,7 @@ def hrtf_engine_step(
         state, idx, gain, pitch, bank, db_h,
         frame_count=frame_count, taps=taps,
         unit_pitch_aligned=unit_pitch_aligned, resample_gather=resample_gather,
+        max_pitch=max_pitch,
     )
 
 
@@ -354,7 +418,7 @@ def hrtf_engine_step(
     jax.jit,
     static_argnames=(
         "frame_count", "taps", "db_index_fn", "unit_pitch_aligned",
-        "resample_gather", "scan_unroll", "unit_row_width",
+        "resample_gather", "scan_unroll", "unit_row_width", "max_pitch",
     ),
 )
 def render_hrtf_trajectory(
@@ -374,6 +438,7 @@ def render_hrtf_trajectory(
     resample_gather: str = "xla",
     scan_unroll: int = 1,
     unit_row_width: int = 128,
+    max_pitch: float = 8.0,
 ):
     """K binaural blocks with moving sources and a rotating head.
 
@@ -400,6 +465,7 @@ def render_hrtf_trajectory(
             unit_pitch_aligned=unit_pitch_aligned,
             resample_gather=resample_gather,
             unit_row_width=unit_row_width,
+            max_pitch=max_pitch,
         )
         return st, out
 

@@ -164,7 +164,14 @@ def render_hrtf_block(
     seg = jnp.concatenate([state.tail, xg], axis=1)  # [N, F+T-1]
 
     if time_domain:
-        assert not per_source, "per_source needs the FFT (spectra) database"
+        if per_source:
+            # a real raise, not `assert` (stripped under python -O, which
+            # would silently return y=None instead of per-source output —
+            # the commit-e0d88fd gate-precondition rule)
+            raise ValueError(
+                "per_source=True needs the FFT (spectra) database; the "
+                "time-domain [D, 2, taps] form only renders the summed mix"
+            )
         hcur = db_h[hrir_idx]  # [N, 2, T]
         hprev = db_h[state.hrir_idx]
         dh = jnp.where(changed[:, None, None], hprev - hcur, 0.0)
@@ -174,49 +181,39 @@ def render_hrtf_block(
         y4 = conv_sum_mxu(seg, rhs, F, taps)  # [4, F]
         out = (y4[:2] + (1.0 - t)[None, :] * y4[2:]).T  # [F, 2]
         y = None
-        if active is not None:
-            new_tail = jnp.where(
-                active[:, None], seg[:, -(taps - 1):], state.tail)
-            new_prev_gain = jnp.where(active, gain, state.prev_gain)
-            new_idx = jnp.where(active, hrir_idx, state.hrir_idx)
+        # falls through to the shared carried-state epilogue below
+    if not time_domain:
+        db_fft = db_h
+        cur_fft = as_complex(db_fft[hrir_idx])  # [N, 2, M/2+1]
+        prev_fft = as_complex(db_fft[state.hrir_idx])
+
+        # one shared forward FFT per source (each has a distinct signal)
+        M = fft_size_for(frame_count, taps)
+        X = jnp.fft.rfft(seg, n=M, axis=1)
+
+        sl = slice(taps - 1, taps - 1 + F)
+        if per_source:
+            y_cur = jnp.fft.irfft(X[:, None, :] * cur_fft, n=M, axis=2)[:, :, sl]
+            y_prev = jnp.fft.irfft(X[:, None, :] * prev_fft, n=M, axis=2)[:, :, sl]
+            xf = t[None, None, :]
+            y = jnp.where(
+                changed[:, None, None], y_prev * (1.0 - xf) + y_cur * xf, y_cur
+            )
+            y = jnp.moveaxis(y, 1, 2)  # [N, F, 2]
+            if active is not None:
+                y = jnp.where(active[:, None, None], y, 0.0)
+            out = y.sum(axis=0)  # [F, 2]
         else:
-            new_tail = seg[:, -(taps - 1):]
-            new_prev_gain = gain
-            new_idx = hrir_idx
-        return out, HrtfState(
-            tail=new_tail, hrir_idx=new_idx, prev_gain=new_prev_gain), y
-
-    db_fft = db_h
-    cur_fft = as_complex(db_fft[hrir_idx])  # [N, 2, M/2+1]
-    prev_fft = as_complex(db_fft[state.hrir_idx])
-
-    # one shared forward FFT per source (each has a distinct signal)
-    M = fft_size_for(frame_count, taps)
-    X = jnp.fft.rfft(seg, n=M, axis=1)
-
-    sl = slice(taps - 1, taps - 1 + F)
-    if per_source:
-        y_cur = jnp.fft.irfft(X[:, None, :] * cur_fft, n=M, axis=2)[:, :, sl]
-        y_prev = jnp.fft.irfft(X[:, None, :] * prev_fft, n=M, axis=2)[:, :, sl]
-        xf = t[None, None, :]
-        y = jnp.where(
-            changed[:, None, None], y_prev * (1.0 - xf) + y_cur * xf, y_cur
-        )
-        y = jnp.moveaxis(y, 1, 2)  # [N, F, 2]
-        if active is not None:
-            y = jnp.where(active[:, None, None], y, 0.0)
-        out = y.sum(axis=0)  # [F, 2]
-    else:
-        Xm = X if active is None else jnp.where(active[:, None], X, 0.0)
-        dH = jnp.where(changed[:, None, None], prev_fft - cur_fft, 0.0)
-        # explicit multiply+reduce (NOT einsum: a complex contraction over
-        # n with an odd 513-point batch axis lowers badly on TPU)
-        Ya = (Xm[:, None, :] * cur_fft).sum(axis=0)
-        Yb = (Xm[:, None, :] * dH).sum(axis=0)
-        ya = jnp.fft.irfft(Ya, n=M, axis=1)[:, sl]  # [2, F]
-        yb = jnp.fft.irfft(Yb, n=M, axis=1)[:, sl]
-        out = (ya + (1.0 - t)[None, :] * yb).T  # [F, 2]
-        y = None
+            Xm = X if active is None else jnp.where(active[:, None], X, 0.0)
+            dH = jnp.where(changed[:, None, None], prev_fft - cur_fft, 0.0)
+            # explicit multiply+reduce (NOT einsum: a complex contraction over
+            # n with an odd 513-point batch axis lowers badly on TPU)
+            Ya = (Xm[:, None, :] * cur_fft).sum(axis=0)
+            Yb = (Xm[:, None, :] * dH).sum(axis=0)
+            ya = jnp.fft.irfft(Ya, n=M, axis=1)[:, sl]  # [2, F]
+            yb = jnp.fft.irfft(Yb, n=M, axis=1)[:, sl]
+            out = (ya + (1.0 - t)[None, :] * yb).T  # [F, 2]
+            y = None
 
     if active is not None:
         new_tail = jnp.where(active[:, None], seg[:, -(taps - 1) :], state.tail)

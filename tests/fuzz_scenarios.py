@@ -851,6 +851,7 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
     # goldens run serially, so module state is safe)
     g.PAN_EDGE_MONITOR["min_abs_1pd"] = np.inf
     g.PAN_EDGE_MONITOR["min_vol"] = np.inf
+    g.PITCH_EDGE_MONITOR["min_boundary"] = np.inf
     ref = run_golden(sc)
     got = run_engine(sc, mesh=make_fuzz_mesh() if mesh else None,
                      fused=fused)
@@ -893,7 +894,22 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
         g.PAN_EDGE_MONITOR["min_abs_1pd"] < 1e-6
         or g.PAN_EDGE_MONITOR["min_vol"] < 1e-18
     )
-    rel = max(DB80, 1e-3 if edge else 0.0, 1e-2 if dop else 0.0)
+    # doppler quantize-boundary proximity (golden PITCH_EDGE_MONITOR): a
+    # mixed tick whose f32 pitch product landed within a few ulp
+    # (~0.012 fp units at pitch≈1.5; window 0.03 for margin) of a
+    # rounding boundary can flip the fixed-point step between the two
+    # float builds — the flip's cursor-phase error scales with signal
+    # slope × same-pitch voice count (seed 394: three coherent voices hit
+    # −30 dB for one block), so such runs take a 6e-2 budget; doppler
+    # runs that stayed clear of every boundary keep 1e-2.  Structural
+    # bugs (mis-wired velocities → tens-of-units pitch shifts) diverge at
+    # signal scale and fail either budget.
+    pitch_edge = dop and g.PITCH_EDGE_MONITOR["min_boundary"] < 0.03
+    rel = max(
+        DB80,
+        1e-3 if edge else 0.0,
+        (6e-2 if pitch_edge else 1e-2) if dop else 0.0,
+    )
     tol = rel * max(peak, 1.0)
     return dict(
         seed=seed,
@@ -904,6 +920,7 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
         mode=int(sc["speaker_mode"]),
         mix_channel=sc["mix_channel"],
         mix_channel_edge=bool(edge),
+        pitch_edge=bool(pitch_edge),
         doppler=dop,
         n_areas=len(sc["areas"]),
         n_players=len(sc["players"]),
