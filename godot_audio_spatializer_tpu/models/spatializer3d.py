@@ -61,15 +61,21 @@ class AudioSpatializer3D(_LiveEditResource):
     doppler_tracking: DopplerTracking = DopplerTracking.DISABLED
     doppler_speed_of_sound: float = 343.0
 
-    def __post_init__(self):
-        if self.max_distance < 0:
+    def __setattr__(self, name, value):
+        # setter validation runs on LIVE writes too, exactly the fields
+        # the reference guards in its setters (set_max_distance cpp:671,
+        # set_emission_angle cpp:696, set_panning_strength cpp:738,
+        # set_doppler_speed_of_sound cpp:759; unit_size is deliberately
+        # unguarded, matching set_unit_size cpp:662)
+        if name == "max_distance" and value < 0:
             raise ValueError("max_distance must be >= 0")
-        if self.panning_strength < 0:
+        if name == "panning_strength" and value < 0:
             raise ValueError("Panning strength must be a positive number.")
-        if self.doppler_speed_of_sound <= 0:
+        if name == "doppler_speed_of_sound" and value <= 0:
             raise ValueError("Speed of sound must be a positive number.")
-        if not (0.0 <= self.emission_angle_degrees <= 90.0):
+        if name == "emission_angle_degrees" and not (0.0 <= value <= 90.0):
             raise ValueError("emission angle must be within [0, 90] degrees")
+        super().__setattr__(name, value)
 
     @property
     def emission_angle_cos(self) -> float:
