@@ -586,7 +586,9 @@ class AudioEngine:
         # sample bank (host mirror + lazy device copy); seed row keeps
         # base offsets 128-aligned from the start
         self._clips: Dict[int, Tuple[int, int]] = {}  # stream_id -> (base, len)
+        self._clip_content: Dict[tuple, tuple] = {}  # content_key -> entry
         self._bank_host = np.zeros((128, 2), np.float32)
+        self._bank_parts: list = []  # registered-but-unmaterialized bodies
         self._bank_device = None
         self._bank_dirty = True
 
@@ -851,6 +853,18 @@ class AudioEngine:
         (AudioStream.registration_form): ping-pong becomes an equivalent
         forward loop, loop_begin becomes a per-slot lane."""
         if stream.stream_id not in self._clips:
+            # content dedup (round 9): N distinct stream OBJECTS wrapping
+            # byte-identical data in the same loop form share one bank
+            # region — the reference shares the AudioStream resource, so
+            # its N players of one clip hold one buffer; without this the
+            # bench's 4096 same-clip players replicated the clip into a
+            # 1 GB bank.  Only immutable sample streams define
+            # content_key (generator rings mutate their region).
+            ckey = (stream.content_key()
+                    if hasattr(stream, "content_key") else None)
+            if ckey is not None and ckey in self._clip_content:
+                self._clips[stream.stream_id] = self._clip_content[ckey]
+                return self._clips[stream.stream_id][:2]
             from ..ops.resample import ROW, margin_samples
 
             margin = margin_samples(self.block_size, self.max_pitch)
@@ -871,11 +885,28 @@ class AudioEngine:
             pad = (-body.shape[0]) % ROW
             if pad:
                 body = np.concatenate([body, np.tile(body[-1:], (pad, 1))], axis=0)
-            base = self._bank_host.shape[0]
-            self._bank_host = np.concatenate([self._bank_host, body], axis=0)
-            self._clips[stream.stream_id] = (base, s, begin, pp_end)
+            # amortized growth (round 9): appending with np.concatenate
+            # re-copied the WHOLE bank per registration — O(total²) bytes
+            # (~2 TB at 4096 registrations, the real cause of BENCH_r04's
+            # '18-minute' streaming config).  Bodies queue here and
+            # _materialize_bank() concatenates once per batch.
+            base = self._bank_host.shape[0] + sum(
+                p.shape[0] for p in self._bank_parts
+            )
+            self._bank_parts.append(body.astype(np.float32, copy=False))
+            entry = (base, s, begin, pp_end)
+            self._clips[stream.stream_id] = entry
+            if ckey is not None:
+                self._clip_content[ckey] = entry
             self._bank_dirty = True
         return self._clips[stream.stream_id][:2]
+
+    def _materialize_bank(self) -> None:
+        if self._bank_parts:
+            self._bank_host = np.concatenate(
+                [self._bank_host] + self._bank_parts, axis=0
+            )
+            self._bank_parts = []
 
     def push_generator_frames(self, stream: AudioStreamGenerator, frames) -> None:
         """Push procedural frames into a generator stream's device ring
@@ -888,6 +919,7 @@ class AudioEngine:
         if frames.ndim == 1:
             frames = np.stack([frames, frames], axis=-1)
         base, _ = self.register_stream(stream)
+        self._materialize_bank()  # ring writes need the real array
         from ..ops.resample import margin_samples
 
         ring = stream.ring_length
@@ -919,6 +951,7 @@ class AudioEngine:
 
     def _bank(self) -> SampleBank:
         if self._bank_dirty or self._bank_device is None:
+            self._materialize_bank()
             if self.mesh is not None:
                 # commit the replica placement once — an uncommitted bank
                 # would re-broadcast the biggest array every sharded step

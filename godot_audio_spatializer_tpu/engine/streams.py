@@ -69,6 +69,27 @@ class AudioStream:
     def __len__(self) -> int:
         return self.data.shape[0]
 
+    def content_key(self):
+        """Bank-dedup key (engine register_stream): distinct stream
+        OBJECTS wrapping byte-identical sample data in the same loop form
+        share one bank region — the reference shares the AudioStream
+        resource itself, so N players of one clip hold one buffer; here
+        N wrapper objects must not replicate the bank N× (found round 9:
+        4096 same-clip players built a 1 GB bank through an O(N²) grow —
+        the real cause of the '18-minute streaming-bench compile').
+        Immutable-data streams only: generator/randomizer streams mutate
+        their bank region and must never dedupe (no content_key there)."""
+        key = getattr(self, "_content_key", None)
+        if key is None:
+            import hashlib
+
+            key = (
+                hashlib.sha1(np.ascontiguousarray(self.data)).hexdigest(),
+                self.loop, self.loop_mode, self.loop_begin, self.loop_end,
+            )
+            self._content_key = key
+        return key
+
     # playback parameters this stream family consumes (the reference's
     # AudioStreamPlayback::get_parameter_list contract — the player node
     # forwards its whole `parameters/*` dict to each new playback,

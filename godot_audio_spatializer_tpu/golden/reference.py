@@ -619,8 +619,11 @@ def calculate_spatialization(
         area = a
         break
 
-    log_pitch_scale = 0.0
-    log_pitch_weight = 0.0
+    f32 = np.float32
+    log_pitch_scale = f32(0.0)
+    log_pitch_weight = f32(0.0)
+    last_doppler_pitch = f32(1.0)
+    n_dop_terms = 0
     output_volume = np.zeros((MAX_CHANNELS_PER_BUS, 2), np.float64)
     reverb_volume = np.zeros((MAX_CHANNELS_PER_BUS, 2), np.float64)
     has_any_listener_in_range = False
@@ -695,29 +698,58 @@ def calculate_spatialization(
             reverb_volume = np.maximum(reverb_volume, tmp_reverb)
 
         if config.doppler_enabled:
+            # Reference real_t (= float) precision model (cpp:405-434):
+            # the reference computes this whole chain in 32-bit floats and
+            # so does the engine's Stage A (ops/geometry.py:456-489).  An
+            # f64 oracle here is MORE precise than the reference itself
+            # and flips the downstream fixed-point cursor step
+            # round(f32(pitch)·65536) whenever the product lands within
+            # ~1e-7 relative of a rounding boundary — the source of the
+            # old blanket −40 dB doppler fuzz budget.  Modeling f32
+            # end-to-end restores −80 dB parity off the quantize
+            # boundaries; the residual ULP spread between float builds is
+            # exactly what PITCH_EDGE_MONITOR flags (VERDICT r4 item 3).
             local_velocity = lt.orthonormalized().basis_xform_inv(
-                np.asarray(player_velocity, np.float64) - np.asarray(listener.velocity, np.float64)
-            )
+                np.asarray(player_velocity, np.float64)
+                - np.asarray(listener.velocity, np.float64)
+            ).astype(f32)
             if np.any(local_velocity != 0.0):
-                lp_n = np.linalg.norm(local_pos)
+                lp32 = local_pos.astype(f32)
+                lp_n = np.linalg.norm(lp32)
                 lv_n = np.linalg.norm(local_velocity)
-                approaching = float(
-                    (local_pos / lp_n if lp_n > 0 else local_pos)
+                approaching = f32(
+                    (lp32 / lp_n if lp_n > 0 else lp32)
                     @ (local_velocity / lv_n)
                 )
-                velocity = lv_n
-                doppler_pitch = (
-                    player_pitch_scale
-                    * config.doppler_speed_of_sound
-                    / (config.doppler_speed_of_sound + velocity * approaching)
+                doppler_pitch = f32(
+                    f32(f32(player_pitch_scale) * f32(config.doppler_speed_of_sound))
+                    / f32(f32(config.doppler_speed_of_sound)
+                          + f32(lv_n * approaching))
                 )
-                doppler_pitch = min(max(doppler_pitch, DOPPLER_PITCH_MIN), DOPPLER_PITCH_MAX)
-                weight = float(tmp_volume.max())
-                log_pitch_scale += weight * math.log2(doppler_pitch)
-                log_pitch_weight += weight
+                doppler_pitch = min(
+                    max(doppler_pitch, f32(DOPPLER_PITCH_MIN)),
+                    f32(DOPPLER_PITCH_MAX),
+                )
+                weight = f32(tmp_volume.max())
+                log_pitch_scale = f32(
+                    log_pitch_scale + f32(weight * np.log2(doppler_pitch))
+                )
+                log_pitch_weight = f32(log_pitch_weight + weight)
+                last_doppler_pitch = doppler_pitch
+                n_dop_terms += 1
 
     if log_pitch_weight > 0:
-        params.pitch_scale = math.pow(2.0, log_pitch_scale / log_pitch_weight)
+        if n_dop_terms == 1 and len(listeners) == 1:
+            # single-listener degenerate case: the volume-weighted log
+            # average pow(2, w·log2(p)/w) is exactly p in exact
+            # arithmetic — evaluate it directly rather than through the
+            # f32 log2/exp2 round trip (mirrors the engine's L==1
+            # shortcut, ops/geometry.py:471-480)
+            params.pitch_scale = float(last_doppler_pitch)
+        else:
+            params.pitch_scale = float(
+                np.exp2(f32(log_pitch_scale / log_pitch_weight))
+            )
     else:
         params.pitch_scale = player_pitch_scale
 
@@ -745,6 +777,16 @@ def calculate_spatialization(
 # ---------------------------------------------------------------------------
 
 
+# Bracket-oracle switch for the mix_channel ratio knife edge (VERDICT r4
+# item 4): when True, get_bus_map evaluates the `mix_volumes > 0` gate and
+# the bus/mix ratio through f32 — mirroring the engine's (and the
+# reference's float build's) arithmetic.  The combination fuzz runs the
+# oracle a second time with this set when a PAN_EDGE_MONITOR-flagged run
+# diverges under the default f64 gate; the engine must match EITHER
+# branch (tests/fuzz_scenarios.py run_scenario).
+BUS_GATE_F32 = False
+
+
 def get_bus_map(
     params: SpatializerParametersG, channel: int, mix_channels: bool
 ) -> Dict[str, np.ndarray]:
@@ -760,8 +802,8 @@ def get_bus_map(
     zero the ratio diverges and even the >0 gate flips between f32 and
     f64 evaluations of the same geometry — a knife edge of the reference
     semantics itself (its own f32 result is compiler-flag dependent
-    there).  The combination fuzz excludes mix_channel+reverb for this
-    reason (tests/fuzz_scenarios.py).
+    there).  The combination fuzz covers the combination with a two-branch
+    bracket oracle (BUS_GATE_F32 above) at monitor-detected edges.
     """
     bus_map: Dict[str, np.ndarray] = {}
     for idx, (key, bus_volume) in enumerate(params.bus_volumes.items()):
@@ -772,10 +814,18 @@ def get_bus_map(
             for ch in range(MAX_CHANNELS_PER_BUS):
                 if ch == channel:
                     left = right = 0.0
-                    if params.mix_volumes[ch][0] > 0.0:
-                        left = bus_volume[ch][0] / params.mix_volumes[ch][0]
-                    if params.mix_volumes[ch][1] > 0.0:
-                        right = bus_volume[ch][1] / params.mix_volumes[ch][1]
+                    if BUS_GATE_F32:
+                        mvl = np.float32(params.mix_volumes[ch][0])
+                        mvr = np.float32(params.mix_volumes[ch][1])
+                        if mvl > 0.0:
+                            left = float(np.float32(bus_volume[ch][0]) / mvl)
+                        if mvr > 0.0:
+                            right = float(np.float32(bus_volume[ch][1]) / mvr)
+                    else:
+                        if params.mix_volumes[ch][0] > 0.0:
+                            left = bus_volume[ch][0] / params.mix_volumes[ch][0]
+                        if params.mix_volumes[ch][1] > 0.0:
+                            right = bus_volume[ch][1] / params.mix_volumes[ch][1]
                     volumes[ch] = (left, right)
         else:
             volumes[:] = params.mix_volumes

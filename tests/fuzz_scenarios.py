@@ -180,21 +180,18 @@ def make_scenario(seed: int, n_blocks: int = 40) -> dict:
         override = "Ambient" if rng.random() < 0.5 else None
         reverb = "Reverb" if (override is None or rng.random() < 0.6) else None
         # Mix-channel + reverb is a genuine KNIFE EDGE of the reference's
-        # ratio semantics, excluded from the differential fuzz: get_bus_map
-        # divides the reverb send (center-value terms, NOT proportional to
-        # per-channel mix volume) by the per-channel mix volume
-        # (audio_spatializer.cpp:304-308).  When SPCAP's (1+dot)/2
-        # catastrophically cancels (source opposite a speaker), the mv>0
-        # gate itself flips between f32 (engine, like the reference) and
-        # f64 (golden oracle), the ratio diverges unboundedly, and the
-        # removed-bus fade-out ramp amplifies it into e10-scale transients
-        # — seeds 22/43 measured a 1.5e11 golden-side spike the f32 engine
-        # rounds away.  Parity there is ill-defined in the reference's own
-        # f32 as well (compiler-flag dependent); the primary/override bus
-        # ratios are exactly 1 by construction and stay fuzzed.  Benign
-        # mix-channel reverb geometry is pinned by the e2e suites.
-        if mix_channel:
-            reverb = None
+        # ratio semantics: get_bus_map divides the reverb send
+        # (center-value terms, NOT proportional to per-channel mix volume)
+        # by the per-channel mix volume (audio_spatializer.cpp:304-308).
+        # When SPCAP's (1+dot)/2 catastrophically cancels (source opposite
+        # a speaker), the mv>0 gate itself flips between f32 (engine, like
+        # the reference) and f64 (golden oracle), the ratio diverges
+        # unboundedly, and the removed-bus fade-out ramp amplifies it into
+        # e10-scale transients — seeds 22/43 measured a 1.5e11 golden-side
+        # spike the f32 engine rounds away.  The combination IS fuzzed
+        # (VERDICT r4 item 4): at PAN_EDGE_MONITOR-flagged edges the
+        # oracle re-evaluates the gate in f32 (g.BUS_GATE_F32) and the
+        # engine must match either branch — see run_scenario's bracket.
         center = rng.uniform(-6, 6, 3)
         # areas drift too (moving Area3D bodies — the reference
         # point-queries whatever the physics space holds each tick)
@@ -874,18 +871,19 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
     # evaluations came within margin of either (PAN_EDGE_MONITOR) take
     # the wider budget; every other mix-channel scenario stays at −80 so
     # a real regression can't hide in the slack (VERDICT r3 item 6).
-    # Doppler scenarios get a −40 dBFS budget: the fixed-point cursor step
-    # round(f32(pitch)·65536) reads a CONTINUOUS doppler pitch that the
-    # engine computes in f32 (like the reference's real_t) and the oracle
-    # in f64 — when the product lands within a few ULP of a rounding
-    # boundary the two sides flip the step (seed 192 block 39: a live
-    # doppler toggle put a voice on the doppler path; one flip leaves a
-    # permanent F/65536 ≈ 0.008-sample cursor offset ≈ −60 dB of noise-
-    # clip error).  Parity at the flip is ill-defined between any two
-    # float builds; −40 dB still catches every structural bug (a mis-
-    # wired velocity shifts the step by tens of units → signal-scale
-    # divergence within a block).  Stage-A doppler WIRING is pinned
-    # tightly by test_geometry's doppler parity instead.
+    # Doppler scenarios assert the same −80 dBFS as everything else EXCEPT
+    # on PITCH_EDGE_MONITOR-flagged quantize-boundary ties (VERDICT r4
+    # item 3): the golden computes the Stage-A doppler pitch chain in f32
+    # end-to-end (golden/reference.py calculate_spatialization — the
+    # reference's real_t is float, so the old f64 oracle was MORE precise
+    # than the reference itself and flipped the fixed-point cursor step
+    # round(f32(pitch)·65536) at ~2% of mixed ticks).  What remains after
+    # f32-modeling is the ULP spread between float BUILDS (numpy vs XLA
+    # log2/exp2, reduction order) — a flip now needs the product within a
+    # few ULP of a rounding boundary, which is exactly what the monitor
+    # detects.  A flip's cursor-phase error scales with signal slope ×
+    # same-pitch voice count (seed 394: three coherent voices hit −30 dB
+    # for one block), so flagged runs take a 6e-2 budget.
     dop = any(p["doppler"] for p in sc["players"]) or any(
         e[0] == "doppler" and e[1]
         for evs in sc["schedule"] for pevs in evs for e in pevs
@@ -898,24 +896,45 @@ def run_scenario(seed: int, n_blocks: int = 40, mesh: bool = False,
     # mixed tick whose f32 pitch product landed within a few ulp
     # (~0.012 fp units at pitch≈1.5; window 0.03 for margin) of a
     # rounding boundary can flip the fixed-point step between the two
-    # float builds — the flip's cursor-phase error scales with signal
-    # slope × same-pitch voice count (seed 394: three coherent voices hit
-    # −30 dB for one block), so such runs take a 6e-2 budget; doppler
-    # runs that stayed clear of every boundary keep 1e-2.  Structural
-    # bugs (mis-wired velocities → tens-of-units pitch shifts) diverge at
-    # signal scale and fail either budget.
+    # float builds.  Structural bugs (mis-wired velocities →
+    # tens-of-units pitch shifts) diverge at signal scale and fail either
+    # budget.
     pitch_edge = dop and g.PITCH_EDGE_MONITOR["min_boundary"] < 0.03
     rel = max(
         DB80,
         1e-3 if edge else 0.0,
-        (6e-2 if pitch_edge else 1e-2) if dop else 0.0,
+        6e-2 if pitch_edge else 0.0,
     )
     tol = rel * max(peak, 1.0)
+    ok = bool(err <= tol)
+    gate_branch = "f64"
+    # Bracket oracle for the mix_channel+reverb ratio knife edge (VERDICT
+    # r4 item 4): when a PAN_EDGE_MONITOR-flagged run diverges under the
+    # default f64 gate, the oracle re-runs with the `mix_volumes > 0`
+    # gate and bus/mix ratio evaluated in f32 (g.BUS_GATE_F32 — the
+    # engine's, and the reference float build's, arithmetic).  At the
+    # edge the gate outcome is ill-defined between float builds
+    # (audio_spatializer.cpp:304-308), so the engine must match EITHER
+    # branch; off-edge runs never reach this and assert −80 directly.
+    if (not ok) and edge and any(a["reverb"] for a in sc["areas"]):
+        g.BUS_GATE_F32 = True
+        try:
+            ref2 = run_golden(sc)
+        finally:
+            g.BUS_GATE_F32 = False
+        err2 = float(np.abs(got[: ref2.shape[0]] - ref2).max())
+        peak2 = float(np.abs(ref2).max())
+        tol2 = rel * max(peak2, 1.0)
+        if err2 <= tol2:
+            ok = True
+            gate_branch = "f32"
+            err, peak = err2, peak2
     return dict(
         seed=seed,
         err=err,
         peak=peak,
-        ok=bool(err <= tol),
+        ok=ok,
+        gate_branch=gate_branch,
         silent=bool(peak <= 1e-3),
         mode=int(sc["speaker_mode"]),
         mix_channel=sc["mix_channel"],

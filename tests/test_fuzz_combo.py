@@ -367,3 +367,34 @@ def test_live_doppler_enable_starts_velocity_tracking():
     pl.set_position([0.0, 0.0, -6.0])
     _ = _rms(eng)
     assert np.any(eng._scene_vel[pl.index] != 0.0)
+
+
+def test_bus_gate_f32_bracket_branches():
+    """The mix_channel ratio knife edge (reference
+    audio_spatializer.cpp:304-308): a mix volume that is tiny-positive in
+    f64 but rounds to exactly 0.0 in f32 flips the `mix_volumes > 0`
+    gate between float builds.  g.BUS_GATE_F32 switches the golden
+    between the two branches; the fuzz bracket accepts either at
+    PAN_EDGE_MONITOR-flagged edges (VERDICT r4 item 4)."""
+    from godot_audio_spatializer_tpu.golden import reference as g
+
+    params = g.SpatializerParametersG()
+    mv = np.zeros((4, 2), np.float64)
+    mv[0, 0] = 1e-46  # f64-positive, f32 rounds to 0.0 (sub-subnormal)
+    mv[0, 1] = 0.25
+    params.mix_volumes = mv
+    bus = np.zeros((4, 2), np.float64)
+    bus[0] = (3e-46, 0.125)
+    params.bus_volumes = {"Reverb": bus}
+
+    m64 = g.get_bus_map(params, 0, True)["Reverb"]
+    assert m64[0, 0] == pytest.approx(3.0)  # f64 gate open: 3e-46/1e-46
+    assert m64[0, 1] == pytest.approx(0.5)
+
+    g.BUS_GATE_F32 = True
+    try:
+        m32 = g.get_bus_map(params, 0, True)["Reverb"]
+    finally:
+        g.BUS_GATE_F32 = False
+    assert m32[0, 0] == 0.0  # f32 gate closed: the engine's branch
+    assert m32[0, 1] == pytest.approx(0.5, rel=1e-6)
