@@ -93,20 +93,40 @@ _DEVICE_PROBE = {}
 
 
 def _device_stream_gbps():
-    """Same-process elementwise-copy HBM bandwidth (the STREAM peak the
-    roofline fractions are quoted against).  Measured once per run."""
+    """Same-process elementwise-stream HBM bandwidth (the STREAM peak the
+    roofline fractions are quoted against).  Measured once per run.
+
+    Measurement rules (CLAUDE.md): the K-step scan consumes its carry so
+    XLA can't hoist the op out of the loop (each step is one fused
+    read+write pass over HBM), K amortizes the tunnel's ~20-60 ms
+    per-call sync floor, and the sync transfers a TINY slice — a full
+    np.asarray of the 256 MB output rides the ~90 MB/s tunnel and reads
+    0.1 GB/s (the round-9 first-cut bug)."""
     if "stream_gbps" in _DEVICE_PROBE:
         return _DEVICE_PROBE["stream_gbps"]
     import jax.numpy as jnp
+    from jax import lax
 
+    K = 64
     x = jnp.ones((64, 1024, 1024), jnp.float32)  # 256 MB
 
     @jax.jit
-    def cp(v):
-        return v * 1.000001 + 0.5
+    def stream(v):
+        def body(c, _):
+            return c * 1.000001 + 0.5, ()
+        out, _ = lax.scan(body, v, None, length=K)
+        return out
 
-    secs = _time(cp, x)
-    gbps = 2 * x.nbytes / secs / 1e9  # read + write
+    def run():
+        _ = np.asarray(stream(x)[0, 0, :1])  # tiny-slice sync
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    gbps = 2 * K * x.nbytes / best / 1e9  # read + write per scan step
     _DEVICE_PROBE["stream_gbps"] = round(gbps, 1)
     return _DEVICE_PROBE["stream_gbps"]
 
