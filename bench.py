@@ -427,7 +427,11 @@ def bench_ambisonic(n, mix_rate, frame_count, taps=128):
     )
     rtf = BLOCKS * frame_count / mix_rate / secs
     return {"config": "ambisonic_o3_binaural", "sources": n, "rtf": round(rtf, 2),
-            "block_ms": round(secs / BLOCKS * 1e3, 4)}
+            "block_ms": round(secs / BLOCKS * 1e3, 4),
+            "model_note": "FFT overlap-save decode at K=16 SH channels — "
+                          "op-count-bound, not FLOP/byte-bound at this "
+                          "size (PERF.md probe_amb_decode), so no "
+                          "bytes/FLOPs roofline is modeled"}
 
 
 def ab_main():
